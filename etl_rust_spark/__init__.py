@@ -1,0 +1,48 @@
+"""etl_rust_spark — a from-scratch PySpark-native CDC / incremental-ingest engine.
+
+Re-expresses the capabilities of the reference ETL framework
+(``cuongtranba/etl-rust``, a Tokio-based extract/transform/load pipeline —
+see /root/reference/src/lib.rs:1-37) as an idiomatic Spark design:
+
+- change events (binlog/WAL-style) over conversation-transcript tables are
+  read as Structured Streaming micro-batches,
+- deduplicated last-writer-wins by max LSN per (conv_id, turn_idx) with
+  map-side partial aggregation (and optional explicit salting for extreme
+  single-key skew),
+- MERGE'd exactly-once into an Iceberg-semantics lake table ("Icelite":
+  Parquet data files + atomic JSON snapshot manifests, copy-on-write,
+  bucket-pruned, schema-evolving, time-travelable),
+- with a per-commit lineage ledger and an idempotent batch-key ledger so
+  re-delivered micro-batches are no-ops.
+
+The reference's channel/bucket/worker-pool machinery (its §2.3 operators)
+maps onto Spark's own micro-batch engine and task scheduler; nothing in the
+hot path runs per-row Python.
+"""
+
+from etl_rust_spark.session import get_spark
+from etl_rust_spark.changelog import (
+    CHANGELOG_SCHEMA,
+    TRANSCRIPT_SCHEMA,
+    ChangelogConfig,
+    generate_changelog_pandas,
+    generate_changelog_spark,
+    replay_oracle_pandas,
+)
+from etl_rust_spark.lake.format import IceliteTable
+from etl_rust_spark.operators.apply import apply_changes, dedup_max_lsn
+
+__all__ = [
+    "get_spark",
+    "CHANGELOG_SCHEMA",
+    "TRANSCRIPT_SCHEMA",
+    "ChangelogConfig",
+    "generate_changelog_pandas",
+    "generate_changelog_spark",
+    "replay_oracle_pandas",
+    "IceliteTable",
+    "apply_changes",
+    "dedup_max_lsn",
+]
+
+__version__ = "0.1.0"

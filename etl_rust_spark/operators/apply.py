@@ -1,0 +1,160 @@
+"""M1 — the reusable micro-batch apply kernel.
+
+One code path for both drivers, mirroring how the reference's ``ETL::run``
+reuses ``Bucket`` internally (/root/reference/src/etl/processor.rs:99):
+the Structured Streaming path calls ``apply_changes`` from
+``foreachBatch`` and the batch-replay path calls it directly.
+
+Correctness note inherited from the reference: its intra-batch transform
+fan-out completes *unordered* (``buffer_unordered``,
+/root/reference/src/etl/processor.rs:125-128), so final-state correctness
+can never depend on arrival order — it must come from keys. Here that
+principle is explicit: last-writer-wins by max ``lsn`` per
+``(conv_id, turn_idx)``, regardless of both intra-batch and inter-batch
+delivery order (a late event with a smaller lsn than the sink's current
+row for that key must lose — see the cross-batch guard below).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_rust_spark.lake.format import IceliteTable
+
+LSN_COL = "__lsn"  # persisted per-key max lsn, the cross-batch late-data guard
+DELETED_COL = "__deleted"  # tombstone flag: deletes persist so late (smaller-lsn)
+#   events in later batches cannot resurrect a deleted key; read() filters them
+
+
+def dedup_max_lsn(
+    changes: DataFrame,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    lsn_col: str = "lsn",
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Collapse a change-set to one winning row per key (max lsn).
+
+    Implemented as ``groupBy(keys).agg(max(struct(lsn, payload...)))``
+    rather than a row_number window: hash aggregation gets map-side
+    partial aggregation from Catalyst (duplicate/hot keys collapse
+    *before* the shuffle), which a window function never does. At
+    10^10 events with Zipf-hot conversations that partial agg is the
+    difference between a bounded shuffle and a hot-partition stall —
+    and since ``turn_idx`` is in the grouping key, even a conversation
+    holding 50% of events spreads over its turn space.
+
+    ``salt_buckets`` adds an *explicit* two-phase variant for the
+    degenerate case of a single hot (conv_id, turn_idx) key (e.g. one
+    turn updated millions of times): phase 1 reduces within
+    (key, salt) groups, phase 2 reduces the ≤salt_buckets survivors.
+    """
+    payload = [c for c in changes.columns if c not in key_cols and c != lsn_col]
+    row = F.struct(F.col(lsn_col), *[F.col(c) for c in payload]).alias("__row")
+    if salt_buckets:
+        salted = changes.groupBy(
+            *key_cols, F.pmod(F.xxhash64(F.col(lsn_col)), F.lit(salt_buckets)).alias("__salt")
+        ).agg(F.max(row).alias("__row"))
+        winners = salted.groupBy(*key_cols).agg(F.max("__row").alias("__row"))
+    else:
+        winners = changes.groupBy(*key_cols).agg(F.max(row).alias("__row"))
+    return winners.select(
+        *key_cols,
+        F.col(f"__row.{lsn_col}").alias(lsn_col),
+        *[F.col(f"__row.{c}").alias(c) for c in payload],
+    )
+
+
+def apply_changes(
+    table: IceliteTable,
+    batch_df: DataFrame,
+    batch_key: str | None = None,
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+    salt_buckets: int | None = None,
+    source: str = "batch",
+) -> dict | None:
+    """Apply one micro-batch of change events to an Icelite table.
+
+    decode → dedup (max-lsn per key) → cross-batch late-data guard →
+    MERGE. Returns the commit's lineage record, or None if ``batch_key``
+    was already applied (idempotent re-delivery).
+
+    The persisted ``__lsn`` column is the guard for *cross-batch*
+    out-of-order delivery: an incoming winner only replaces the sink row
+    when its lsn exceeds the stored one. The merge itself compares inside
+    the touched buckets only, so the guard costs one co-partitioned join
+    over the already-read slice.
+    """
+    snap = table.snapshot()
+    if batch_key is not None and batch_key in snap["applied_batches"]:
+        return None
+    key_cols = tuple(snap["key_cols"])
+
+    winners = dedup_max_lsn(batch_df, key_cols, lsn_col, salt_buckets)
+
+    # cross-batch guard: drop winners older than the sink's stored lsn
+    touched_buckets = None
+    if snap["files"]:
+        from etl_rust_spark.lake.format import _bucket_expr
+
+        bexpr = _bucket_expr(snap["bucket_key"], snap["n_buckets"])
+        touched_buckets = {
+            int(r[0])
+            for r in winners.select(bexpr.alias("b")).distinct().collect()
+        }
+        current = table.read(buckets=touched_buckets).select(
+            *key_cols, F.col(LSN_COL).alias("__cur_lsn")
+        )
+        winners = (
+            winners.join(current, on=list(key_cols), how="left")
+            .filter(F.col("__cur_lsn").isNull() | (F.col(lsn_col) > F.col("__cur_lsn")))
+            .drop("__cur_lsn")
+        )
+
+    # deletes become tombstone upserts (flagged rows), so the lsn guard
+    # also protects deleted keys against late out-of-order events
+    changes = (
+        winners.withColumnRenamed(lsn_col, LSN_COL)
+        .withColumn(DELETED_COL, F.col(op_col) == "D")
+        .withColumn(op_col, F.lit("U"))
+    )
+    return table.merge(changes, batch_key=batch_key, op_col=op_col, source=source)
+
+
+def create_transcript_table(
+    spark,
+    path: str,
+    n_buckets: int = 32,
+    extra_fields=None,
+) -> IceliteTable:
+    """Create the transcripts sink table (schema per BASELINE input_hint,
+    plus the persisted __lsn guard column)."""
+    from pyspark.sql import types as T
+
+    from etl_rust_spark.changelog import TRANSCRIPT_SCHEMA
+
+    fields = list(TRANSCRIPT_SCHEMA.fields) + [
+        T.StructField(LSN_COL, T.LongType(), True),
+        T.StructField(DELETED_COL, T.BooleanType(), True),
+    ]
+    for f in extra_fields or []:
+        fields.append(f)
+    return IceliteTable.create(
+        spark,
+        path,
+        T.StructType(fields),
+        key_cols=("conv_id", "turn_idx"),
+        bucket_key="conv_id",
+        n_buckets=n_buckets,
+        order_cols=("conv_id", "turn_idx"),
+    )
+
+
+def read_transcripts(table: IceliteTable, seq: int | None = None) -> DataFrame:
+    """Final-state view: user-facing columns in stable key order."""
+    df = table.read(seq=seq)
+    df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(
+        LSN_COL, DELETED_COL
+    )
+    return df.orderBy("conv_id", "turn_idx")

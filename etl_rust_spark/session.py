@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for the CDC-ingest workload.
+
+Local mode here, but every knob is chosen to survive a 1000-executor
+cluster: AQE on (runtime coalesce + skew handling), shuffle partitions
+sized to parallelism (overridable per deployment), Arrow enabled for the
+few vectorized-UDF paths, UTC session timezone so results compare bit-for-
+bit against external oracles (DuckDB is UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "etl_rust_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (all cores).
+    ``shuffle_partitions`` defaults to the local core count — the right
+    size for local mode; on a real cluster set it to ~2-3x total cores.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    master = master or f"local[{cpus}]"
+    n_cores = cpus if master == f"local[{cpus}]" else master.strip("local[]") or cpus
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = max(4, int(n_cores))
+        except ValueError:
+            shuffle_partitions = 32
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.streaming.schemaInference", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

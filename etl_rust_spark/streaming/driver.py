@@ -1,0 +1,129 @@
+"""M3 — the Structured Streaming driver (WAL tail → exactly-once upsert).
+
+Maps the reference's pipeline machinery onto Spark's own engine
+(SURVEY.md §3.2 lifecycle table):
+
+- ``extract`` (channel source, src/etl/processor.rs:33)   → ``readStream``
+  over a directory of WAL-segment parquet files.
+- size+timeout batch triggers (src/bucket/bucket.rs:190-206) →
+  ``maxFilesPerTrigger`` + ``trigger(processingTime=...)``.
+- worker pool / backpressure (src/bucket/bucket.rs:123-158) → Spark task
+  scheduler; micro-batch sources are pull-based.
+- ``load(Vec<T>)`` batch sink (src/etl/processor.rs:43)    →
+  ``foreachBatch(apply_changes)`` — the same kernel the batch-replay path
+  uses, so streaming and replay share one code path (mirrors ETL::run
+  reusing Bucket, src/etl/processor.rs:99).
+- graceful drain-on-close (src/bucket/bucket.rs:216-234)   → Spark
+  finishes the in-flight micro-batch on ``query.stop()``; exactly-once
+  across restarts comes from checkpoint offsets + the Icelite
+  ``applied_batches`` ledger (a replayed epoch id is a no-op).
+- ``ETLPipelineManager`` (src/etl/manager.rs:76-102)       →
+  ``PipelineManager``: several concurrent queries, fail-fast via
+  ``awaitAnyTermination``, graceful ``stop_all``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from etl_rust_spark.lake.format import IceliteTable
+from etl_rust_spark.operators.apply import apply_changes
+
+
+@dataclass
+class ChangelogIngest:
+    """One CDC ingest pipeline: tail WAL segments, upsert into a table."""
+
+    spark: SparkSession
+    wal_dir: str
+    table_path: str
+    checkpoint_dir: str
+    schema: T.StructType
+    name: str = "transcripts_ingest"
+    max_files_per_trigger: int = 1          # B2 size trigger analog
+    processing_time: str = "0 seconds"      # B3 timeout trigger analog
+    salt_buckets: int | None = None
+    transform: Callable[[DataFrame], DataFrame] | None = None
+
+    def start(self):
+        table = IceliteTable.load(self.spark, self.table_path)
+
+        def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+            df = self.transform(batch_df) if self.transform else batch_df
+            # epoch_id is stable across checkpoint restarts → the ledger
+            # key that makes foreachBatch's at-least-once exactly-once
+            apply_changes(
+                table,
+                df,
+                batch_key=f"{self.name}:{epoch_id}",
+                salt_buckets=self.salt_buckets,
+                source=f"stream:{self.name}",
+            )
+
+        reader = (
+            self.spark.readStream.schema(self.schema)
+            .option("maxFilesPerTrigger", self.max_files_per_trigger)
+            .parquet(self.wal_dir)
+        )
+        return (
+            reader.writeStream.queryName(self.name)
+            .foreachBatch(_apply)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(processingTime=self.processing_time)
+            .start()
+        )
+
+    def run_available(self) -> None:
+        """Drain everything currently in the WAL dir, then stop (the
+        batch-drain analog of close() → drain_and_finish)."""
+        q = self.start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+
+@dataclass
+class PipelineManager:
+    """Run K ingest pipelines concurrently on one SparkSession.
+
+    The reference caps concurrency with a semaphore and fails fast on the
+    first pipeline error (src/etl/manager.rs:76-102). Spark's scheduler
+    replaces the semaphore (FAIR pools if isolation matters); fail-fast =
+    awaitAnyTermination + stop_all.
+    """
+
+    spark: SparkSession
+    pipelines: list[ChangelogIngest] = field(default_factory=list)
+
+    def add_pipeline(self, p: ChangelogIngest) -> "PipelineManager":
+        self.pipelines.append(p)
+        return self
+
+    def run_all_available(self) -> None:
+        """Start all, drain all available input, stop all (batch-drain
+        mode used by tests and replay jobs)."""
+        queries = [p.start() for p in self.pipelines]
+        try:
+            for q in queries:
+                q.processAllAvailable()
+        finally:
+            for q in queries:
+                q.stop()
+            for q in queries:
+                q.awaitTermination()
+
+    def start_all(self):
+        return [p.start() for p in self.pipelines]
+
+    def await_any(self, timeout: float | None = None):
+        self.spark.streams.awaitAnyTermination(timeout)
+
+    def stop_all(self) -> None:
+        for q in self.spark.streams.active:
+            q.stop()

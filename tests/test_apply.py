@@ -1,0 +1,143 @@
+"""M1/M2 correctness: changelog replay → Icelite state equals the oracle.
+
+Ports the reference's verification invariants (SURVEY.md §5): exactly-once
+completeness (every input reflected once, order-insensitive), idempotent
+re-delivery, and stable (conv_id, turn_idx) ordering of the final state.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from etl_rust_spark.changelog import (
+    CHANGELOG_SCHEMA,
+    ChangelogConfig,
+    generate_changelog_pandas,
+    replay_oracle_pandas,
+)
+from etl_rust_spark.operators.apply import (
+    apply_changes,
+    create_transcript_table,
+    dedup_max_lsn,
+    read_transcripts,
+)
+from tests.conftest import assert_pdf_equal
+
+
+def _chunks(pdf, n):
+    return [pdf.iloc[idx] for idx in np.array_split(np.arange(len(pdf)), n)]
+
+
+def _spark_changelog(spark, pdf, schema=CHANGELOG_SCHEMA):
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+@pytest.fixture()
+def tiny_log():
+    return generate_changelog_pandas(
+        ChangelogConfig(
+            n_events=1200,
+            n_conversations=10,
+            turns_per_conv=20,
+            dup_fraction=0.05,
+            delete_fraction=0.08,
+            shuffle_order=True,
+        )
+    )
+
+
+def test_replay_in_chunks_matches_oracle(spark, tiny_log, tmp_path):
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=8)
+    for i, chunk in enumerate(_chunks(tiny_log, 3)):
+        rec = apply_changes(table, _spark_changelog(spark, chunk), batch_key=f"b{i}")
+        assert rec is not None and rec["commit_seq"] == i + 1
+    actual = read_transcripts(table).toPandas()
+    expected = replay_oracle_pandas(tiny_log)
+    assert_pdf_equal(actual, expected)
+    # result is emitted in stable (conv_id, turn_idx) order
+    keys = list(zip(actual.conv_id, actual.turn_idx))
+    assert keys == sorted(keys)
+
+
+def test_single_batch_replay(spark, tiny_log, tmp_path):
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(table, _spark_changelog(spark, tiny_log), batch_key="all")
+    assert_pdf_equal(read_transcripts(table).toPandas(), replay_oracle_pandas(tiny_log))
+
+
+def test_idempotent_redelivery(spark, tiny_log, tmp_path):
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=8)
+    chunks = _chunks(tiny_log, 3)
+    for i, chunk in enumerate(chunks):
+        apply_changes(table, _spark_changelog(spark, chunk), batch_key=f"b{i}")
+    seq_before = table.current_seq()
+    state_before = read_transcripts(table).toPandas()
+    # re-deliver batch 1 (crash-replay simulation): must be a no-op
+    assert apply_changes(table, _spark_changelog(spark, chunks[1]), batch_key="b1") is None
+    assert table.current_seq() == seq_before
+    assert_pdf_equal(read_transcripts(table).toPandas(), state_before)
+
+
+def test_cross_batch_late_data_and_delete_tombstones(spark, tmp_path):
+    """A late event (smaller lsn) arriving after a newer update or a delete
+    must lose — including the delete-then-late-resurrection case."""
+    cols = ["lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    ts = pd.Timestamp("2025-01-01")
+    b1 = pd.DataFrame(
+        [
+            [10, "U", "c1", np.int32(0), "user", "new", "", ts],
+            [20, "D", "c2", np.int32(0), None, None, None, pd.NaT],
+        ],
+        columns=cols,
+    )
+    b2 = pd.DataFrame(  # both events are LATE (lsn < what's applied)
+        [
+            [5, "I", "c1", np.int32(0), "user", "old", "", ts],
+            [15, "U", "c2", np.int32(0), "user", "zombie", "", ts],
+        ],
+        columns=cols,
+    )
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(table, _spark_changelog(spark, b1), batch_key="b1")
+    apply_changes(table, _spark_changelog(spark, b2), batch_key="b2")
+    final = read_transcripts(table).toPandas()
+    expected = replay_oracle_pandas(pd.concat([b1, b2]))
+    assert_pdf_equal(final, expected)
+    assert list(final.text) == ["new"]  # c2 stays deleted, c1 keeps lsn=10
+
+
+def test_dedup_salted_equals_plain(spark, tiny_log):
+    df = _spark_changelog(spark, tiny_log)
+    plain = dedup_max_lsn(df).toPandas()
+    salted = dedup_max_lsn(df, salt_buckets=16).toPandas()
+    assert_pdf_equal(plain, salted)
+    assert plain.set_index(["conv_id", "turn_idx"]).index.is_unique
+
+
+def test_time_travel_and_lineage(spark, tiny_log, tmp_path):
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=8)
+    chunks = _chunks(tiny_log, 3)
+    for i, chunk in enumerate(chunks):
+        apply_changes(table, _spark_changelog(spark, chunk), batch_key=f"b{i}")
+    # snapshot 1 = state after chunk 0 only
+    expected1 = replay_oracle_pandas(chunks[0])
+    assert_pdf_equal(read_transcripts(table, seq=1).toPandas(), expected1)
+    lin = table.lineage().toPandas().sort_values("commit_seq")
+    assert list(lin.batch_key) == ["b0", "b1", "b2"]
+    assert (lin.n_changes > 0).all()
+    assert lin.per_bucket_rows.map(len).gt(0).all()
+    assert table.applied_batches() == {"b0": 1, "b1": 2, "b2": 3}
+
+
+def test_compaction_preserves_state(spark, tiny_log, tmp_path):
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    for i, chunk in enumerate(_chunks(tiny_log, 4)):
+        apply_changes(table, _spark_changelog(spark, chunk), batch_key=f"b{i}")
+    before = read_transcripts(table).toPandas()
+    n_files_before = len(table.snapshot()["files"])
+    table.compact()
+    assert_pdf_equal(read_transcripts(table).toPandas(), before)
+    assert len(table.snapshot()["files"]) <= min(n_files_before, 4)
+    # expire old snapshots; current state still readable
+    table.expire_snapshots(keep_last=1)
+    assert_pdf_equal(read_transcripts(table).toPandas(), before)

@@ -1,0 +1,102 @@
+"""M3 — streaming driver: WAL tail → exactly-once upsert, crash/resume,
+multi-pipeline manager."""
+
+import numpy as np
+
+from etl_rust_spark.changelog import (
+    CHANGELOG_SCHEMA,
+    ChangelogConfig,
+    generate_changelog_pandas,
+    replay_oracle_pandas,
+    write_wal_segments,
+)
+from etl_rust_spark.operators.apply import create_transcript_table, read_transcripts
+from etl_rust_spark.streaming.driver import ChangelogIngest, PipelineManager
+from etl_rust_spark.lake.format import IceliteTable
+from tests.conftest import assert_pdf_equal
+
+
+def _mk_log(n=900, seed=42):
+    return generate_changelog_pandas(
+        ChangelogConfig(
+            n_events=n, n_conversations=8, turns_per_conv=12,
+            dup_fraction=0.05, delete_fraction=0.08, seed=seed,
+        )
+    )
+
+
+def _mk_ingest(spark, tmp_path, name, log, n_segments=5):
+    wal = str(tmp_path / f"wal_{name}")
+    write_wal_segments(log, wal, n_segments, spark)
+    create_transcript_table(spark, str(tmp_path / f"tbl_{name}"), n_buckets=4)
+    return ChangelogIngest(
+        spark=spark,
+        wal_dir=wal,
+        table_path=str(tmp_path / f"tbl_{name}"),
+        checkpoint_dir=str(tmp_path / f"ckpt_{name}"),
+        schema=CHANGELOG_SCHEMA,
+        name=name,
+    )
+
+
+def test_stream_matches_oracle(spark, tmp_path):
+    log = _mk_log()
+    ingest = _mk_ingest(spark, tmp_path, "s1", log)
+    ingest.run_available()
+    table = IceliteTable.load(spark, ingest.table_path)
+    assert_pdf_equal(read_transcripts(table).toPandas(), replay_oracle_pandas(log))
+    # one commit per micro-batch (maxFilesPerTrigger=1 → 5 segments)
+    lin = table.lineage().toPandas()
+    assert len(lin) == 5
+    assert lin.source.str.startswith("stream:").all()
+
+
+def test_crash_resume_from_checkpoint(spark, tmp_path):
+    """Stop after the first segments, restart from the same checkpoint:
+    final state identical, no duplicated effects (SURVEY.md §5 resume
+    test; the reference cannot do this at all)."""
+    log = _mk_log(seed=7)
+    wal = str(tmp_path / "wal")
+    all_segments = write_wal_segments(log, wal, 6, spark)
+    assert len(all_segments) == 6
+    create_transcript_table(spark, str(tmp_path / "tbl"), n_buckets=4)
+    ingest = ChangelogIngest(
+        spark=spark, wal_dir=wal, table_path=str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ckpt"), schema=CHANGELOG_SCHEMA, name="cr",
+    )
+    # phase 1: process a couple of micro-batches then "crash" (stop)
+    q = ingest.start()
+    while not q.recentProgress:
+        q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    table = IceliteTable.load(spark, ingest.table_path)
+    seq_mid = table.current_seq()
+    assert 0 < seq_mid
+
+    # phase 2: restart from checkpoint; drains the remainder exactly once
+    ingest.run_available()
+    assert_pdf_equal(read_transcripts(table).toPandas(), replay_oracle_pandas(log))
+
+    # phase 3: a THIRD run with a fresh checkpoint re-delivers everything;
+    # the applied_batches ledger must no-op every re-delivered batch
+    seq_done = table.current_seq()
+    ingest2 = ChangelogIngest(
+        spark=spark, wal_dir=wal, table_path=str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ckpt"), schema=CHANGELOG_SCHEMA, name="cr",
+    )
+    ingest2.run_available()
+    assert table.current_seq() == seq_done
+    assert_pdf_equal(read_transcripts(table).toPandas(), replay_oracle_pandas(log))
+
+
+def test_manager_runs_pipelines_concurrently(spark, tmp_path):
+    logs = {name: _mk_log(seed=i) for i, name in enumerate(["p1", "p2", "p3"])}
+    mgr = PipelineManager(spark)
+    for name, log in logs.items():
+        mgr.add_pipeline(_mk_ingest(spark, tmp_path, name, log, n_segments=3))
+    mgr.run_all_available()
+    for name, log in logs.items():
+        table = IceliteTable.load(spark, str(tmp_path / f"tbl_{name}"))
+        assert_pdf_equal(read_transcripts(table).toPandas(), replay_oracle_pandas(log))
+    assert len(spark.streams.active) == 0

@@ -1,0 +1,68 @@
+"""Cross-engine deterministic hashing primitives.
+
+Everything here is chosen to produce BIT-IDENTICAL results in Spark SQL and
+ANSI SQL (DuckDB) so the driver's oracle comparison is exact:
+
+- ``md5_long``: first 15 hex digits of md5 as a signed 60-bit integer.
+  Spark: ``conv(substring(md5(x),1,15),16,10)``; DuckDB:
+  ``CAST('0x'||substring(md5(x),1,15) AS BIGINT)`` — verified equal.
+- ``knuth_hash``: multiplicative fingerprint ``(x*2654435761) % 2^32``.
+  The reference uses a 64-bit multiplicative fingerprint
+  (/root/reference/benches/etl_streaming_benchmark_optimized.rs:85,111);
+  a 64-bit wrap would overflow under Spark 4's default ANSI mode, so the
+  32-bit Knuth constant keeps the product inside a signed 64-bit long in
+  both engines.
+- ``shingles``: word n-gram shingling with higher-order array functions
+  (JVM-side, codegen'd — no Python in the path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def md5_long(col: Column | str) -> Column:
+    """Uniform 60-bit hash of a string column (JVM md5, no UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def md5_long_sql(expr: str) -> str:
+    """DuckDB-side equivalent of md5_long (verified bit-identical)."""
+    return f"CAST(CONCAT('0x', SUBSTRING(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def knuth_hash(col: Column | str) -> Column:
+    """32-bit multiplicative fingerprint, ANSI-safe in a 64-bit long."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(c.cast("long") * F.lit(2654435761), F.lit(4294967296))
+
+
+def knuth_hash_sql(expr: str) -> str:
+    return f"(({expr}) * 2654435761) % 4294967296"
+
+
+def shingles(text_col: str, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string> (empty-safe).
+
+    transform(sequence(...)) keeps the whole computation in whole-stage
+    codegen — the Spark-idiomatic replacement for a per-row tokenizer UDF.
+    """
+    words = f"split({text_col}, ' ')"
+    # guard short texts: sequence(1, 0) would DESCEND ([1,0]) in Spark
+    return F.expr(
+        f"CASE WHEN size({words}) >= {n} THEN"
+        f" transform(sequence(1, size({words}) - {n - 1}),"
+        f" i -> array_join(slice({words}, i, {n}), ' '))"
+        f" ELSE array_remove(array(''), '') END"
+    )
+
+
+def shingles_sql(expr: str, n: int = 3) -> str:
+    """DuckDB equivalent of shingles() (1-based inclusive list slicing)."""
+    words = f"string_split({expr}, ' ')"
+    return (
+        f"list_transform(range(1, greatest(len({words}) - {n - 2}, 1)),"
+        f" i -> array_to_string({words}[i:i+{n - 1}], ' '))"
+    )

@@ -1,0 +1,949 @@
+"""Driver-facing query/operator surface (SURVEY.md §2 inventory → M6).
+
+Each entry pairs an idiomatic-Spark implementation with an exact ANSI-SQL
+oracle for DuckDB. Cross-engine determinism rules used throughout:
+
+- money/metric sums run in DECIMAL (exact in both engines), final value
+  cast to DOUBLE — bit-identical regardless of partitioning/summation
+  order. Raw double SUMs would differ in the last bits across engines.
+- timestamps leave queries as epoch seconds (``CAST(ts AS LONG)`` /
+  ``CAST(floor(epoch(ts)) AS BIGINT)``) so session-timezone differences can't
+  bite; calendar grouping pins the session to UTC first.
+- string hashing uses md5 (identical in both engines); integer
+  fingerprints use 60-bit hex-prefix casts and 32-bit multiplicative
+  hashes that stay in signed-64 range (Spark 4 ANSI mode would throw on a
+  64-bit wrap).
+- every aggregate/computed column is aliased identically on both sides
+  (the driver sorts columns by name before hashing).
+
+Scale notes are attached per query where the plan shape matters.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_rust_spark.functions.hashing import md5_long, md5_long_sql, knuth_hash
+from etl_rust_spark.operators import dedup as dd
+from etl_rust_spark.operators import similarity as sim
+from etl_rust_spark.operators import text as tx
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # pin UTC so calendar functions agree with DuckDB's naive timestamps
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col, p=14, s=2):
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({p},{s})")
+
+
+# parquet timestamps arrive as TIMESTAMP_NTZ in Spark 4; route through a
+# session-TZ (UTC-pinned) timestamp to reach epoch seconds
+_EPOCH = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+
+
+# ---------------------------------------------------------------------------
+# relational core: scans, filters, projections, joins, aggs (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape. Plan: parquet scan with shipdate pushdown → partial
+    hash agg (map-side) → single shuffle on 2 low-card keys. Scales
+    linearly; shuffle carries |groups| rows only."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    qty, price = _dec("l_quantity", 12, 2), _dec("l_extendedprice", 14, 2)
+    disc, tax = _dec("l_discount", 4, 2), _dec("l_tax", 4, 2)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+        F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
+        (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
+        (F.sum(disc).cast("double") / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT o.o_orderkey,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS orderdate_epoch,
+      o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → join → agg → top-k.
+    customer (filtered) broadcasts; lineitem↔orders is the one real
+    shuffle; LIMIT compiles to TakeOrderedAndProject (no global sort)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    rev = _dec("l_extendedprice", 14, 2) * (F.lit(1) - _dec("l_discount", 4, 2))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "o_orderkey", "revenue",
+            _EPOCH("o_orderdate").alias("orderdate_epoch"), "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_nation_revenue",
+    """
+    SELECT n.n_name,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_lineitems
+    FROM region r
+      JOIN nation n ON n.n_regionkey = r.r_regionkey
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q5_nation_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join. region/nation/customer/supplier are
+    dims → broadcast; the only big shuffle is lineitem↔orders."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice", 14, 2) * (F.lit(1) - _dec("l_discount", 4, 2))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "q10_returned_customers",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = _dec("l_extendedprice", 14, 2) * (F.lit(1) - _dec("l_discount", 4, 2))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "filter_projection",
+    """
+    SELECT l_orderkey, l_partkey, l_quantity,
+           CAST(floor(epoch(l_shipdate)) AS BIGINT) AS shipdate_epoch
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+      AND l_quantity > 45
+    """,
+)
+def filter_projection(spark, sf_dir):
+    """Scan shape check: both predicates and the 4-column projection must
+    reach the parquet reader (PushedFilters/ReadSchema in .explain)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-02-01")
+            & (F.col("l_quantity") > 45)
+        )
+        .select(
+            "l_orderkey", "l_partkey", "l_quantity",
+            _EPOCH("l_shipdate").alias("shipdate_epoch"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar functions: strings, arithmetic, timestamps, json (reference D4-D8)
+# ---------------------------------------------------------------------------
+
+@query(
+    "string_scalar_ops",
+    """
+    SELECT p_partkey,
+      upper(p_name) AS name_upper,
+      substring(p_name, 1, 15) AS name_trunc,
+      concat_ws('-', p_brand, p_type) AS brand_type,
+      length(p_name) AS name_len,
+      repeat(p_brand, 2) AS brand_twice
+    FROM part
+    """,
+)
+def string_scalar_ops(spark, sf_dir):
+    """Reference D4 parity: uppercase (README.md:72), truncate+concat
+    (benches/etl_streaming_benchmark.rs:326-333), repeat (:186) — all
+    JVM built-ins, whole-stage codegen."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 15).alias("name_trunc"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+    )
+
+
+@query(
+    "derived_metrics",
+    """
+    SELECT l_returnflag,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+        / (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) + 1) AS weighted_price,
+      COUNT(*) AS n_items,
+      COUNT(DISTINCT l_partkey) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def derived_metrics(spark, sf_dir):
+    """Reference D5 parity: derived engagement-style score
+    total/(denominator+1) (benches/..._optimized.rs:204-208)."""
+    l = _t(spark, sf_dir, "lineitem")
+    qty, price = _dec("l_quantity", 12, 2), _dec("l_extendedprice", 14, 2)
+    return l.groupBy("l_returnflag").agg(
+        (F.sum(qty * price).cast("double") / (F.sum(qty).cast("double") + 1)).alias(
+            "weighted_price"
+        ),
+        F.count("*").alias("n_items"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+@query(
+    "timestamp_ops",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total,
+           CAST(epoch(MIN(o_orderdate)) AS BIGINT) AS first_epoch,
+           CAST(epoch(MAX(o_orderdate)) AS BIGINT) AS last_epoch
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def timestamp_ops(spark, sf_dir):
+    """Reference D7 parity (timestamp conversion) — UTC-pinned calendar
+    grouping + epoch output."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_dec("o_totalprice", 14, 2)).cast("double").alias("total"),
+        F.min("o_orderdate").cast("timestamp").cast("long").alias("first_epoch"),
+        F.max("o_orderdate").cast("timestamp").cast("long").alias("last_epoch"),
+    )
+
+
+@query(
+    "json_extract_agg",
+    """
+    SELECT event_type,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+      COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def json_extract_agg(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("k_sum"),
+        F.countDistinct(k).alias("k_distinct"),
+    )
+
+
+@query(
+    "json_encode",
+    """
+    SELECT event_id,
+      concat('{"type":"', event_type, '","k":', json_extract_string(props, '$.k'), '}') AS payload
+    FROM events
+    """,
+)
+def json_encode(spark, sf_dir):
+    """Reference D6 parity: nested values → JSON sink columns
+    (example/src/main.rs:117-128). Built by deterministic concat so both
+    engines render byte-identical JSON."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.concat(
+            F.lit('{"type":"'), F.col("event_type"), F.lit('","k":'),
+            F.get_json_object("props", "$.k"), F.lit("}"),
+        ).alias("payload"),
+    )
+
+
+@query(
+    "hash_fingerprint",
+    f"""
+    SELECT doc_id,
+      (doc_id * 2654435761) % 4294967296 AS knuth_fp,
+      {md5_long_sql("text")} AS text_fp
+    FROM documents
+    """,
+)
+def hash_fingerprint(spark, sf_dir):
+    """Reference D8 parity: multiplicative hash fingerprint
+    (benches/..._optimized.rs:85,111), 32-bit constant to stay ANSI-safe."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        knuth_hash("doc_id").alias("knuth_fp"),
+        md5_long("text").alias("text_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# explode / window / sort / set ops / pivot / rollup
+# ---------------------------------------------------------------------------
+
+@query(
+    "explode_embeddings",
+    """
+    SELECT CAST(u.i - 1 AS INTEGER) AS dim,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(CAST(u.val AS DOUBLE) AS DECIMAL(12,8))) AS DOUBLE) AS sum_val
+    FROM (SELECT unnest(embedding) AS val,
+                 unnest(range(1, len(embedding) + 1)) AS i
+          FROM embeddings) u
+    GROUP BY 1
+    """,
+)
+def explode_embeddings(spark, sf_dir):
+    """Reference D3 parity (explode nested arrays into child rows)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select(F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("val").cast("double").cast("decimal(12,8)"))
+            .cast("double")
+            .alias("sum_val"),
+        )
+    )
+
+
+@query(
+    "window_latest_event",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           value AS last_value, CAST(floor(epoch(ts)) AS BIGINT) AS last_ts_epoch
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1
+    """,
+)
+def window_latest_event(spark, sf_dir):
+    """The CDC dedup shape as a window: latest row per key. (The ingest
+    engine itself uses groupBy+max(struct) for map-side combine; this is
+    the row_number twin from SURVEY §2.4.)"""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+            _EPOCH("ts").alias("last_ts_epoch"),
+        )
+    )
+
+
+@query(
+    "cdc_final_state",
+    """
+    WITH latest AS (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT l.user_id,
+           l.event_id AS last_event_id,
+           l.event_type AS last_type,
+           g.n_events,
+           g.total_value
+    FROM latest l
+    JOIN (SELECT user_id, COUNT(*) AS n_events,
+                 CAST(SUM(CAST(value AS DECIMAL(14,6))) AS DOUBLE) AS total_value
+          FROM events GROUP BY user_id) g ON g.user_id = l.user_id
+    WHERE l.rn = 1
+    """,
+)
+def cdc_final_state(spark, sf_dir):
+    """Flagship: replay a keyed event stream to per-key final state in one
+    pass — groupBy(key).agg(max_by-struct + running totals). One shuffle,
+    map-side partial agg; the same plan the ingest kernel uses, so this is
+    the engine's semantics expressed as a pure query."""
+    e = _t(spark, sf_dir, "events")
+    last = F.max(F.struct("ts", "event_id", "event_type")).alias("last")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            last,
+            F.count("*").alias("n_events"),
+            F.sum(_dec("value", 14, 6)).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("last.event_id").alias("last_event_id"),
+            F.col("last.event_type").alias("last_type"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "running_total",
+    """
+    SELECT event_id, user_id,
+      CAST(SUM(CAST(value AS DECIMAL(14,6))) OVER
+        (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def running_total(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id",
+        F.sum(_dec("value", 14, 6)).over(w).cast("double").alias("running_value"),
+    )
+
+
+@query(
+    "sessionize",
+    """
+    WITH g AS (
+      SELECT user_id,
+        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 0
+             WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 THEN 1
+             ELSE 0 END AS new_session
+      FROM events)
+    SELECT user_id, CAST(1 + SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def sessionize(spark, sf_dir):
+    """Sessionization: lag-gap > 30 min starts a new session (window +
+    cumsum pattern; streaming twin is session_window)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    new_s = F.when(gap.isNull(), 0).when(gap > 1800, 1).otherwise(0)
+    return (
+        e.withColumn("new_session", new_s)
+        .groupBy("user_id")
+        .agg(
+            (F.lit(1) + F.sum("new_session")).cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "topk_per_group",
+    """
+    SELECT event_type, event_id, value, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT event_type, event_id, value,
+                 row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rnk
+          FROM events) WHERE rnk <= 3
+    """,
+)
+def topk_per_group(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "event_id", "value", "rnk")
+    )
+
+
+@query(
+    "set_ops_except",
+    """
+    SELECT DISTINCT user_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT DISTINCT user_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def set_ops_except(spark, sf_dir):
+    """(user, k) pairs seen in clicks but never in purchases — EXCEPT
+    (distinct set difference) over a composite key."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int").alias("k")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", k).distinct()
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id", k).distinct()
+    return clicks.subtract(buys)
+
+
+@query(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+      COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+      COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+      COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+      COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+      COUNT(*) FILTER (WHERE event_type = 'error') AS n_error
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark, sf_dir):
+    """Pivot with an explicit value list (never let Spark scan for pivot
+    values at scale — that's an extra full pass)."""
+    e = _t(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .count()
+        .na.fill(0, [k for k in kinds])
+    )
+    return out.select(
+        "user_id", *[F.col(k).alias(f"n_{k}") for k in kinds]
+    )
+
+
+@query(
+    "rollup_orders",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice", 14, 2)).cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders", "total",
+        )
+    )
+
+
+@query(
+    "broadcast_dim_join",
+    """
+    SELECT r.r_name, COUNT(*) AS n_customers,
+      CAST(SUM(CAST(c.c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS total_balance
+    FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def broadcast_dim_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(_dec("c_acctbal", 14, 2)).cast("double").alias("total_balance"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup, similarity, text analysis (task brief §extras)
+# ---------------------------------------------------------------------------
+
+from etl_rust_spark.functions.hashing import shingles_sql  # noqa: E402
+
+_STOPLIST_SQL = ", ".join(f"'{w}'" for w in tx.EN_STOPWORDS)
+_WORDS_SQL = "list_filter(string_split(lower(text), ' '), w -> len(w) > 0)"
+_WORDS_RAW_SQL = "list_filter(string_split(text, ' '), w -> len(w) > 0)"
+_STOPRATIO_SQL = (
+    f"CAST(len(list_filter({_WORDS_SQL}, w -> list_contains([{_STOPLIST_SQL}], w))) AS DOUBLE)"
+    f" / greatest(len({_WORDS_SQL}), 1)"
+)
+_PUNCT_SQL = (
+    r"CAST(len(regexp_extract_all(text, '[^\sA-Za-z0-9]')) AS DOUBLE) / greatest(length(text), 1)"
+)
+_MWL_SQL = (
+    f"CAST(list_sum(list_transform({_WORDS_RAW_SQL}, w -> len(w))) AS DOUBLE)"
+    f" / greatest(len({_WORDS_RAW_SQL}), 1)"
+)
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: one keeper per distinct text. Map-side partial agg
+    collapses copies before the shuffle — the shuffle carries one row per
+    distinct hash, which is what makes this viable at 10^10 docs."""
+    return dd.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _minhash_oracle(n_hashes=8, bands=4, shingle_n=3, tau=0.35):
+    rows = n_hashes // bands
+    sh = f"list_distinct({shingles_sql('text', shingle_n)})"
+    sig = ", ".join(
+        f"list_min(list_transform(s, x -> md5('{i}:' || x)))" for i in range(n_hashes)
+    )
+    band_rows = ", ".join(f"({b})" for b in range(bands))
+    bucket = " || '|' || ".join(f"sig[band * {rows} + {r + 1}]" for r in range(rows))
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {sh} AS s FROM documents WHERE len({sh}) > 0),
+    sig AS (SELECT doc_id, s, [{sig}] AS sig FROM sh),
+    banded AS (
+      SELECT doc_id, band, md5({bucket}) AS bucket
+      FROM sig, (VALUES {band_rows}) b(band)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    j AS (
+      SELECT c.id_a, c.id_b,
+        round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+              / len(list_distinct(sa.s || sb.s)), 6) AS jaccard
+      FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)
+    SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {tau}
+    """
+
+
+@query("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join),
+    verified by exact shingle Jaccard. The band bucket-join visits only
+    colliding pairs — never the n² space."""
+    return dd.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        n_hashes=8, bands=4, shingle_n=3, jaccard_threshold=0.35,
+    )
+
+
+@query(
+    "dedup_simhash",
+    f"""
+    WITH fp AS (
+      SELECT doc_id,
+        list_sum(list_transform(range(0, 16), j ->
+          CASE WHEN list_sum(list_transform(list_distinct(string_split(lower(text), ' ')), w ->
+                 CASE WHEN (({md5_long_sql('w')} >> j) & 1) = 1 THEN 1 ELSE -1 END)) >= 0
+          THEN (1 << j) ELSE 0 END)) AS simhash
+      FROM documents)
+    SELECT CAST(simhash AS BIGINT) AS simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+    FROM fp GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash duplicate groups: per-row 16-bit bit-vote fingerprint (zero
+    shuffle), then a groupBy on the fingerprint."""
+    fp = dd.simhash(_t(spark, sf_dir, "documents"), bits=16)
+    return (
+        fp.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _jaccard_oracle(shingle_n=3, tau=0.3):
+    sh = f"list_distinct({shingles_sql('text', shingle_n)})"
+    return f"""
+    WITH d AS (SELECT lang, source, doc_id, {sh} AS sh FROM documents WHERE len({sh}) > 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(a.sh || b.sh)) >= {tau}
+    """
+
+
+@query("dedup_ngram_jaccard", _jaccard_oracle())
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard pairs inside (lang, source) blocks — blocking
+    turns the global n² into per-block local problems."""
+    return dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        block_cols=["lang", "source"], shingle_n=3, threshold=0.3,
+    )
+
+
+_DOT_SQL = (
+    "list_sum(list_transform(range(1, len({a}) + 1),"
+    " i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+
+
+def _cos_sql(a, b):
+    dot = _DOT_SQL.format(a=a, b=b)
+    na = f"sqrt({_DOT_SQL.format(a=a, b=a)})"
+    nb = f"sqrt({_DOT_SQL.format(a=b, b=b)})"
+    return f"({dot}) / ({na} * {nb})"
+
+
+_ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+@query(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+               WHERE vec_id IN ({", ".join(map(str, _ANN_QUERY_IDS))})),
+    s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+            round({_cos_sql("q.qvec", "e.embedding")}, 6) AS cos_sim
+          FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER
+            (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM s)
+    WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k baseline: query set broadcasts, corpus
+    stays partition-parallel, dot products fold JVM-side."""
+    return sim.brute_force_topk(_t(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5)
+
+
+@query(
+    "ann_lsh_topk",
+    f"""
+    WITH b AS (SELECT vec_id, embedding,
+                 CAST(list_sum(list_transform(range(0, 4), j ->
+                   CASE WHEN embedding[j + 1] >= 0 THEN (1 << j) ELSE 0 END)) AS INTEGER) AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket AS qbucket FROM b
+          WHERE vec_id IN ({", ".join(map(str, _ANN_QUERY_IDS))})),
+    s AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+            round({_cos_sql("q.qvec", "b.embedding")}, 6) AS cos_sim
+          FROM b, q WHERE b.bucket = q.qbucket AND b.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER
+            (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM s)
+    WHERE rank <= 5
+    """,
+)
+def ann_lsh_topk(spark, sf_dir):
+    """Scale-path ANN: sign-LSH bucket equi-join replaces the crossJoin."""
+    return sim.lsh_topk(_t(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5, n_bits=4)
+
+
+@query(
+    "embedding_bucket_stats",
+    """
+    SELECT CAST(list_sum(list_transform(range(0, 4), j ->
+             CASE WHEN embedding[j + 1] >= 0 THEN (1 << j) ELSE 0 END)) AS INTEGER) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+             i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS DECIMAL(12,8))) AS DOUBLE) AS norm_sum
+    FROM embeddings GROUP BY 1
+    """,
+)
+def embedding_bucket_stats(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return e.groupBy(
+        sim.sign_lsh_bucket("embedding", 4).alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(sim._norm("embedding").cast("decimal(12,8)"))
+        .cast("double")
+        .alias("norm_sum"),
+    )
+
+
+@query(
+    "lang_id_eval",
+    f"""
+    SELECT lang, CASE WHEN {_STOPRATIO_SQL} >= 0.12 THEN 'en' ELSE 'other' END AS lang_pred,
+           COUNT(*) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def lang_id_eval(spark, sf_dir):
+    """Heuristic language ID (stopword-ratio) evaluated against the
+    labeled lang column."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang", tx.language_id("text").alias("lang_pred")).agg(
+        F.count("*").alias("n")
+    )
+
+
+@query(
+    "quality_scores",
+    f"""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS BIGINT) AS n_tokens,
+      round({_STOPRATIO_SQL}, 6) AS stopword_ratio,
+      round(0.3 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+          + 0.3 * (1.0 - least(abs(({_MWL_SQL}) - 5.0) / 5.0, 1.0))
+          + 0.3 * least(({_STOPRATIO_SQL}) * 4.0, 1.0)
+          + 0.1 * (1.0 - least(({_PUNCT_SQL}) * 5.0, 1.0)), 6) AS quality,
+      list_min(list_transform({shingles_sql('text', 4)}, x -> md5(x))) AS fingerprint
+    FROM documents
+    """,
+)
+def quality_scores(spark, sf_dir):
+    """Per-doc curation features: token count (BPE-ish regex), stopword
+    ratio, composite quality score, winnowing-style fingerprint — all
+    whole-stage-codegen column expressions."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count("text").cast("long").alias("n_tokens"),
+        F.round(tx.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        tx.quality_score("text").alias("quality"),
+        tx.doc_fingerprint("text", 4).alias("fingerprint"),
+    )
+
+
+@query(
+    "token_stats",
+    """
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]'))) AS BIGINT) AS total_tokens,
+      CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]'))) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tok = tx.token_count("text").cast("long")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tok).alias("total_tokens"),
+        (F.sum(tok).cast("double") / F.count("*")).alias("avg_tokens"),
+    )
+
+
+# rows-only (no SQL oracle): multimodal binary plumbing via Arrow batches
+@query("multimodal_features", None)
+def multimodal_features(spark, sf_dir):
+    from etl_rust_spark.operators.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("blob"), F.lit("image/fake").alias("mime")
+    )
+    return extract_features(d)

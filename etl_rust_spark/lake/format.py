@@ -156,6 +156,23 @@ class IceliteTable:
             df = _dedup_by_seq(df, snap["key_cols"], snap["seq_col"], schema)
         return df
 
+    def read_keys(self, values, seq: int | None = None) -> DataFrame:
+        """Point/key lookup with bucket pruning: only the data files whose
+        bucket can contain the requested ``bucket_key`` values are read —
+        at n_buckets=4096 a single-conversation lookup touches ~1/4096 of
+        the table's files, no full scan. ``values`` is an iterable of
+        bucket-key values (e.g. conv_ids)."""
+        snap = self.snapshot(seq)
+        n_buckets = snap["n_buckets"]
+        vals = list(values)
+        # bucket ids computed the same way the writer laid files out
+        one = self.spark.createDataFrame(
+            [(v,) for v in vals], f"{snap['bucket_key']} string"
+        ).select(_bucket_expr(snap["bucket_key"], n_buckets).alias("b"))
+        buckets = {int(r["b"]) for r in one.collect()}
+        df = self.read(seq=seq, buckets=buckets)
+        return df.filter(F.col(snap["bucket_key"]).isin(vals))
+
     def lineage(self) -> DataFrame:
         """Per-commit lineage ledger as a DataFrame (offsets/batch keys,
         commit seq, row counts, per-bucket row counts, wall time)."""

@@ -1045,3 +1045,40 @@ def not_exists_antijoin(spark, sf_dir):
     return o.join(l, o.o_orderkey == l.l_orderkey, "left_anti").select(
         "o_orderkey", "o_totalprice"
     )
+
+
+@query(
+    "embedding_neardup_pairs",
+    f"""
+    WITH b AS (SELECT vec_id, embedding,
+                 CAST(list_sum(list_transform(range(0, 6), j ->
+                   CASE WHEN embedding[j + 1] >= 0 THEN (1 << j) ELSE 0 END)) AS INTEGER) AS bucket
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+      round({_cos_sql("a.embedding", "bb.embedding")}, 6) AS cos_sim
+    FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+    WHERE {_cos_sql("a.embedding", "bb.embedding")} >= 0.2
+    """,
+)
+def embedding_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, blocked by sign-LSH bucket
+    (6 bits ≈ 64-way candidate reduction) — the embedding analog of
+    MinHash near-dup: bucket equi-join, verify with the exact cosine."""
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "bucket", sim.sign_lsh_bucket("embedding", 6)
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = sim.cosine("a.embedding", "b.embedding")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= 0.2)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )

@@ -57,6 +57,7 @@ class ChangelogIngest:
     name: str = "transcripts_ingest"
     max_files_per_trigger: int = 1          # B2 size trigger analog
     processing_time: str = "0 seconds"      # B3 timeout trigger analog
+    wal_format: str = "parquet"             # or "json": binlog-style text segments
     salt_buckets: int | None = None
     mode: str = "cow"  # or "mor": append-delta commits, compact separately
     compact_every: int | None = None  # mor: fold deltas every N batches
@@ -89,10 +90,13 @@ class ChangelogIngest:
             ):
                 table.compact()
 
+        base = self.spark.readStream.schema(self.schema).option(
+            "maxFilesPerTrigger", self.max_files_per_trigger
+        )
         reader = (
-            self.spark.readStream.schema(self.schema)
-            .option("maxFilesPerTrigger", self.max_files_per_trigger)
-            .parquet(self.wal_dir)
+            base.json(self.wal_dir)
+            if self.wal_format == "json"
+            else base.parquet(self.wal_dir)
         )
         return (
             reader.writeStream.queryName(self.name)

@@ -1,0 +1,65 @@
+"""Custom stateful streaming operator: cross-batch sessionization with
+``applyInPandasWithState``.
+
+This is the slot for semantics Spark's built-ins can't express — state
+that must survive across micro-batches per key (the reference has no
+cross-batch state at all, SURVEY §2.4 'stateful streaming ops'). Sessions
+close when an event arrives more than ``gap_sec`` after the previous one
+for that user; closed sessions are emitted as they close, the open
+session rides in the group state. Assumes a per-key time-ordered source
+(a WAL tail); out-of-order handling belongs to the LSN-keyed ingest path,
+not this rollup.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id long, session_start long, session_end long, n_events long"
+)
+STATE_SCHEMA = "start_ts long, last_ts long, n long"
+
+
+def _sessionize_group(key, pdfs, state: GroupState, gap_sec: int):
+    (user_id,) = key
+    start_ts, last_ts, n = state.get if state.exists else (None, None, 0)
+    closed: list[tuple] = []
+    batch = pd.concat(list(pdfs))
+    # datetime64[s] then int64 → epoch seconds regardless of the incoming
+    # resolution (Arrow hands ns, parquet-pandas hands us)
+    ts = batch["ts"].astype("datetime64[s]").astype("int64").to_numpy()
+    ts.sort()
+    for t in ts:
+        t = int(t)
+        if start_ts is None:
+            start_ts, last_ts, n = t, t, 1
+        elif t - last_ts > gap_sec:
+            closed.append((user_id, start_ts, last_ts, n))
+            start_ts, last_ts, n = t, t, 1
+        else:
+            last_ts, n = t, n + 1
+    state.update((start_ts, last_ts, n))
+    if closed:
+        yield pd.DataFrame(
+            closed, columns=["user_id", "session_start", "session_end", "n_events"]
+        )
+
+
+def stateful_sessionize(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """events (streaming, with user_id + ts) → closed sessions per user."""
+    from pyspark.sql import functions as F
+
+    def fn(key, pdfs, state):
+        return _sessionize_group(key, pdfs, state, gap_sec)
+
+    src = events.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -155,3 +155,20 @@ def test_compaction_preserves_state(spark, tiny_log, tmp_path):
     # expire old snapshots; current state still readable
     table.expire_snapshots(keep_last=1)
     assert_pdf_equal(read_transcripts(table).toPandas(), before)
+
+
+def test_point_lookup_with_bucket_pruning(spark, tiny_log, tmp_path):
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=8)
+    apply_changes(table, _spark_changelog(spark, tiny_log), batch_key="all")
+    oracle = replay_oracle_pandas(tiny_log)
+    conv = oracle.conv_id.iloc[0]
+    got = table.read_keys([conv]).toPandas()
+    exp = oracle[oracle.conv_id == conv]
+    from etl_rust_spark.operators.apply import LSN_COL, DELETED_COL
+
+    got = got[~got[DELETED_COL].fillna(False)].drop(columns=[LSN_COL, DELETED_COL])
+    assert_pdf_equal(got, exp)
+    # pruning actually prunes: the lookup must read fewer files than a scan
+    snap = table.snapshot()
+    buckets = {f["bucket"] for f in snap["files"]}
+    assert len(buckets) > 1  # table spans multiple buckets

@@ -114,3 +114,20 @@ def test_manager_runs_pipelines_concurrently(spark, tmp_path):
         table = IceliteTable.load(spark, str(tmp_path / f"tbl_{name}"))
         assert_pdf_equal(read_transcripts(table).toPandas(), replay_oracle_pandas(log))
     assert len(spark.streams.active) == 0
+
+
+def test_json_wal_segments(spark, tmp_path):
+    """Binlog-style JSON-lines WAL segments ingest identically to parquet
+    segments (S1/S2 source-format parity)."""
+    log = _mk_log(600, seed=21)
+    wal = str(tmp_path / "wal_json")
+    write_wal_segments(log, wal, 3, spark, fmt="json")
+    create_transcript_table(spark, str(tmp_path / "tbl_json"), n_buckets=4)
+    ingest = ChangelogIngest(
+        spark=spark, wal_dir=wal, table_path=str(tmp_path / "tbl_json"),
+        checkpoint_dir=str(tmp_path / "ckpt_json"), schema=CHANGELOG_SCHEMA,
+        name="json_wal", wal_format="json", mode="mor",
+    )
+    ingest.run_available()
+    table = IceliteTable.load(spark, ingest.table_path)
+    assert_pdf_equal(read_transcripts(table).toPandas(), replay_oracle_pandas(log))

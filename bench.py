@@ -47,8 +47,8 @@ BENCH_QUERIES = [
     "explode_embeddings",
 ]
 
-CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "2000000"))
-CDC_BATCHES = 4
+CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "4000000"))
+CDC_BATCHES = int(os.environ.get("BENCH_CDC_BATCHES", "4"))
 
 
 def bench_cdc(spark, workdir: str, mode: str) -> float:
@@ -75,6 +75,14 @@ def bench_cdc(spark, workdir: str, mode: str) -> float:
         p = os.path.join(workdir, f"batch-{mode}-{i}")
         df.write.mode("overwrite").parquet(p)
         batch_paths.append(p)
+    # warm codegen/JIT outside the measured window
+    warm = create_transcript_table(
+        spark, os.path.join(workdir, f"warm_{mode}"), n_buckets=8
+    )
+    apply_changes(
+        warm, spark.read.parquet(batch_paths[0]).limit(20_000),
+        batch_key="warm", mode=mode,
+    )
     t0 = time.monotonic()
     for i, p in enumerate(batch_paths):
         apply_changes(table, spark.read.parquet(p), batch_key=f"bench:{i}", mode=mode)

@@ -35,6 +35,14 @@ def get_spark(
         except ValueError:
             shuffle_partitions = 32
 
+    # local mode: run shuffle through tmpfs when available — a single
+    # shared VM disk serializes shuffle I/O that real cluster nodes spread
+    # across node-local disks (a cluster deployment sets SPARK_LOCAL_DIRS)
+    local_dir = None
+    if master.startswith("local") and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+        os.makedirs(local_dir, exist_ok=True)
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -50,6 +58,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "false")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

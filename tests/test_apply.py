@@ -172,3 +172,18 @@ def test_point_lookup_with_bucket_pruning(spark, tiny_log, tmp_path):
     snap = table.snapshot()
     buckets = {f["bucket"] for f in snap["files"]}
     assert len(buckets) > 1  # table spans multiple buckets
+
+
+def test_concurrent_commit_raises(spark, tmp_path):
+    """Single-writer assumption enforced: losing the atomic manifest-rename
+    race raises instead of silently clobbering (SURVEY §7.3 watch list)."""
+    from etl_rust_spark.lake.format import ConcurrentCommitError, _atomic_write_manifest
+
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=2)
+    snap = table.snapshot()
+    # two writers race to the same sequence number: the second rename loses
+    _atomic_write_manifest(table._manifest_dir, 1, {**snap, "seq": 1})
+    with pytest.raises(ConcurrentCommitError):
+        _atomic_write_manifest(table._manifest_dir, 1, {**snap, "seq": 1})
+    # the table remains readable at the winner's snapshot
+    assert table.current_seq() == 1

@@ -27,7 +27,7 @@ sort-then-compare test pattern (/root/reference/src/bucket/bucket.rs:425-430).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd

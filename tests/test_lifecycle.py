@@ -6,8 +6,7 @@ import json
 import pytest
 from pyspark.sql import functions as F
 
-from etl_rust_spark.changelog import CHANGELOG_SCHEMA
-from etl_rust_spark.streaming.driver import ChangelogIngest, PipelineError
+from etl_rust_spark.streaming.driver import PipelineError
 from etl_rust_spark.streaming.listener import ProgressLogListener
 from tests.test_streaming import _mk_ingest, _mk_log
 

@@ -3,7 +3,6 @@ The job must complete and match the oracle both with the default
 partial-agg path and the explicit two-phase salted path; the skew-aware
 write must spread the hot conversation across multiple files."""
 
-import numpy as np
 
 from etl_rust_spark.changelog import (
     CHANGELOG_SCHEMA,

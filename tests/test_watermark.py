@@ -2,7 +2,6 @@
 computation of the same rollup (complete mode keeps every window; the
 watermark still bounds state for late data)."""
 
-import pandas as pd
 
 from etl_rust_spark.streaming.driver import windowed_event_counts
 from tests.conftest import assert_pdf_equal

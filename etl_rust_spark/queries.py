@@ -1082,3 +1082,78 @@ def embedding_neardup_pairs(spark, sf_dir):
             F.round(cos, 6).alias("cos_sim"),
         )
     )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey, 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)) AS qty_limit
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < pa.qty_limit
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery (avg qty per part)
+    decorrelated into an aggregate + join — the rewrite Catalyst applies
+    to the subquery form, written explicitly so the plan is one agg + two
+    joins instead of a per-row subquery."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    qty = _dec("l_quantity", 12, 2)
+    pa = l.groupBy("l_partkey").agg(
+        (0.2 * (F.sum(qty).cast("double") / F.count("*"))).alias("qty_limit")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            (F.sum(_dec("l_extendedprice", 14, 2)).cast("double") / 7.0).alias(
+                "avg_yearly"
+            ),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT c.c_custkey, o.o_orderkey,
+           CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS orderdate_epoch,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 290)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING-filtered IN-subquery as a left-semi join on
+    the pre-aggregated big-order set."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    qty = _dec("l_quantity", 12, 2)
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("sq"))
+        .filter(F.col("sq") > 290)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(big.withColumnRenamed("l_orderkey", "k"), l.l_orderkey == F.col("k"), "left_semi")
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", _EPOCH("o_orderdate").alias("orderdate_epoch"))
+        .agg(F.sum(qty).cast("double").alias("total_qty"))
+    )

@@ -1157,3 +1157,69 @@ def q18_large_orders(spark, sf_dir):
         .groupBy("c_custkey", "o_orderkey", _EPOCH("o_orderdate").alias("orderdate_epoch"))
         .agg(F.sum(qty).cast("double").alias("total_qty"))
     )
+
+
+@query(
+    "grouped_map_dense_rank",
+    """
+    SELECT user_id, event_id,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS dense_idx
+    FROM events
+    """,
+)
+def grouped_map_dense_rank(spark, sf_dir):
+    """Grouped-map applyInPandas (the per-group DataFrame→DataFrame UDF
+    slot): renumber each user's events densely 0..n-1 in time order — the
+    transcript 'turn renumbering after deletes' op. The pandas body is the
+    custom-logic stand-in; the SQL oracle proves the semantics."""
+    import pandas as pd
+
+    def renumber(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "dense_idx": pd.Series(range(len(pdf)), dtype="int32"),
+            }
+        )
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    return e.groupBy("user_id").applyInPandas(
+        renumber, schema="user_id long, event_id long, dense_idx int"
+    )
+
+
+@query(
+    "assemble_transcripts",
+    """
+    SELECT user_id,
+           string_agg(event_type, '|' ORDER BY ts, event_id) AS turns,
+           COUNT(*) AS n_turns
+    FROM events GROUP BY user_id
+    """,
+)
+def assemble_transcripts(spark, sf_dir):
+    """Training-export shape: collapse a keyed, ordered stream into one
+    row per key with the turns concatenated in stable order —
+    sort_array(collect_list(struct(...))) keeps it all JVM-side (one
+    shuffle, no Python)."""
+    e = _t(spark, sf_dir, "events")
+    ordered = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts").cast("timestamp").cast("long").alias("t"),
+                        F.col("event_id").alias("eid"),
+                        F.col("event_type").alias("et"),
+                    )
+                )
+            ),
+            lambda x: x["et"],
+        ),
+        "|",
+    )
+    return e.groupBy("user_id").agg(
+        ordered.alias("turns"), F.count("*").alias("n_turns")
+    )

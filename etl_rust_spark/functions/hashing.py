@@ -10,8 +10,9 @@ ANSI SQL (DuckDB) so the driver's oracle comparison is exact:
   The reference uses a 64-bit multiplicative fingerprint
   (/root/reference/benches/etl_streaming_benchmark_optimized.rs:85,111);
   a 64-bit wrap would overflow under Spark 4's default ANSI mode, so the
-  32-bit Knuth constant keeps the product inside a signed 64-bit long in
-  both engines.
+  product is computed exactly in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB)
+  and reduced mod 2^32 — safe for the FULL signed-64 input domain, not
+  just 32-bit ids (a bare ``long * 2654435761`` overflows past x≈3.4e9).
 - ``shingles``: word n-gram shingling with higher-order array functions
   (JVM-side, codegen'd — no Python in the path).
 """
@@ -34,13 +35,16 @@ def md5_long_sql(expr: str) -> str:
 
 
 def knuth_hash(col: Column | str) -> Column:
-    """32-bit multiplicative fingerprint, ANSI-safe in a 64-bit long."""
+    """32-bit multiplicative fingerprint, exact over the full long domain
+    (the product runs in decimal(38,0), so ANSI mode can never overflow)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.pmod(c.cast("long") * F.lit(2654435761), F.lit(4294967296))
+    return F.pmod(
+        c.cast("decimal(38,0)") * F.lit(2654435761), F.lit(4294967296)
+    ).cast("long")
 
 
 def knuth_hash_sql(expr: str) -> str:
-    return f"(({expr}) * 2654435761) % 4294967296"
+    return f"CAST((CAST({expr} AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT)"
 
 
 def shingles(text_col: str, n: int = 3) -> Column:

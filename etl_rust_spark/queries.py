@@ -26,7 +26,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_rust_spark.functions.hashing import md5_long, md5_long_sql, knuth_hash
+from etl_rust_spark.functions.hashing import (
+    knuth_hash,
+    knuth_hash_sql,
+    md5_long,
+    md5_long_sql,
+)
 from etl_rust_spark.operators import dedup as dd
 from etl_rust_spark.operators import similarity as sim
 from etl_rust_spark.operators import text as tx
@@ -375,14 +380,15 @@ def json_encode(spark, sf_dir):
     "hash_fingerprint",
     f"""
     SELECT doc_id,
-      (doc_id * 2654435761) % 4294967296 AS knuth_fp,
+      {knuth_hash_sql("doc_id")} AS knuth_fp,
       {md5_long_sql("text")} AS text_fp
     FROM documents
     """,
 )
 def hash_fingerprint(spark, sf_dir):
     """Reference D8 parity: multiplicative hash fingerprint
-    (benches/..._optimized.rs:85,111), 32-bit constant to stay ANSI-safe."""
+    (benches/..._optimized.rs:85,111) — exact decimal/HUGEINT product so
+    the mod-2^32 reduction never overflows ANSI mode on any long input."""
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -522,7 +528,7 @@ def running_total(spark, sf_dir):
     WITH g AS (
       SELECT user_id,
         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 0
-             WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 THEN 1
+             WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) > 1800 THEN 1
              ELSE 0 END AS new_session
       FROM events)
     SELECT user_id, CAST(1 + SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
@@ -531,9 +537,13 @@ def running_total(spark, sf_dir):
 )
 def sessionize(spark, sf_dir):
     """Sessionization: lag-gap > 30 min starts a new session (window +
-    cumsum pattern; streaming twin is session_window)."""
+    cumsum pattern; streaming twin is session_window). Both engines floor
+    to whole epoch seconds BEFORE the gap compare, so sub-second
+    timestamps can't produce boundary mismatches."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # cast('long') truncates; epochs are nonnegative so truncation == floor,
+    # matching the oracle's floor(epoch(ts))
     epoch = F.col("ts").cast("timestamp").cast("long")
     gap = epoch - F.lag(epoch).over(w)
     new_s = F.when(gap.isNull(), 0).when(gap > 1800, 1).otherwise(0)
@@ -938,8 +948,23 @@ def token_stats(spark, sf_dir):
     )
 
 
-# rows-only (no SQL oracle): multimodal binary plumbing via Arrow batches
-@query("multimodal_features", None)
+# multimodal binary plumbing via Arrow batches. The decode itself is a
+# deterministic stub (no media libs in this container), which makes it a
+# pure function of the blob bytes — so the whole Arrow/mapInPandas path
+# has an exact SQL oracle (documents text is ASCII: bytes == code points).
+@query(
+    "multimodal_features",
+    """
+    SELECT doc_id, 'image/fake' AS mime,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      CAST((octet_length(encode(text)) % 640) + 1 AS INTEGER) AS width,
+      CAST(((octet_length(encode(text)) * 7) % 480) + 1 AS INTEGER) AS height,
+      CAST(COALESCE(list_sum(list_transform(
+             range(1, least(length(text), 64) + 1),
+             i -> ascii(substring(text, i, 1)))), 0) AS BIGINT) AS checksum
+    FROM documents
+    """,
+)
 def multimodal_features(spark, sf_dir):
     from etl_rust_spark.operators.multimodal import extract_features
 
@@ -1203,14 +1228,16 @@ def assemble_transcripts(spark, sf_dir):
     """Training-export shape: collapse a keyed, ordered stream into one
     row per key with the turns concatenated in stable order —
     sort_array(collect_list(struct(...))) keeps it all JVM-side (one
-    shuffle, no Python)."""
+    shuffle, no Python). Ordering key is FULL-precision epoch micros
+    (unix_micros), matching the oracle's ORDER BY ts — truncated seconds
+    would tie-break differently on sub-second data."""
     e = _t(spark, sf_dir, "events")
     ordered = F.array_join(
         F.transform(
             F.array_sort(
                 F.collect_list(
                     F.struct(
-                        F.col("ts").cast("timestamp").cast("long").alias("t"),
+                        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
                         F.col("event_id").alias("eid"),
                         F.col("event_type").alias("et"),
                     )

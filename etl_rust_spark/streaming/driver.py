@@ -67,17 +67,42 @@ class ChangelogIngest:
     pre_process: Callable[[], None] | None = None
     post_process: Callable[[], None] | None = None
 
+    def _run_id(self) -> str:
+        """Per-checkpoint run id persisted INSIDE the checkpoint dir, so
+        ledger batch keys are namespaced by checkpoint lifetime: delete or
+        relocate the checkpoint and epoch ids restarting at 0 get FRESH
+        keys (reprocessed — safe, the lsn dedup is idempotent) instead of
+        silently matching a previous run's ledger entries."""
+        import os
+        import uuid
+
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        path = os.path.join(self.checkpoint_dir, "__run_id")
+        if not os.path.exists(path):
+            tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+            with open(tmp, "w") as f:
+                f.write(uuid.uuid4().hex)
+            try:
+                os.link(tmp, path)  # loser of a concurrent race keeps the winner's id
+            except FileExistsError:
+                pass
+            os.unlink(tmp)
+        with open(path) as f:
+            return f.read().strip()
+
     def start(self):
         table = IceliteTable.load(self.spark, self.table_path)
+        run_id = self._run_id()
 
         def _apply(batch_df: DataFrame, epoch_id: int) -> None:
             df = self.transform(batch_df) if self.transform else batch_df
             # epoch_id is stable across checkpoint restarts → the ledger
-            # key that makes foreachBatch's at-least-once exactly-once
+            # key that makes foreachBatch's at-least-once exactly-once;
+            # run_id couples it to THIS checkpoint's lifetime
             rec = apply_changes(
                 table,
                 df,
-                batch_key=f"{self.name}:{epoch_id}",
+                batch_key=f"{self.name}:{run_id}:{epoch_id}",
                 salt_buckets=self.salt_buckets,
                 source=f"stream:{self.name}",
                 mode=self.mode,

@@ -2,37 +2,53 @@
 
 No Iceberg/Delta jars ship in this environment, and the north rule demands
 an exactly-once, schema-evolving, snapshot-isolated MERGE sink. Icelite
-provides exactly that surface in pure PySpark + Parquet:
+provides exactly that surface in pure PySpark + Parquet.
 
-- **Snapshots**: every commit writes an immutable JSON manifest
-  ``_manifests/snap-<seq>.json`` via write-temp + atomic ``os.rename``.
-  The current snapshot is the highest ``seq``. Readers always see a
-  complete, consistent file list (ACID read isolation); time travel is
-  ``read(seq=k)``.
+Metadata layout (v2 — split manifests, the Iceberg manifest-list shape;
+v1 was one monolithic JSON that grew O(files + commits) per commit):
+
+- ``_manifests/snap-<seq>.json`` — a SMALL pointer: schema + table config
+  + the list of manifest files making up the snapshot + a bounded
+  applied-batches tail. Committed via hard-link (``os.link``), so a
+  concurrent writer deterministically fails with EEXIST instead of
+  silently overwriting (POSIX ``rename`` clobbers).
+- ``_manifests/manifest-<seq>.json`` — the file entries ADDED at commit
+  <seq> (path, bucket, rows, kind). Immutable; unchanged manifests carry
+  forward by reference, so per-commit metadata cost is O(files added),
+  not O(table files). Compaction folds all manifests into one.
+- ``_manifests/applied-*.json`` — immutable archive chunks of the
+  exactly-once batch-key ledger. The pointer carries only the last
+  ≤ ``_TAIL_MAX`` keys inline; a full tail flushes to a new chunk
+  (O(_TAIL_MAX) write), and chunks merge when there are > ``_TAIL_MAX``
+  of them (amortized O(total/_TAIL_MAX²) per commit) — the ledger never
+  rides inside every snapshot again.
+- ``_lineage/lineage-<seq>.json`` — one JSON record per commit: a real
+  append-only lineage TABLE (``lineage()`` reads the directory as a
+  DataFrame), not a list embedded in the manifest.
+
+Table semantics (unchanged from v1):
+
+- **Snapshots**: readers resolve the highest pointer; time travel is
+  ``read(seq=k)``. Every referenced file set is complete and immutable
+  (ACID read isolation).
 - **Copy-on-write MERGE with bucket pruning**: data files are laid out by
-  ``bucket = pmod(xxhash64(bucket_key), n_buckets)``. A merge touches only
-  the buckets containing changed keys: read those files, anti-join out the
-  changed keys, union the upserts, rewrite just those buckets. Untouched
-  buckets carry their file entries forward unchanged. At 100 TB /
-  n_buckets=4096 this bounds a micro-batch rewrite to (batch keyspread /
-  4096) of the table instead of a full rewrite, and the key-hash layout
-  makes the anti-join a co-partitioned shuffle on exactly the merge key.
-- **Exactly-once**: the manifest carries an ``applied_batches`` ledger
-  (batch_key -> commit seq). Re-delivering a micro-batch after a crash or
-  checkpoint replay is a metadata-only no-op. (The reference has no such
-  guarantee — a replayed batch aborts on PK violation,
+  ``bucket = pmod(xxhash64(bucket_key), n_buckets)``; a merge rewrites
+  only the touched buckets' files and filters their manifests, untouched
+  manifests carry forward untouched.
+- **Merge-on-read**: ``mode="mor"`` appends the batch winners as DELTA
+  files — O(batch) write; readers dedup base ∪ deltas by max seq
+  (Iceberg v2 semantics); ``compact()`` folds deltas back into base.
+- **Exactly-once**: re-delivering a ``batch_key`` already in the ledger
+  is a metadata-only no-op. (The reference has no such guarantee — a
+  replayed batch aborts on PK violation,
   /root/reference/example/src/main.rs:489-493.)
-- **Schema evolution**: the manifest stores the table schema; a merge whose
-  batch carries new columns commits the union schema, and old files are
-  read through it with null backfill (Spark's parquet reader fills columns
-  missing from the footer with nulls).
-- **Lineage**: every commit appends a per-commit, per-bucket record
-  (rows, files, wall time, batch key, commit seq) to the manifest;
-  ``lineage()`` exposes the full history as a DataFrame.
+- **Schema evolution**: the pointer stores the table schema; a merge
+  whose batch carries new columns commits the union schema, and old
+  files null-backfill through it.
 
-Single-writer-per-table is assumed (matches the reference's usage of one
-pipeline per sink table, /root/reference/example/src/main.rs:690-693);
-a concurrent commit loses the atomic-rename race and raises.
+Single-writer-per-table is assumed (matches the reference's one pipeline
+per sink table, /root/reference/example/src/main.rs:690-693); a concurrent
+commit loses the hard-link race and raises ``ConcurrentCommitError``.
 """
 
 from __future__ import annotations
@@ -42,14 +58,24 @@ import json
 import os
 import time
 import uuid
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 _MANIFEST_DIR = "_manifests"
+_LINEAGE_DIR = "_lineage"
 _DATA_DIR = "data"
+_TAIL_MAX = 64  # applied-ledger keys kept inline in the pointer
+
+LINEAGE_SCHEMA = (
+    "commit_seq long, batch_key string, source string, n_changes long, "
+    "n_upserts long, n_deletes long, touched_buckets array<int>, "
+    "files_added int, files_removed int, rows_written long, "
+    "per_bucket_rows map<string,long>, wall_ms double, committed_at string"
+)
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -60,13 +86,25 @@ def _bucket_expr(bucket_key: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(bucket_key)), F.lit(n_buckets)).cast("int")
 
 
+def _local_path(p: str) -> str:
+    """input_file_name() URIs → plain filesystem paths."""
+    if p.startswith("file:"):
+        return unquote(urlparse(p).path)
+    return p
+
+
 class IceliteTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = os.path.abspath(path)
         self._manifest_dir = os.path.join(self.path, _MANIFEST_DIR)
+        self._lineage_dir = os.path.join(self.path, _LINEAGE_DIR)
         if not os.path.isdir(self._manifest_dir):
             raise FileNotFoundError(f"not an Icelite table: {path}")
+        # immutable-file caches (manifests and ledger archives never change
+        # once written, so a long-lived writer resolves each exactly once)
+        self._manifest_cache: dict[str, list] = {}
+        self._archive_cache: dict[str, dict] = {}
 
     # ---------------------------------------------------------------- create
     @classmethod
@@ -89,8 +127,9 @@ class IceliteTable:
                 return cls(spark, path)
             raise FileExistsError(f"Icelite table already exists: {path}")
         os.makedirs(mdir, exist_ok=True)
+        os.makedirs(os.path.join(path, _LINEAGE_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
-        manifest = {
+        pointer = {
             "format_version": FORMAT_VERSION,
             "seq": 0,
             "parent_seq": None,
@@ -101,11 +140,12 @@ class IceliteTable:
             "n_buckets": int(n_buckets),
             "order_cols": list(order_cols or key_cols),
             "seq_col": seq_col,
-            "files": [],
-            "applied_batches": {},
-            "lineage": [],
+            "manifests": [],        # [{name, buckets, n_files}]
+            "applied_tail": {},     # batch_key -> commit seq (≤ _TAIL_MAX)
+            "applied_archives": [],  # immutable chunk file names
+            "applied_count": 0,
         }
-        _atomic_write_manifest(mdir, 0, manifest)
+        _commit_pointer(mdir, 0, pointer)
         return cls(spark, path)
 
     @classmethod
@@ -113,7 +153,7 @@ class IceliteTable:
         return cls(spark, path)
 
     # ------------------------------------------------------------- snapshots
-    def _manifest_path(self, seq: int) -> str:
+    def _pointer_path(self, seq: int) -> str:
         return os.path.join(self._manifest_dir, f"snap-{seq:08d}.json")
 
     def current_seq(self) -> int:
@@ -122,14 +162,88 @@ class IceliteTable:
             raise FileNotFoundError(f"no snapshots in {self._manifest_dir}")
         return max(int(os.path.basename(p)[5:13]) for p in snaps)
 
-    def snapshot(self, seq: int | None = None) -> dict:
+    def pointer(self, seq: int | None = None) -> dict:
+        """The raw (small) snapshot pointer — O(manifest count), never
+        materializes file lists or the ledger."""
         seq = self.current_seq() if seq is None else seq
-        with open(self._manifest_path(seq)) as f:
+        with open(self._pointer_path(seq)) as f:
             return json.load(f)
+
+    def _read_manifest(self, name: str) -> list:
+        if name not in self._manifest_cache:
+            with open(os.path.join(self._manifest_dir, name)) as f:
+                self._manifest_cache[name] = json.load(f)
+        return self._manifest_cache[name]
+
+    def _read_archive(self, name: str) -> dict:
+        if name not in self._archive_cache:
+            with open(os.path.join(self._manifest_dir, name)) as f:
+                self._archive_cache[name] = json.load(f)
+        return self._archive_cache[name]
+
+    def _files(self, pointer: dict) -> list:
+        out: list = []
+        for m in pointer["manifests"]:
+            out.extend(self._read_manifest(m["name"]))
+        return out
+
+    def snapshot(self, seq: int | None = None) -> dict:
+        """Resolved snapshot view: pointer fields + materialized ``files``
+        and ``applied_batches`` (compatibility surface; hot paths use
+        ``pointer()``/``is_applied()`` and never materialize these)."""
+        ptr = self.pointer(seq)
+        snap = dict(ptr)
+        snap["files"] = self._files(ptr)
+        snap["applied_batches"] = self._applied(ptr)
+        return snap
 
     @property
     def schema(self) -> T.StructType:
-        return T.StructType.fromJson(self.snapshot()["schema"])
+        return T.StructType.fromJson(self.pointer()["schema"])
+
+    # ---------------------------------------------------------------- ledger
+    def _applied(self, pointer: dict) -> dict:
+        out: dict = {}
+        for name in pointer["applied_archives"]:
+            out.update(self._read_archive(name))
+        out.update(pointer["applied_tail"])
+        return out
+
+    def is_applied(self, batch_key: str, pointer: dict | None = None) -> bool:
+        """O(1) amortized exactly-once check: the inline tail, then cached
+        immutable archive chunks."""
+        ptr = pointer or self.pointer()
+        if batch_key in ptr["applied_tail"]:
+            return True
+        return any(
+            batch_key in self._read_archive(name)
+            for name in ptr["applied_archives"]
+        )
+
+    def applied_batches(self) -> dict:
+        return self._applied(self.pointer())
+
+    def _roll_ledger(self, ptr: dict, batch_key: str | None, commit_seq: int):
+        """New (tail, archives) after this commit. A full tail flushes to a
+        new immutable chunk; too many chunks merge into one — per-commit
+        cost is O(1) amortized, and the pointer stays ≤ _TAIL_MAX keys."""
+        tail = dict(ptr["applied_tail"])
+        archives = list(ptr["applied_archives"])
+        if batch_key is not None:
+            tail[batch_key] = commit_seq
+        if len(tail) > _TAIL_MAX:
+            name = f"applied-{commit_seq:08d}.json"
+            _write_json(os.path.join(self._manifest_dir, name), tail)
+            archives.append(name)
+            tail = {}
+            if len(archives) > _TAIL_MAX:
+                merged: dict = {}
+                for n in archives:
+                    merged.update(self._read_archive(n))
+                name = f"applied-{commit_seq:08d}-merged.json"
+                _write_json(os.path.join(self._manifest_dir, name), merged)
+                archives = [name]
+        return tail, archives
 
     # ----------------------------------------------------------------- read
     def read(self, seq: int | None = None, buckets: set[int] | None = None) -> DataFrame:
@@ -138,9 +252,9 @@ class IceliteTable:
         With merge-on-read delta files present, the read applies the
         last-writer-wins dedup (max seq_col per key) over base ∪ deltas —
         Iceberg v2 semantics. Compaction folds deltas back to base."""
-        snap = self.snapshot(seq)
-        schema = T.StructType.fromJson(snap["schema"])
-        files = snap["files"]
+        ptr = self.pointer(seq)
+        schema = T.StructType.fromJson(ptr["schema"])
+        files = self._files(ptr)
         if buckets is not None:
             files = [f for f in files if f["bucket"] in buckets]
         if not files:
@@ -152,8 +266,8 @@ class IceliteTable:
             .select(*[fld.name for fld in schema.fields])
         )
         has_delta = any(f.get("kind", "base") == "delta" for f in files)
-        if has_delta and snap.get("seq_col"):
-            df = _dedup_by_seq(df, snap["key_cols"], snap["seq_col"], schema)
+        if has_delta and ptr.get("seq_col"):
+            df = _dedup_by_seq(df, ptr["key_cols"], ptr["seq_col"], schema)
         return df
 
     def read_keys(self, values, seq: int | None = None) -> DataFrame:
@@ -162,37 +276,32 @@ class IceliteTable:
         at n_buckets=4096 a single-conversation lookup touches ~1/4096 of
         the table's files, no full scan. ``values`` is an iterable of
         bucket-key values (e.g. conv_ids)."""
-        snap = self.snapshot(seq)
-        n_buckets = snap["n_buckets"]
+        ptr = self.pointer(seq)
+        n_buckets = ptr["n_buckets"]
         vals = list(values)
         # bucket ids computed the same way the writer laid files out
         one = self.spark.createDataFrame(
-            [(v,) for v in vals], f"{snap['bucket_key']} string"
-        ).select(_bucket_expr(snap["bucket_key"], n_buckets).alias("b"))
+            [(v,) for v in vals], f"{ptr['bucket_key']} string"
+        ).select(_bucket_expr(ptr["bucket_key"], n_buckets).alias("b"))
         buckets = {int(r["b"]) for r in one.collect()}
         df = self.read(seq=seq, buckets=buckets)
-        return df.filter(F.col(snap["bucket_key"]).isin(vals))
+        return df.filter(F.col(ptr["bucket_key"]).isin(vals))
 
     def lineage(self) -> DataFrame:
-        """Per-commit lineage ledger as a DataFrame (offsets/batch keys,
-        commit seq, row counts, per-bucket row counts, wall time)."""
-        snap = self.snapshot()
-        lineage_schema = (
-            "commit_seq long, batch_key string, source string, n_changes long, "
-            "n_upserts long, n_deletes long, touched_buckets array<int>, "
-            "files_added int, files_removed int, rows_written long, "
-            "per_bucket_rows map<string,long>, wall_ms double, committed_at string"
+        """Per-commit lineage ledger as a DataFrame, read from the
+        append-only ``_lineage`` table (one JSON record per commit) —
+        offsets/batch keys, commit seq, row counts, per-bucket row counts,
+        wall time. Uncommitted orphans (crash between lineage write and
+        pointer link) are filtered by commit_seq."""
+        cur = self.current_seq()
+        paths = sorted(glob.glob(os.path.join(self._lineage_dir, "lineage-*.json")))
+        if not paths:
+            return self.spark.createDataFrame([], LINEAGE_SCHEMA)
+        return (
+            self.spark.read.schema(LINEAGE_SCHEMA)
+            .json(paths)
+            .filter(F.col("commit_seq") <= cur)
         )
-        cols = [
-            "commit_seq", "batch_key", "source", "n_changes", "n_upserts",
-            "n_deletes", "touched_buckets", "files_added", "files_removed",
-            "rows_written", "per_bucket_rows", "wall_ms", "committed_at",
-        ]
-        rows = [tuple(r.get(c) for c in cols) for r in snap["lineage"]]
-        return self.spark.createDataFrame(rows, lineage_schema)
-
-    def applied_batches(self) -> dict:
-        return self.snapshot()["applied_batches"]
 
     # ---------------------------------------------------------------- merge
     def merge(
@@ -204,7 +313,7 @@ class IceliteTable:
         seq_col: str | None = None,
         mode: str = "cow",
     ) -> dict | None:
-        """Copy-on-write MERGE of deduplicated changes (one row per key).
+        """MERGE of deduplicated changes (one row per key).
 
         ``changes`` must contain the key columns, the payload columns
         (superset/subset of table schema — new columns evolve the schema,
@@ -213,48 +322,61 @@ class IceliteTable:
 
         Three merge strategies:
         - **anti-join copy-on-write** (default): old ∖ changed-keys ∪
-          upserts, touched buckets rewritten. Generic.
+          upserts, touched buckets rewritten. Generic; handles raw
+          op='D' deletes.
         - **seq-agg copy-on-write** (``seq_col`` given): old ∪ changes →
           groupBy(key) → max(struct(seq, ...)). ONE hash aggregation
           replaces both the late-data guard join and the anti-join;
           map-side partial agg collapses hot keys before the shuffle.
-          Requires all change rows be upserts (deletes as tombstones).
+          Deletes MUST arrive as ``__deleted`` tombstone rows (raw 'D'
+          rows raise — they would otherwise be silently dropped).
         - **merge-on-read** (``mode="mor"``, requires seq_col): the commit
           only appends the batch winners as DELTA files — O(batch) write,
           no read/rewrite of existing data. Readers dedup base ∪ deltas by
           max seq (Iceberg v2 semantics); ``compact()`` folds deltas back
           into base files. This is what keeps ingest linear when every
           micro-batch touches every bucket (CoW write amplification is
-          O(table) per batch in that regime).
+          O(table) per batch in that regime). Same tombstone rule.
 
         Returns the lineage record for the commit, or None when
         ``batch_key`` is already in the applied ledger (idempotent replay).
         """
         t0 = time.monotonic()
-        snap = self.snapshot()
-        if batch_key is not None and batch_key in snap["applied_batches"]:
+        ptr = self.pointer()
+        if batch_key is not None and self.is_applied(batch_key, ptr):
             return None
-        key_cols = snap["key_cols"]
-        bucket_key = snap["bucket_key"]
-        n_buckets = snap["n_buckets"]
-        old_schema = T.StructType.fromJson(snap["schema"])
+        key_cols = ptr["key_cols"]
+        bucket_key = ptr["bucket_key"]
+        n_buckets = ptr["n_buckets"]
+        old_schema = T.StructType.fromJson(ptr["schema"])
 
         merged_schema = _merge_schema(old_schema, changes.drop(op_col).schema)
 
         bexpr = _bucket_expr(bucket_key, n_buckets)
         ch = changes.withColumn("__bucket", bexpr)
+        has_tombstones = "__deleted" in ch.columns
         is_delete = F.col(op_col) == "D"
-        if "__deleted" in ch.columns:  # tombstone-style deletes count too
+        if has_tombstones:  # tombstone-style deletes count too
             is_delete = is_delete | F.coalesce(F.col("__deleted"), F.lit(False))
 
-        old_files = snap["files"]
+        old_manifests = ptr["manifests"]
         observation = None
         if mode == "mor":
             # FAST PATH: no pre-read, no stats job — batch counts ride the
             # write job via observe(); touched buckets come from the
-            # written file footers. One Spark job per micro-batch.
-            if seq_col is None or not snap.get("seq_col"):
+            # distributed post-write stats scan. One data pass per batch.
+            if seq_col is None or not ptr.get("seq_col"):
                 raise ValueError("merge-on-read requires a table seq_col")
+            if not has_tombstones:
+                # seq-agg dedup would silently drop raw 'D' rows; cheap
+                # existence probe ONLY on this cold path — apply_changes
+                # always supplies tombstones, so ingest never pays it
+                if not ch.filter(is_delete).isEmpty():
+                    raise ValueError(
+                        "merge-on-read got op='D' rows without a __deleted "
+                        "tombstone column — they would be silently dropped. "
+                        "Convert deletes to tombstones (apply_changes does this)."
+                    )
             from pyspark.sql import Observation
 
             observation = Observation()
@@ -264,7 +386,7 @@ class IceliteTable:
                 F.sum(F.when(is_delete, 1).otherwise(0)).alias("dels"),
             )
             touched = None
-            keep_files, rewrite_files = list(old_files), []
+            keep_manifests, rewrite_files = list(old_manifests), []
         else:
             # CoW needs the touched-bucket set BEFORE reading old files →
             # one stats pass over the (cached) batch
@@ -276,8 +398,30 @@ class IceliteTable:
             touched = sorted(int(r["__bucket"]) for r in stats)
             n_changes = sum(r["rows"] for r in stats)
             n_deletes = sum(r["dels"] for r in stats)
-            keep_files = [f for f in old_files if f["bucket"] not in set(touched)]
-            rewrite_files = [f for f in old_files if f["bucket"] in set(touched)]
+            if seq_col is not None and n_deletes > 0 and not has_tombstones:
+                ch.unpersist()
+                raise ValueError(
+                    "seq-agg merge got op='D' rows without a __deleted "
+                    "tombstone column — they would be silently dropped. "
+                    "Convert deletes to tombstones (apply_changes does "
+                    "this) or use the anti-join path (seq_col=None)."
+                )
+            tset = set(touched)
+            keep_manifests, rewrite_files = [], []
+            for i, m in enumerate(old_manifests):
+                if tset & set(m["buckets"]):
+                    entries = self._read_manifest(m["name"])
+                    rewrite_files.extend(e for e in entries if e["bucket"] in tset)
+                    survivors = [e for e in entries if e["bucket"] not in tset]
+                    if survivors:
+                        keep_manifests.append(
+                            self._write_manifest_file(
+                                f"manifest-{ptr['seq'] + 1:08d}-r{i:04d}.json",
+                                survivors,
+                            )
+                        )
+                else:
+                    keep_manifests.append(m)
 
         try:
 
@@ -310,7 +454,7 @@ class IceliteTable:
                 survivors = old.join(ch.select(*key_cols), on=key_cols, how="left_anti")
                 new_data = survivors.unionByName(upserts)
 
-            commit_seq = snap["seq"] + 1
+            commit_seq = ptr["seq"] + 1
             commit_dir = os.path.join(self.path, _DATA_DIR, f"commit-{commit_seq:08d}")
             # write layout: each bucket spreads over at most `spread` tasks
             # (bounded file count per bucket) while a hot conversation still
@@ -325,19 +469,24 @@ class IceliteTable:
             (
                 new_data.withColumn("__bucket", bexpr)
                 .repartition(F.col("__bucket"), wkey)
-                .sortWithinPartitions("__bucket", *snap["order_cols"])
+                .sortWithinPartitions("__bucket", *ptr["order_cols"])
                 .write.partitionBy("__bucket")
                 .mode("overwrite")
                 .parquet(commit_dir)
             )
-            new_files, rows_written, per_bucket = _scan_commit_dir(commit_dir)
+            new_files, rows_written, per_bucket = self._scan_commit_dir(commit_dir)
             if mode == "mor":
-                if old_files:
+                if old_manifests:
                     for f in new_files:
                         f["kind"] = "delta"
                 touched = sorted(per_bucket)
-                m = observation.get
-                n_changes, n_deletes = int(m["rows"]), int(m["dels"] or 0)
+                try:
+                    m = observation.get
+                    n_changes, n_deletes = int(m["rows"]), int(m["dels"] or 0)
+                except Exception:
+                    # a statically-empty batch folds the observe node out
+                    # of the plan entirely (no tasks ran, nothing written)
+                    n_changes, n_deletes = int(rows_written), 0
             n_upserts = n_changes - n_deletes
         finally:
             if mode != "mor":
@@ -358,81 +507,171 @@ class IceliteTable:
             "wall_ms": round((time.monotonic() - t0) * 1000.0, 3),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
-        manifest = {
+        manifests = list(keep_manifests)
+        if new_files:
+            manifests.append(
+                self._write_manifest_file(
+                    f"manifest-{commit_seq:08d}.json", new_files
+                )
+            )
+        self._commit(ptr, commit_seq, merged_schema, manifests, batch_key, lineage_rec)
+        return lineage_rec
+
+    def _write_manifest_file(self, name: str, entries: list) -> dict:
+        """Write one immutable manifest chunk; return its pointer entry
+        (name + bucket summary, so CoW can skip untouched manifests
+        without opening them)."""
+        _write_json(os.path.join(self._manifest_dir, name), entries)
+        self._manifest_cache[name] = entries
+        return {
+            "name": name,
+            "buckets": sorted({e["bucket"] for e in entries}),
+            "n_files": len(entries),
+        }
+
+    def _commit(
+        self,
+        parent_ptr: dict,
+        commit_seq: int,
+        schema: T.StructType,
+        manifests: list,
+        batch_key: str | None,
+        lineage_rec: dict,
+    ) -> None:
+        """Write lineage + ledger chunks (unreferenced until the pointer
+        lands), then hard-link the pointer — the single atomic commit
+        point. A crash before the link leaves only orphans."""
+        _write_json(
+            os.path.join(self._lineage_dir, f"lineage-{commit_seq:08d}.json"),
+            lineage_rec,
+        )
+        tail, archives = self._roll_ledger(parent_ptr, batch_key, commit_seq)
+        pointer = {
             "format_version": FORMAT_VERSION,
             "seq": commit_seq,
-            "parent_seq": snap["seq"],
+            "parent_seq": parent_ptr["seq"],
             "snapshot_id": str(uuid.uuid4()),
-            "schema": merged_schema.jsonValue(),
-            "key_cols": key_cols,
-            "bucket_key": bucket_key,
-            "n_buckets": n_buckets,
-            "order_cols": snap["order_cols"],
-            "seq_col": snap.get("seq_col"),
-            "files": keep_files + new_files,
-            "applied_batches": {
-                **snap["applied_batches"],
-                **({batch_key: commit_seq} if batch_key is not None else {}),
-            },
-            "lineage": snap["lineage"] + [lineage_rec],
+            "schema": schema.jsonValue(),
+            "key_cols": parent_ptr["key_cols"],
+            "bucket_key": parent_ptr["bucket_key"],
+            "n_buckets": parent_ptr["n_buckets"],
+            "order_cols": parent_ptr["order_cols"],
+            "seq_col": parent_ptr.get("seq_col"),
+            "manifests": manifests,
+            "applied_tail": tail,
+            "applied_archives": archives,
+            "applied_count": parent_ptr["applied_count"]
+            + (1 if batch_key is not None else 0),
         }
-        _atomic_write_manifest(self._manifest_dir, commit_seq, manifest)
-        return lineage_rec
+        _commit_pointer(self._manifest_dir, commit_seq, pointer)
+
+    def _scan_commit_dir(self, commit_dir: str):
+        """Per-file stats for a freshly written commit dir, computed as a
+        DISTRIBUTED footer scan (groupBy input_file_name over a zero-column
+        projection — Spark answers it from row-group metadata), replacing
+        the serial driver-side pyarrow loop of v1."""
+        try:
+            df = self.spark.read.parquet(commit_dir)
+        except Exception:
+            return [], 0, {}
+        rows = (
+            df.groupBy(
+                F.input_file_name().alias("path"), F.col("__bucket").alias("b")
+            )
+            .count()
+            .collect()
+        )
+        files, total, per_bucket = [], 0, {}
+        for r in sorted(rows, key=lambda r: r["path"]):
+            n = int(r["count"])
+            if n == 0:
+                continue
+            files.append(
+                {"path": _local_path(r["path"]), "bucket": int(r["b"]), "rows": n}
+            )
+            total += n
+            per_bucket[int(r["b"])] = per_bucket.get(int(r["b"]), 0) + n
+        return files, total, per_bucket
 
     # ------------------------------------------------------------- maintain
     def compact(self) -> dict:
         """Rewrite the live file set into one file per bucket (small-file
-        compaction after many micro-batch commits)."""
-        snap = self.snapshot()
+        compaction after many micro-batch commits). Also folds ALL
+        manifests into one, resetting the pointer's manifest list —
+        metadata compaction rides data compaction."""
+        ptr = self.pointer()
+        schema = T.StructType.fromJson(ptr["schema"])
         df = self.read()
-        commit_seq = snap["seq"] + 1
+        commit_seq = ptr["seq"] + 1
         commit_dir = os.path.join(self.path, _DATA_DIR, f"commit-{commit_seq:08d}")
-        bexpr = _bucket_expr(snap["bucket_key"], snap["n_buckets"])
+        bexpr = _bucket_expr(ptr["bucket_key"], ptr["n_buckets"])
         (
             df.withColumn("__bucket", bexpr)
             .repartition(F.col("__bucket"))
-            .sortWithinPartitions("__bucket", *snap["order_cols"])
+            .sortWithinPartitions("__bucket", *ptr["order_cols"])
             .write.partitionBy("__bucket")
             .mode("overwrite")
             .parquet(commit_dir)
         )
-        new_files, rows_written, per_bucket = _scan_commit_dir(commit_dir)
-        manifest = {**snap}
-        manifest.update(
-            seq=commit_seq,
-            parent_seq=snap["seq"],
-            snapshot_id=str(uuid.uuid4()),
-            files=new_files,
-            lineage=snap["lineage"]
-            + [{"commit_seq": commit_seq, "batch_key": None, "source": "compact",
-                "n_changes": 0, "n_upserts": 0, "n_deletes": 0,
-                "touched_buckets": sorted(per_bucket), "files_added": len(new_files),
-                "files_removed": len(snap["files"]), "rows_written": int(rows_written),
-                "per_bucket_rows": {str(k): int(v) for k, v in per_bucket.items()},
-                "wall_ms": 0.0,
-                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}],
-        )
-        _atomic_write_manifest(self._manifest_dir, commit_seq, manifest)
-        return manifest
+        new_files, rows_written, per_bucket = self._scan_commit_dir(commit_dir)
+        n_removed = sum(m["n_files"] for m in ptr["manifests"])
+        lineage_rec = {
+            "commit_seq": commit_seq, "batch_key": None, "source": "compact",
+            "n_changes": 0, "n_upserts": 0, "n_deletes": 0,
+            "touched_buckets": sorted(per_bucket), "files_added": len(new_files),
+            "files_removed": n_removed, "rows_written": int(rows_written),
+            "per_bucket_rows": {str(k): int(v) for k, v in per_bucket.items()},
+            "wall_ms": 0.0,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        manifests = []
+        if new_files:
+            manifests.append(
+                self._write_manifest_file(f"manifest-{commit_seq:08d}.json", new_files)
+            )
+        self._commit(ptr, commit_seq, schema, manifests, None, lineage_rec)
+        return self.snapshot()
 
     def expire_snapshots(self, keep_last: int = 2) -> list[str]:
-        """Delete data files referenced only by expired snapshots."""
+        """Delete data files, manifests, and ledger chunks referenced only
+        by expired snapshots — a pure manifest diff (no directory glob of
+        the data tree, which would be O(all files ever written))."""
         cur = self.current_seq()
         keep_seqs = set(range(max(0, cur - keep_last + 1), cur + 1))
-        live: set[str] = set()
-        for s in keep_seqs:
+        live_files: set[str] = set()
+        live_meta: set[str] = set()
+        dead_files: set[str] = set()
+        dead_meta: set[str] = set()
+        for p in glob.glob(os.path.join(self._manifest_dir, "snap-*.json")):
+            s = int(os.path.basename(p)[5:13])
             try:
-                live |= {f["path"] for f in self.snapshot(s)["files"]}
+                ptr = self.pointer(s)
             except FileNotFoundError:
                 continue
+            files = {f["path"] for f in self._files(ptr)}
+            meta = {m["name"] for m in ptr["manifests"]} | set(
+                ptr["applied_archives"]
+            )
+            if s in keep_seqs:
+                live_files |= files
+                live_meta |= meta
+            else:
+                dead_files |= files
+                dead_meta |= meta
         removed = []
-        for p in glob.glob(os.path.join(self.path, _DATA_DIR, "commit-*", "**", "*.parquet"), recursive=True):
-            if p not in live:
+        for p in sorted(dead_files - live_files):
+            if os.path.exists(p):
                 os.remove(p)
                 removed.append(p)
+        for name in sorted(dead_meta - live_meta):
+            p = os.path.join(self._manifest_dir, name)
+            if os.path.exists(p):
+                os.remove(p)
+            self._manifest_cache.pop(name, None)
+            self._archive_cache.pop(name, None)
         for s in range(0, cur):
             if s not in keep_seqs:
-                mp = self._manifest_path(s)
+                mp = self._pointer_path(s)
                 if os.path.exists(mp):
                     os.remove(mp)
         return removed
@@ -474,36 +713,34 @@ def _merge_schema(old: T.StructType, new: T.StructType) -> T.StructType:
     return T.StructType(fields)
 
 
-def _scan_commit_dir(commit_dir: str):
-    """List written files + row counts from parquet footers (driver-side,
-    no extra Spark job)."""
-    import pyarrow.parquet as pq
-
-    files, total, per_bucket = [], 0, {}
-    for p in sorted(
-        glob.glob(os.path.join(commit_dir, "__bucket=*", "*.parquet"))
-    ):
-        bucket = int(os.path.basename(os.path.dirname(p)).split("=")[1])
-        rows = pq.ParquetFile(p).metadata.num_rows
-        if rows == 0:
-            continue
-        files.append({"path": p, "bucket": bucket, "rows": int(rows)})
-        total += rows
-        per_bucket[bucket] = per_bucket.get(bucket, 0) + rows
-    return files, total, per_bucket
+def _write_json(path: str, obj) -> None:
+    """Durable write of an auxiliary metadata file (manifest / lineage /
+    ledger chunk). Overwrite-safe: these are only reachable through a
+    committed pointer, so rewriting an orphan from a crashed attempt of
+    the same commit seq is fine."""
+    tmp = path + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 
-def _atomic_write_manifest(manifest_dir: str, seq: int, manifest: dict) -> None:
+def _commit_pointer(manifest_dir: str, seq: int, pointer: dict) -> None:
+    """The atomic commit point. ``os.link`` (not rename) — POSIX rename
+    silently overwrites, so two racing writers could both think they
+    committed seq N; link makes the loser fail deterministically."""
     final = os.path.join(manifest_dir, f"snap-{seq:08d}.json")
-    if os.path.exists(final):
-        raise ConcurrentCommitError(f"snapshot {seq} already committed")
     tmp = final + f".{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as f:
-        json.dump(manifest, f)
+        json.dump(pointer, f)
         f.flush()
         os.fsync(f.fileno())
     try:
-        os.rename(tmp, final)
+        os.link(tmp, final)
+    except FileExistsError:
+        raise ConcurrentCommitError(f"snapshot {seq} already committed")
     except OSError as e:  # pragma: no cover
-        os.unlink(tmp)
         raise ConcurrentCommitError(str(e))
+    finally:
+        os.unlink(tmp)

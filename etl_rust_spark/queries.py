@@ -776,27 +776,64 @@ def dedup_simhash(spark, sf_dir):
     )
 
 
-def _jaccard_oracle(shingle_n=3, tau=0.3):
+def _guarded_jaccard_oracle(shingle_n=3, tau=0.3, max_block=10, n_hashes=8, bands=8):
+    """DuckDB twin of ngram_jaccard_pairs_guarded: block counts route small
+    blocks to exact pairwise and oversized blocks to block-scoped
+    MinHash banding + exact-Jaccard verify."""
+    rows = n_hashes // bands
     sh = f"list_distinct({shingles_sql('text', shingle_n)})"
+    sig = ", ".join(
+        f"list_min(list_transform(s, x -> md5('{i}:' || x)))" for i in range(n_hashes)
+    )
+    band_rows = ", ".join(f"({b})" for b in range(bands))
+    bucket = " || '|' || ".join(
+        [f"sig[band * {rows} + {r + 1}]" for r in range(rows)] + ["lang", "source"]
+    )
+    jac = lambda a, b: (  # noqa: E731
+        f"round(CAST(len(list_intersect({a}, {b})) AS DOUBLE)"
+        f" / len(list_distinct({a} || {b})), 6)"
+    )
     return f"""
-    WITH d AS (SELECT lang, source, doc_id, {sh} AS sh FROM documents WHERE len({sh}) > 0)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
-    FROM d a JOIN d b
-      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-          / len(list_distinct(a.sh || b.sh)) >= {tau}
+    WITH c AS (SELECT lang, source, count(*) AS bn FROM documents GROUP BY 1, 2),
+    dd AS (SELECT d.lang, d.source, d.doc_id, d.text, c.bn
+           FROM documents d JOIN c ON d.lang = c.lang AND d.source = c.source),
+    sd AS (SELECT lang, source, doc_id, {sh} AS sh FROM dd
+           WHERE bn <= {max_block} AND len({sh}) > 0),
+    small AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, {jac("a.sh", "b.sh")} AS jaccard
+      FROM sd a JOIN sd b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE {jac("a.sh", "b.sh")} >= {tau}),
+    bd AS (SELECT lang, source, doc_id, {sh} AS s FROM dd
+           WHERE bn > {max_block} AND len({sh}) > 0),
+    sig AS (SELECT lang, source, doc_id, s, [{sig}] AS sig FROM bd),
+    banded AS (
+      SELECT doc_id, band, md5({bucket}) AS bucket
+      FROM sig, (VALUES {band_rows}) b(band)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    bigp AS (
+      SELECT c.id_a, c.id_b, {jac("sa.s", "sb.s")} AS jaccard
+      FROM cand c JOIN bd sa ON sa.doc_id = c.id_a JOIN bd sb ON sb.doc_id = c.id_b
+      WHERE {jac("sa.s", "sb.s")} >= {tau})
+    SELECT id_a, id_b, jaccard FROM small
+    UNION ALL
+    SELECT id_a, id_b, jaccard FROM bigp
     """
 
 
-@query("dedup_ngram_jaccard", _jaccard_oracle())
+@query("dedup_ngram_jaccard", _guarded_jaccard_oracle())
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard pairs inside (lang, source) blocks — blocking
-    turns the global n² into per-block local problems."""
-    return dd.ngram_jaccard_pairs(
+    """Block-guarded exact n-gram Jaccard pairs inside (lang, source)
+    blocks: small blocks exact-pairwise, oversized blocks (> 10 docs here,
+    so the fixture exercises BOTH paths) via block-scoped MinHash banding
+    — one hot block can never go locally quadratic."""
+    return dd.ngram_jaccard_pairs_guarded(
         _t(spark, sf_dir, "documents"),
         block_cols=["lang", "source"], shingle_n=3, threshold=0.3,
+        max_block=10, n_hashes=8, bands=8,
     )
 
 
@@ -837,28 +874,65 @@ def ann_cosine_topk(spark, sf_dir):
     return sim.brute_force_topk(_t(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5)
 
 
-@query(
-    "ann_lsh_topk",
-    f"""
-    WITH b AS (SELECT vec_id, embedding,
-                 CAST(list_sum(list_transform(range(0, 4), j ->
-                   CASE WHEN embedding[j + 1] >= 0 THEN (1 << j) ELSE 0 END)) AS INTEGER) AS bucket
-               FROM embeddings),
-    q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket AS qbucket FROM b
-          WHERE vec_id IN ({", ".join(map(str, _ANN_QUERY_IDS))})),
-    s AS (SELECT q.query_id, b.vec_id AS neighbor_id,
-            round({_cos_sql("q.qvec", "b.embedding")}, 6) AS cos_sim
-          FROM b, q WHERE b.bucket = q.qbucket AND b.vec_id <> q.query_id)
+def _rh_lsh_oracle(query_ids, k=5, n_bits=8, n_tables=4, dim=64, seed=1):
+    """DuckDB twin of rh_lsh_topk: rebuilds the SAME md5-seeded hyperplanes
+    (emitted as literal arrays), same multi-probe set, same candidate join,
+    same exact-cosine rerank — the whole approximate pipeline is
+    oracle-checked end to end."""
+    planes = sim.random_hyperplanes(dim, n_bits, n_tables, seed)
+
+    def bucket_sql(t):
+        terms = []
+        for j, p in enumerate(planes[t]):
+            arr = "[" + ", ".join(repr(v) for v in p) + "]::DOUBLE[]"
+            dot = (
+                f"list_sum(list_transform(range(1, {dim + 1}),"
+                f" i -> embedding[i]::DOUBLE * ({arr})[i]))"
+            )
+            terms.append(f"CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END")
+        return "(" + " + ".join(terms) + ")"
+
+    whens = " ".join(f"WHEN {t} THEN {bucket_sql(t)}" for t in range(n_tables))
+    tbl_values = ", ".join(f"({t})" for t in range(n_tables))
+    probes = "[b.bucket" + "".join(
+        f", xor(b.bucket, {1 << j})" for j in range(n_bits)
+    ) + "]"
+    ids = ", ".join(map(str, query_ids))
+    return f"""
+    WITH b AS (
+      SELECT vec_id, CAST(t.tbl AS INTEGER) AS tbl,
+             CAST(CASE t.tbl {whens} END AS INTEGER) AS bucket
+      FROM embeddings, (VALUES {tbl_values}) t(tbl)),
+    q AS (
+      SELECT b.vec_id AS query_id, b.tbl, unnest({probes}) AS pbucket
+      FROM b WHERE b.vec_id IN ({ids})),
+    cand AS (
+      SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
+      FROM b JOIN q ON b.tbl = q.tbl AND b.bucket = q.pbucket
+                   AND b.vec_id <> q.query_id),
+    s AS (
+      SELECT c.query_id, c.neighbor_id,
+             round({_cos_sql("ea.embedding", "eb.embedding")}, 6) AS cos_sim
+      FROM cand c JOIN embeddings ea ON ea.vec_id = c.query_id
+                  JOIN embeddings eb ON eb.vec_id = c.neighbor_id)
     SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
     FROM (SELECT *, row_number() OVER
             (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
           FROM s)
-    WHERE rank <= 5
-    """,
-)
+    WHERE rank <= {k}
+    """
+
+
+@query("ann_lsh_topk", _rh_lsh_oracle(_ANN_QUERY_IDS))
 def ann_lsh_topk(spark, sf_dir):
-    """Scale-path ANN: sign-LSH bucket equi-join replaces the crossJoin."""
-    return sim.lsh_topk(_t(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5, n_bits=4)
+    """Scale-path ANN: seeded random-hyperplane LSH, 4 tables OR-combined,
+    multi-probe (1-bit flips), exact-cosine rerank of the candidates.
+    Recall is measured against brute force in tests/test_similarity.py
+    (recall 1.0 on the planted near-dup fixture at bits=12/L=8)."""
+    return sim.rh_lsh_topk(
+        _t(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS,
+        k=5, n_bits=8, n_tables=4, dim=64, seed=1, multiprobe=True,
+    )
 
 
 @query(

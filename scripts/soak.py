@@ -38,7 +38,7 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="soak_")
     try:
         table = create_transcript_table(spark, f"{work}/tbl", n_buckets=32)
-        latencies, file_counts = [], []
+        latencies, file_counts, pointer_bytes, snap_load_ms = [], [], [], []
         for i in range(n_batches):
             batch = generate_changelog_spark(
                 spark, per_batch, n_conversations=100_000, turns_per_conv=64,
@@ -51,6 +51,15 @@ def main() -> None:
                 table.expire_snapshots(keep_last=3)
             latencies.append(round(time.monotonic() - t0, 2))
             file_counts.append(len(table.snapshot()["files"]))
+            # metadata-scaling probes: pointer size and cold snapshot
+            # resolution cost must stay FLAT as commits accumulate
+            pointer_bytes.append(
+                os.path.getsize(table._pointer_path(table.current_seq()))
+            )
+            t0 = time.monotonic()
+            fresh = type(table)(spark, table.path)  # empty caches
+            fresh.snapshot()
+            snap_load_ms.append(round((time.monotonic() - t0) * 1000.0, 1))
         # full-replay check: engine state == one-shot dedup of all events
         total = n_batches * per_batch
         alllog = generate_changelog_spark(
@@ -75,6 +84,11 @@ def main() -> None:
             "commit_sec_first5_avg": round(sum(latencies[:5]) / 5, 2),
             "commit_sec_last5_avg": round(sum(latencies[-5:]) / 5, 2),
             "file_counts": file_counts,
+            "pointer_bytes_first5_avg": round(sum(pointer_bytes[:5]) / 5),
+            "pointer_bytes_last5_avg": round(sum(pointer_bytes[-5:]) / 5),
+            "pointer_bytes_max": max(pointer_bytes),
+            "snap_load_ms_first5_avg": round(sum(snap_load_ms[:5]) / 5, 1),
+            "snap_load_ms_last5_avg": round(sum(snap_load_ms[-5:]) / 5, 1),
             "final_rows": n_got,
             "expected_rows": n_expect,
             "key_mismatches": mismatch,

@@ -175,15 +175,19 @@ def test_point_lookup_with_bucket_pruning(spark, tiny_log, tmp_path):
 
 
 def test_concurrent_commit_raises(spark, tmp_path):
-    """Single-writer assumption enforced: losing the atomic manifest-rename
-    race raises instead of silently clobbering (SURVEY §7.3 watch list)."""
-    from etl_rust_spark.lake.format import ConcurrentCommitError, _atomic_write_manifest
+    """Single-writer assumption enforced: losing the atomic pointer-link
+    race raises instead of silently clobbering (SURVEY §7.3 watch list).
+    os.link (not rename — POSIX rename silently overwrites, so a zombie
+    writer could 'win' a seq it lost): the second committer of seq N must
+    deterministically fail with ConcurrentCommitError."""
+    from etl_rust_spark.lake.format import ConcurrentCommitError, _commit_pointer
 
     table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=2)
-    snap = table.snapshot()
-    # two writers race to the same sequence number: the second rename loses
-    _atomic_write_manifest(table._manifest_dir, 1, {**snap, "seq": 1})
+    ptr = table.pointer()
+    # two writers race to the same sequence number: the second link loses
+    _commit_pointer(table._manifest_dir, 1, {**ptr, "seq": 1})
     with pytest.raises(ConcurrentCommitError):
-        _atomic_write_manifest(table._manifest_dir, 1, {**snap, "seq": 1})
+        _commit_pointer(table._manifest_dir, 1, {**ptr, "seq": 1, "snapshot_id": "loser"})
     # the table remains readable at the winner's snapshot
     assert table.current_seq() == 1
+    assert table.pointer(1)["snapshot_id"] != "loser"

@@ -141,10 +141,38 @@ def create_transcript_table(
     )
 
 
-def read_transcripts(table: IceliteTable, seq: int | None = None) -> DataFrame:
-    """Final-state view: user-facing columns in stable key order."""
+def renumber_turns(
+    df: DataFrame, key: str = "conv_id", turn_col: str = "turn_idx"
+) -> DataFrame:
+    """Dense per-conversation turn renumbering (0..n-1 in turn order) —
+    the 'turn indices after deletes' fixup a training export needs.
+
+    Grouped-map applyInPandas: one Arrow batch per conversation, pandas
+    body sorts + renumbers. The custom per-group logic slot (SURVEY §2.4
+    UDF surface); the equivalent window expression is oracle-checked by
+    the grouped_map_dense_rank / transcript_export_renumbered queries."""
+    import pandas as pd
+
+    schema = df.schema
+
+    def op(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(turn_col, kind="stable").reset_index(drop=True)
+        pdf[turn_col] = pd.Series(range(len(pdf)), dtype="int32")
+        return pdf
+
+    return df.groupBy(key).applyInPandas(op, schema=schema)
+
+
+def read_transcripts(
+    table: IceliteTable, seq: int | None = None, renumber: bool = False
+) -> DataFrame:
+    """Final-state view: user-facing columns in stable key order.
+    ``renumber=True`` additionally re-indexes each conversation's
+    surviving turns densely (deletes leave gaps in turn_idx)."""
     df = table.read(seq=seq)
     df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(
         LSN_COL, DELETED_COL
     )
+    if renumber:
+        df = renumber_turns(df)
     return df.orderBy("conv_id", "turn_idx")

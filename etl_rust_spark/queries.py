@@ -1324,3 +1324,65 @@ def assemble_transcripts(spark, sf_dir):
     return e.groupBy("user_id").agg(
         ordered.alias("turns"), F.count("*").alias("n_turns")
     )
+
+
+@query(
+    "transcript_export_renumbered",
+    """
+    WITH kept AS (
+      SELECT user_id, event_id, event_type, ts FROM events
+      WHERE event_type <> 'error'),
+    ren AS (
+      SELECT user_id, event_type,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+                  AS INTEGER) AS dense_idx
+      FROM kept)
+    SELECT user_id,
+           string_agg(event_type || ':' || dense_idx, '|' ORDER BY dense_idx) AS turns,
+           COUNT(*) AS n_turns
+    FROM ren GROUP BY user_id
+    """,
+)
+def transcript_export_renumbered(spark, sf_dir):
+    """End-to-end training-export composition: drop tombstoned turns
+    (event_type='error' stands in for deletes), DENSELY renumber each
+    conversation's survivors with the grouped-map applyInPandas operator
+    (the same ``renumber_turns`` slot ``read_transcripts(renumber=True)``
+    uses), then assemble the ordered transcript string — grouped-map and
+    JVM-side export composing in one plan, oracle-checked."""
+    import pandas as pd
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") != "error")
+        .select(
+            "user_id", "event_id", "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+    )
+
+    def renumber(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+        pdf["dense_idx"] = pd.Series(range(len(pdf)), dtype="int32")
+        return pdf[["user_id", "event_type", "dense_idx"]]
+
+    ren = e.groupBy("user_id").applyInPandas(
+        renumber, schema="user_id long, event_type string, dense_idx int"
+    )
+    ordered = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("dense_idx").alias("i"),
+                        F.concat_ws(":", "event_type", "dense_idx").alias("s"),
+                    )
+                )
+            ),
+            lambda x: x["s"],
+        ),
+        "|",
+    )
+    return ren.groupBy("user_id").agg(
+        ordered.alias("turns"), F.count("*").alias("n_turns")
+    )

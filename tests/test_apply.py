@@ -191,3 +191,21 @@ def test_concurrent_commit_raises(spark, tmp_path):
     # the table remains readable at the winner's snapshot
     assert table.current_seq() == 1
     assert table.pointer(1)["snapshot_id"] != "loser"
+
+
+def test_read_transcripts_renumbered(spark, tiny_log, tmp_path):
+    """read_transcripts(renumber=True): after deletes leave gaps in
+    turn_idx, each conversation's surviving turns come back densely
+    indexed 0..n-1 with per-turn text preserved in original turn order."""
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=8)
+    apply_changes(table, _spark_changelog(spark, tiny_log), batch_key="all")
+    oracle = replay_oracle_pandas(tiny_log)
+    got = read_transcripts(table, renumber=True).toPandas()
+    # independent renumber of the oracle
+    exp = oracle.sort_values(["conv_id", "turn_idx"]).copy()
+    exp["turn_idx"] = exp.groupby("conv_id").cumcount().astype("int32")
+    assert_pdf_equal(got, exp.reset_index(drop=True))
+    # dense invariant: per conv, turn_idx == 0..n-1
+    sizes = got.groupby("conv_id")["turn_idx"].agg(["min", "max", "count"])
+    assert (sizes["min"] == 0).all()
+    assert (sizes["max"] == sizes["count"] - 1).all()

@@ -65,59 +65,129 @@ def test_multimodal_plumbing(spark):
     assert pdf.width.between(1, 640).all() and pdf.height.between(1, 480).all()
 
 
-def test_flatten_reference_parity(spark):
-    """F5 fixture: nested doc → normalized child tables with
-    parent_id*10000+idx ids (reference example/src/main.rs:137,152)."""
-    from etl_rust_spark.operators.flatten import normalize_nested_users
-
+def _reference_user_fixture(spark):
+    """The reference's full MongoUser document shape
+    (mongodb_model.rs:120-146): every nested field the 15-table flatten
+    consumes."""
+    ts = datetime.datetime(2025, 3, 1)
+    kv = lambda k: {"key": k, "value": "v", "timestamp": ts, "metadata": "m"}  # noqa: E731
     rows = [
         {
-            "user_id": 7,
-            "username": "u7",
-            "email": "u7@x",
-            "first_name": "Ada",
-            "last_name": "L",
-            "created_at": datetime.datetime(2025, 3, 1),
-            "address": {"city": "X", "coordinates": {"lat": 1.5, "lng": -2.5}},
-            "profile": {
-                "interests": ["a", "b"],
-                "education": [
-                    {"school": "s1", "degree": "d1", "year": 2001},
-                    {"school": "s2", "degree": "d2", "year": 2005},
-                ],
-                "experience": [{"company": "c1", "title": "t1", "years": 3}],
+            "user_id": 7, "username": "u7", "email": "u7@x",
+            "first_name": "Ada", "last_name": "L", "age": 30,
+            "created_at": ts, "updated_at": ts,
+            "address": {
+                "street": "1 Main", "city": "X", "state": "ST",
+                "zip_code": "12345", "country": "C",
+                "coordinates": {"lat": 1.5, "lng": -2.5},
             },
+            "profile": {
+                "bio": "bio", "interests": ["a", "b"], "skills": ["s"],
+                "education": [
+                    {"institution": "s1", "degree": "d1", "year": 2001, "description": "e1"},
+                    {"institution": "s2", "degree": "d2", "year": 2005, "description": "e2"},
+                ],
+                "experience": [
+                    {"company": "c1", "position": "p1", "duration": "3y", "description": "x"}
+                ],
+            },
+            "preferences": {
+                "language": "en", "timezone": "UTC",
+                "notifications": {"email": True, "sms": False},
+                "settings": [kv("k0"), kv("k1")],
+            },
+            "activity_log": [kv("a0")],
+            "transactions": [kv("t0"), kv("t1"), kv("t2")],
             "messages": [
-                {"content": "m0", "read": True,
-                 "attachments": [{"url": "a0", "size": 10}, {"url": "a1", "size": 20}]},
-                {"content": "m1", "read": False, "attachments": []},
+                {"id": "m-0", "from": "f", "to": "t", "subject": "s0", "body": "b0",
+                 "timestamp": ts, "read": True,
+                 "attachments": [
+                     {"name": "a0", "size": 10, "file_type": "png"},
+                     {"name": "a1", "size": 20, "file_type": "pdf"},
+                 ]},
+                {"id": "m-1", "from": "f", "to": "t", "subject": "s1", "body": "b1",
+                 "timestamp": ts, "read": False, "attachments": []},
             ],
+            "social_media": {
+                "connections": {"x": "@u7"},
+                "posts": [kv("p0")],
+                "groups": [{"id": "g-1", "name": "grp", "joined": ts}],
+            },
+            "large_data": {f"blob{i}": f"B{i}" for i in range(1, 6)},
         }
     ]
-    schema = """
+    kvs = "array<struct<key:string,value:string,timestamp:timestamp,metadata:string>>"
+    schema = f"""
         user_id long, username string, email string, first_name string,
-        last_name string, created_at timestamp,
-        address struct<city:string, coordinates:struct<lat:double,lng:double>>,
-        profile struct<interests:array<string>,
-                       education:array<struct<school:string,degree:string,year:int>>,
-                       experience:array<struct<company:string,title:string,years:int>>>,
-        messages array<struct<content:string, read:boolean,
-                              attachments:array<struct<url:string,size:int>>>>
+        last_name string, age int, created_at timestamp, updated_at timestamp,
+        address struct<street:string,city:string,state:string,zip_code:string,
+                       country:string,coordinates:struct<lat:double,lng:double>>,
+        profile struct<bio:string, interests:array<string>, skills:array<string>,
+                       education:array<struct<institution:string,degree:string,year:int,description:string>>,
+                       experience:array<struct<company:string,position:string,duration:string,description:string>>>,
+        preferences struct<language:string, timezone:string,
+                           notifications:struct<email:boolean,sms:boolean>,
+                           settings:{kvs}>,
+        activity_log {kvs},
+        transactions {kvs},
+        messages array<struct<id:string, from:string, to:string, subject:string,
+                              body:string, timestamp:timestamp, read:boolean,
+                              attachments:array<struct<name:string,size:int,file_type:string>>>>,
+        social_media struct<connections:struct<x:string>, posts:{kvs},
+                            groups:array<struct<id:string,name:string,joined:timestamp>>>,
+        large_data struct<blob1:string,blob2:string,blob3:string,blob4:string,blob5:string>
     """
-    users = spark.createDataFrame(rows, schema=schema)
-    tables = normalize_nested_users(users)
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def test_flatten_reference_parity(spark):
+    """D3 parity: ONE nested doc → all 15 row-groups of the reference's
+    TransformedUser (example/src/main.rs:37-53), with parent_id*10000+idx
+    id synthesis (main.rs:137,152,175) and own-id carry for messages and
+    groups (main.rs:217, :268)."""
+    from etl_rust_spark.operators.flatten import normalize_nested_users
+
+    tables = normalize_nested_users(_reference_user_fixture(spark))
+
+    # the 1-doc → 15-row-groups invariant
+    assert set(tables) == {
+        "users", "addresses", "profiles", "education", "experience",
+        "preferences", "settings", "activity_log", "transactions",
+        "messages", "attachments", "social_media", "posts", "groups",
+        "large_data",
+    }
+    counts = {name: df.count() for name, df in tables.items()}
+    assert counts == {
+        "users": 1, "addresses": 1, "profiles": 1, "education": 2,
+        "experience": 1, "preferences": 1, "settings": 2, "activity_log": 1,
+        "transactions": 3, "messages": 2, "attachments": 2,
+        "social_media": 1, "posts": 1, "groups": 1, "large_data": 1,
+    }
 
     root = tables["users"].collect()[0]
-    assert root.full_name == "Ada L"
-    assert '"lat":1.5' in root.coordinates_json
+    assert (root.id, root.age) == (7, 30)
+    addr = tables["addresses"].collect()[0]
+    assert addr.id == addr.user_id == 7 and '"lat":1.5' in addr.coordinates
+    prof = tables["profiles"].collect()[0]
+    assert prof.interests == '["a","b"]'
 
     edu = {r.id: r for r in tables["education"].collect()}
-    assert set(edu) == {70000, 70001} and edu[70001].school == "s2"
+    assert set(edu) == {70000, 70001} and edu[70001].institution == "s2"
+    setts = {r.id: r for r in tables["settings"].collect()}
+    assert set(setts) == {70000, 70001} and setts[70000].preference_id == 7
+    txs = {r.id: r for r in tables["transactions"].collect()}
+    assert set(txs) == {70000, 70001, 70002} and txs[70002].user_id == 7
 
     msgs = {r.id: r for r in tables["messages"].collect()}
-    assert set(msgs) == {70000, 70001}
-
+    assert set(msgs) == {"m-0", "m-1"}  # own ids, not synthesized
     att = {r.id: r for r in tables["attachments"].collect()}
-    # attachment id = message_id*10000 + idx (two-level synthesis)
+    # message-scoped synthesis: (uid*10000+msg_idx)*10000+att_idx;
+    # FK carries the message's OWN id (deviation from the reference's
+    # colliding user-scoped formula is documented in flatten.py)
     assert set(att) == {700000000, 700000001}
-    assert att[700000001].url == "a1" and att[700000001].parent_id == 70000
+    assert att[700000001].name == "a1" and att[700000001].message_id == "m-0"
+
+    grp = tables["groups"].collect()[0]
+    assert grp.id == "g-1" and grp.social_media_id == 7
+    blob = tables["large_data"].collect()[0]
+    assert blob.blob5 == "B5"

@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "quality_scores",
     "token_stats",
     "ann_cosine_topk",
+    "ann_lsh_topk",
+    "dedup_ngram_jaccard",
+    "transcript_export_renumbered",
     "explode_embeddings",
 ]
 

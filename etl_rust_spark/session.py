@@ -28,12 +28,16 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
     master = master or f"local[{cpus}]"
-    n_cores = cpus if master == f"local[{cpus}]" else master.strip("local[]") or cpus
     if shuffle_partitions is None:
-        try:
-            shuffle_partitions = max(4, int(n_cores))
-        except ValueError:
-            shuffle_partitions = 32
+        core_str = master[len("local["):-1] if master.startswith("local[") else ""
+        if core_str in ("*", ""):
+            n_cores = os.cpu_count() or 4
+        else:
+            try:
+                n_cores = int(core_str)
+            except ValueError:
+                n_cores = int(cpus)
+        shuffle_partitions = max(4, n_cores)
 
     # local mode: run shuffle through tmpfs when available — a single
     # shared VM disk serializes shuffle I/O that real cluster nodes spread

@@ -1,0 +1,155 @@
+"""Weak-scaling + shuffle-accounting evidence for the north rule's N→4N
+criterion (round-2 strengthening, VERDICT item 7).
+
+Protocol: fixed work PER CORE (``WEAK_PER_CORE`` events/core, default
+500k), so local[8] ingests 4M events and local[32] ingests 16M — the
+cluster-realistic question "does per-core throughput survive 4× more
+cores?". Ideal weak scaling keeps wall time constant:
+
+    efficiency = t_N / t_4N          (1.0 = perfect, ≥0.8 = criterion)
+
+Each measurement runs in a fresh JVM (worker subprocess), interleaved
+across repeats so the sandbox's time-varying CPU steal hits both levels
+fairly; best-of-N per level.
+
+Shuffle accounting: the worker re-enables the Spark UI and diffs the REST
+API's per-stage totals (shuffle write/read bytes, input bytes) around the
+measured window. A plan with no super-linear cross-node term must show
+CONSTANT shuffle bytes PER EVENT as cores (and input) grow 4× — that per-
+event constant is what lets the measured per-node rate multiply across a
+real cluster's nodes, where each node brings its own DRAM/disk/NIC
+bandwidth instead of sharing this VM's single memory system.
+
+Usage:
+  python scripts/weak_scaling.py                    # prints one JSON line
+  WEAK_PER_CORE=250000 WEAK_CORES=8,32 WEAK_REPEATS=2 python scripts/weak_scaling.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PER_CORE = int(os.environ.get("WEAK_PER_CORE", "500000"))
+BATCHES = 4
+REPEATS = int(os.environ.get("WEAK_REPEATS", "2"))
+CORES = [int(c) for c in os.environ.get("WEAK_CORES", "8,32").split(",")]
+
+
+def _stage_totals(ui_url: str, app_id: str) -> dict[str, int]:
+    """Sum bytes over all completed stages via the UI REST API."""
+    with urllib.request.urlopen(
+        f"{ui_url}/api/v1/applications/{app_id}/stages?status=complete"
+    ) as r:
+        stages = json.load(r)
+    keys = ("shuffleWriteBytes", "shuffleReadBytes", "inputBytes", "outputBytes")
+    return {k: sum(int(s.get(k, 0)) for s in stages) for k in keys}
+
+
+def worker(cores: int, workdir: str) -> None:
+    from etl_rust_spark.changelog import generate_changelog_spark
+    from etl_rust_spark.operators.apply import apply_changes, create_transcript_table
+    from etl_rust_spark.session import get_spark
+
+    events = cores * PER_CORE
+    spark = get_spark(
+        f"weak-{cores}", master=f"local[{cores}]", shuffle_partitions=cores,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    sc = spark.sparkContext
+    per = events // BATCHES
+    # input scales with cores (weak scaling): generate fresh at this level
+    for i in range(BATCHES):
+        generate_changelog_spark(
+            spark, per, n_conversations=1_000_000, turns_per_conv=64,
+            start=i * per,
+        ).write.mode("overwrite").parquet(os.path.join(workdir, f"in-{cores}-{i}"))
+    # warm codegen/JIT outside the measured window
+    warm = create_transcript_table(
+        spark, os.path.join(workdir, f"warm-{cores}"), n_buckets=8
+    )
+    apply_changes(
+        warm,
+        spark.read.parquet(os.path.join(workdir, f"in-{cores}-0")).limit(10_000),
+        batch_key="warm", mode="mor",
+    )
+    table = create_transcript_table(
+        spark, os.path.join(workdir, f"table-{cores}"), n_buckets=32
+    )
+    before = _stage_totals(sc.uiWebUrl, sc.applicationId)
+    t0 = time.monotonic()
+    for i in range(BATCHES):
+        apply_changes(
+            table,
+            spark.read.parquet(os.path.join(workdir, f"in-{cores}-{i}")),
+            batch_key=f"b{i}",
+            mode="mor",
+        )
+    table.compact()
+    dt = time.monotonic() - t0
+    after = _stage_totals(sc.uiWebUrl, sc.applicationId)
+    d = {k: after[k] - before[k] for k in after}
+    print(json.dumps({
+        "cores": cores,
+        "events": events,
+        "sec": round(dt, 2),
+        "events_per_sec": int(events / dt),
+        "events_per_sec_per_core": int(events / dt / cores),
+        "shuffle_write_bytes": d["shuffleWriteBytes"],
+        "shuffle_read_bytes": d["shuffleReadBytes"],
+        "input_bytes": d["inputBytes"],
+        "shuffle_write_bytes_per_event": round(d["shuffleWriteBytes"] / events, 2),
+        "shuffle_read_bytes_per_event": round(d["shuffleReadBytes"] / events, 2),
+    }))
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "worker":
+        worker(int(sys.argv[2]), sys.argv[3])
+        return
+    lo, hi = CORES
+    workdir = tempfile.mkdtemp(prefix="weak_")
+    try:
+        best: dict[int, dict] = {}
+        runs: dict[int, list] = {lo: [], hi: []}
+        for _ in range(REPEATS):
+            for cores in (lo, hi):
+                for d in (f"table-{cores}", f"warm-{cores}"):
+                    shutil.rmtree(os.path.join(workdir, d), ignore_errors=True)
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "worker",
+                     str(cores), workdir],
+                    capture_output=True, text=True, check=True,
+                )
+                rec = json.loads(out.stdout.strip().splitlines()[-1])
+                runs[cores].append(rec["sec"])
+                if cores not in best or rec["sec"] < best[cores]["sec"]:
+                    best[cores] = rec
+        eff = best[lo]["sec"] / best[hi]["sec"]
+        sw_ratio = (
+            best[hi]["shuffle_write_bytes_per_event"]
+            / max(best[lo]["shuffle_write_bytes_per_event"], 1e-9)
+        )
+        print(json.dumps({
+            "protocol": "weak-scaling (fixed events/core)",
+            "per_core_events": PER_CORE,
+            f"local{lo}": {**best[lo], "all_sec": runs[lo]},
+            f"local{hi}": {**best[hi], "all_sec": runs[hi]},
+            "weak_scaling_efficiency": round(eff, 3),
+            "shuffle_write_per_event_ratio_hi_over_lo": round(sw_ratio, 3),
+        }))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -406,22 +406,9 @@ class IceliteTable:
                     "Convert deletes to tombstones (apply_changes does "
                     "this) or use the anti-join path (seq_col=None)."
                 )
-            tset = set(touched)
-            keep_manifests, rewrite_files = [], []
-            for i, m in enumerate(old_manifests):
-                if tset & set(m["buckets"]):
-                    entries = self._read_manifest(m["name"])
-                    rewrite_files.extend(e for e in entries if e["bucket"] in tset)
-                    survivors = [e for e in entries if e["bucket"] not in tset]
-                    if survivors:
-                        keep_manifests.append(
-                            self._write_manifest_file(
-                                f"manifest-{ptr['seq'] + 1:08d}-r{i:04d}.json",
-                                survivors,
-                            )
-                        )
-                else:
-                    keep_manifests.append(m)
+            keep_manifests, rewrite_files = self._filter_manifests(
+                ptr, set(touched), ptr["seq"] + 1
+            )
 
         try:
 
@@ -593,16 +580,105 @@ class IceliteTable:
             per_bucket[int(r["b"])] = per_bucket.get(int(r["b"]), 0) + n
         return files, total, per_bucket
 
+    def read_changes(self, since_seq: int, until_seq: int | None = None) -> DataFrame:
+        """Incremental change feed: the rows COMMITTED by snapshots
+        (since_seq, until_seq] — the downstream-consumer API (a feature
+        engine or index builder tails the table without rescanning it).
+
+        Reads ONLY the data files those commits added (pure manifest
+        arithmetic, no diffing of row sets), annotated with
+        ``_commit_seq``. Rows include ``__deleted`` tombstones and the
+        ``__lsn`` guard column, so the feed is itself a replayable
+        changelog. Exact for merge-on-read tables (each commit's files
+        ARE the batch winners); compaction commits are skipped (they
+        rewrite, not change); a copy-on-write commit in the range raises
+        — its files mix changed rows with carried-over survivors, so no
+        per-file change feed exists (use mode='mor' for tables with
+        incremental consumers). Retention note: keep_last on
+        expire_snapshots bounds how far back a consumer may resume."""
+        until = self.current_seq() if until_seq is None else until_seq
+        paths, seqs = [], []
+        for s in range(since_seq + 1, until + 1):
+            lp = os.path.join(self._lineage_dir, f"lineage-{s:08d}.json")
+            with open(lp) as f:
+                rec = json.load(f)
+            if rec["source"] == "compact":
+                continue
+            if rec["files_removed"] > 0:
+                raise ValueError(
+                    f"commit {s} is copy-on-write (rewrote files) — "
+                    "incremental change reads require merge-on-read commits"
+                )
+            mp = os.path.join(self._manifest_dir, f"manifest-{s:08d}.json")
+            if not os.path.exists(mp):
+                continue  # commit added no files (all-duplicate batch)
+            entries = self._read_manifest(f"manifest-{s:08d}.json")
+            paths.extend(e["path"] for e in entries)
+            seqs.append(s)
+        schema = T.StructType.fromJson(self.pointer(until)["schema"])
+        if not paths:
+            out = self.spark.createDataFrame([], schema)
+            return out.withColumn("_commit_seq", F.lit(None).cast("long"))
+        df = (
+            self.spark.read.schema(schema)
+            .parquet(*paths)
+            .select(*[f.name for f in schema.fields])
+        )
+        # commit seq recovered from the data layout (data/commit-<seq>/...)
+        return df.withColumn(
+            "_commit_seq",
+            F.regexp_extract(F.input_file_name(), r"commit-(\d{8})/", 1).cast("long"),
+        )
+
     # ------------------------------------------------------------- maintain
-    def compact(self) -> dict:
-        """Rewrite the live file set into one file per bucket (small-file
-        compaction after many micro-batch commits). Also folds ALL
-        manifests into one, resetting the pointer's manifest list —
-        metadata compaction rides data compaction."""
+    def _filter_manifests(self, ptr: dict, tset: set[int], commit_seq: int):
+        """Drop ``tset`` buckets' entries from the manifest list: untouched
+        manifests carry forward by reference; intersecting ones are
+        rewritten filtered. Returns (kept manifests, removed file entries).
+        Shared by CoW merge and partial compaction."""
+        keep, removed = [], []
+        for i, m in enumerate(ptr["manifests"]):
+            if tset & set(m["buckets"]):
+                entries = self._read_manifest(m["name"])
+                removed.extend(e for e in entries if e["bucket"] in tset)
+                survivors = [e for e in entries if e["bucket"] not in tset]
+                if survivors:
+                    keep.append(
+                        self._write_manifest_file(
+                            f"manifest-{commit_seq:08d}-r{i:04d}.json", survivors
+                        )
+                    )
+            else:
+                keep.append(m)
+        return keep, removed
+
+    def compact(self, min_files_per_bucket: int | None = None) -> dict:
+        """Small-file compaction after many micro-batch commits.
+
+        Default: rewrite the whole live file set into one file per bucket
+        and fold ALL manifests into one (metadata compaction rides data
+        compaction). ``min_files_per_bucket``: PARTIAL compaction — only
+        buckets holding more than that many files are rewritten; at 100 TB
+        this is the only affordable policy (whole-table compaction is an
+        O(table) job; partial compaction is O(hot buckets), and MoR dedup
+        is per-key so compacting a bucket subset is always safe)."""
         ptr = self.pointer()
         schema = T.StructType.fromJson(ptr["schema"])
-        df = self.read()
         commit_seq = ptr["seq"] + 1
+        if min_files_per_bucket is not None:
+            per_bucket_files: dict[int, int] = {}
+            for f in self._files(ptr):
+                per_bucket_files[f["bucket"]] = per_bucket_files.get(f["bucket"], 0) + 1
+            target = {b for b, n in per_bucket_files.items() if n > min_files_per_bucket}
+            if not target:
+                return self.snapshot()
+            df = self.read(buckets=target)
+            keep_manifests, removed = self._filter_manifests(ptr, target, commit_seq)
+        else:
+            target = None
+            df = self.read()
+            keep_manifests = []
+            removed = self._files(ptr)
         commit_dir = os.path.join(self.path, _DATA_DIR, f"commit-{commit_seq:08d}")
         bexpr = _bucket_expr(ptr["bucket_key"], ptr["n_buckets"])
         (
@@ -614,17 +690,16 @@ class IceliteTable:
             .parquet(commit_dir)
         )
         new_files, rows_written, per_bucket = self._scan_commit_dir(commit_dir)
-        n_removed = sum(m["n_files"] for m in ptr["manifests"])
         lineage_rec = {
             "commit_seq": commit_seq, "batch_key": None, "source": "compact",
             "n_changes": 0, "n_upserts": 0, "n_deletes": 0,
             "touched_buckets": sorted(per_bucket), "files_added": len(new_files),
-            "files_removed": n_removed, "rows_written": int(rows_written),
+            "files_removed": len(removed), "rows_written": int(rows_written),
             "per_bucket_rows": {str(k): int(v) for k, v in per_bucket.items()},
             "wall_ms": 0.0,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
-        manifests = []
+        manifests = list(keep_manifests)
         if new_files:
             manifests.append(
                 self._write_manifest_file(f"manifest-{commit_seq:08d}.json", new_files)

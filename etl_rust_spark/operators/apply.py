@@ -142,22 +142,38 @@ def create_transcript_table(
 
 
 def renumber_turns(
-    df: DataFrame, key: str = "conv_id", turn_col: str = "turn_idx"
+    df: DataFrame,
+    key: str = "conv_id",
+    turn_col: str = "turn_idx",
+    engine: str = "window",
 ) -> DataFrame:
     """Dense per-conversation turn renumbering (0..n-1 in turn order) —
     the 'turn indices after deletes' fixup a training export needs.
 
-    Grouped-map applyInPandas: one Arrow batch per conversation, pandas
-    body sorts + renumbers. The custom per-group logic slot (SURVEY §2.4
-    UDF surface); the equivalent window expression is oracle-checked by
-    the grouped_map_dense_rank / transcript_export_renumbered queries."""
+    ``engine="window"`` (default): row_number over a keyed window — pure
+    JVM, one shuffle, the scale path. ``engine="grouped_map"``: the same
+    semantics through applyInPandas, kept as the slot for per-group logic
+    a window can't express; measured cost on this box is ~2 ms PER GROUP
+    (Spark 4.1 grouped-map overhead: 100k groups took 213 s where the
+    window twin took 1 s), so at 10^8 conversations the window plan is
+    the only viable one. Both engines are asserted equal in tests."""
+    if engine == "window":
+        from pyspark.sql import Window
+
+        dtype = df.schema[turn_col].dataType
+        w = Window.partitionBy(key).orderBy(turn_col)
+        return df.withColumn(
+            turn_col, (F.row_number().over(w) - 1).cast(dtype)
+        )
     import pandas as pd
 
     schema = df.schema
 
     def op(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(turn_col, kind="stable").reset_index(drop=True)
-        pdf[turn_col] = pd.Series(range(len(pdf)), dtype="int32")
+        pdf[turn_col] = pd.Series(range(len(pdf))).astype(
+            pdf[turn_col].dtype if pdf[turn_col].dtype.kind == "i" else "int32"
+        )
         return pdf
 
     return df.groupBy(key).applyInPandas(op, schema=schema)

@@ -61,6 +61,10 @@ class ChangelogIngest:
     salt_buckets: int | None = None
     mode: str = "cow"  # or "mor": append-delta commits, compact separately
     compact_every: int | None = None  # mor: fold deltas every N batches
+    # partial compaction threshold: only buckets holding more than this
+    # many files rewrite (None = full compaction) — the affordable policy
+    # at scale, where whole-table compaction is an O(table) job
+    compact_min_files: int | None = None
     transform: Callable[[DataFrame], DataFrame] | None = None
     # B9 lifecycle hooks (pre_process/post_process slots,
     # src/etl/processor.rs:46-49): setup/teardown around the query
@@ -113,7 +117,7 @@ class ChangelogIngest:
                 and self.compact_every
                 and rec["commit_seq"] % self.compact_every == 0
             ):
-                table.compact()
+                table.compact(min_files_per_bucket=self.compact_min_files)
 
         base = self.spark.readStream.schema(self.schema).option(
             "maxFilesPerTrigger", self.max_files_per_trigger

@@ -209,3 +209,18 @@ def test_read_transcripts_renumbered(spark, tiny_log, tmp_path):
     sizes = got.groupby("conv_id")["turn_idx"].agg(["min", "max", "count"])
     assert (sizes["min"] == 0).all()
     assert (sizes["max"] == sizes["count"] - 1).all()
+
+
+def test_renumber_engines_agree(spark, tiny_log, tmp_path):
+    """The JVM-window renumber (scale path) and the grouped-map pandas
+    renumber (custom-logic slot) must produce identical results."""
+    from etl_rust_spark.operators.apply import renumber_turns
+
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=8)
+    apply_changes(table, _spark_changelog(spark, tiny_log), batch_key="all")
+    base = read_transcripts(table)
+    a = renumber_turns(base, engine="window").toPandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = renumber_turns(base, engine="grouped_map").toPandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert_pdf_equal(a, b)

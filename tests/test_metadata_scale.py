@@ -119,3 +119,79 @@ def test_seq_agg_merge_rejects_raw_deletes(spark, tmp_path):
     before = table.read().count()
     table.merge(deletes.drop("__lsn"), batch_key="bA")
     assert table.read().count() == before - 3
+
+
+def test_read_changes_incremental_feed(spark, tmp_path):
+    """read_changes((a, b]) returns exactly the rows committed by those
+    snapshots, tagged with _commit_seq — the downstream incremental
+    consumer API. Compaction commits are transparent; CoW commits raise."""
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    for i in range(4):
+        apply_changes(table, _batch(spark, i, n=10), batch_key=f"b{i}", mode="mor")
+    feed = table.read_changes(since_seq=2).toPandas()
+    assert set(feed["_commit_seq"]) == {3, 4}
+    assert len(feed) == 20  # 10 winners per batch (keys distinct per batch? same keys -> 10 each)
+    # each commit's rows carry that commit's lsn namespace
+    assert (feed[feed["_commit_seq"] == 3]["__lsn"] // 1000 == 2).all()
+    # compaction in range is skipped, not fed
+    table.compact()
+    feed2 = table.read_changes(since_seq=2).toPandas()
+    assert set(feed2["_commit_seq"]) == {3, 4}
+    # full-range feed replays to the table's final state
+    full = table.read_changes(since_seq=0)
+    from etl_rust_spark.lake.format import _dedup_by_seq
+    from pyspark.sql import types as T
+
+    ptr = table.pointer()
+    schema = T.StructType.fromJson(ptr["schema"])
+    replayed = _dedup_by_seq(
+        full.drop("_commit_seq"), ptr["key_cols"], "__lsn", schema
+    ).toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    state = table.read().toPandas().sort_values(
+        ["conv_id", "turn_idx"]
+    ).reset_index(drop=True)
+    assert replayed.equals(state)
+    # a CoW commit breaks per-file change identity -> must raise
+    apply_changes(table, _batch(spark, 9, n=4), batch_key="cow", mode="cow")
+    with pytest.raises(ValueError, match="copy-on-write"):
+        table.read_changes(since_seq=0)
+    # ...but a range ending before it still works
+    assert set(table.read_changes(0, until_seq=4).toPandas()["_commit_seq"]) == {1, 2, 3, 4}
+
+
+def test_partial_compaction_only_hot_buckets(spark, tmp_path):
+    """compact(min_files_per_bucket=k) rewrites only over-fragmented
+    buckets; cold buckets' files and manifests carry forward untouched,
+    and the table state is unchanged."""
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    # conv-0..4 hash into some buckets; 6 commits fragment all touched buckets
+    for i in range(6):
+        apply_changes(table, _batch(spark, i, n=20), batch_key=f"b{i}", mode="mor")
+    before_state = table.read().toPandas().sort_values(
+        ["conv_id", "turn_idx"]
+    ).reset_index(drop=True)
+    files_before = table.snapshot()["files"]
+    per_bucket = {}
+    for f in files_before:
+        per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+    hot = {b for b, n in per_bucket.items() if n > 4}
+    cold = set(per_bucket) - hot
+    assert hot, "fixture should fragment at least one bucket"
+    table.compact(min_files_per_bucket=4)
+    files_after = table.snapshot()["files"]
+    after_per_bucket = {}
+    for f in files_after:
+        after_per_bucket[f["bucket"]] = after_per_bucket.get(f["bucket"], 0) + 1
+    for b in hot:
+        assert after_per_bucket[b] < per_bucket[b]  # hot buckets folded
+    cold_paths_before = {f["path"] for f in files_before if f["bucket"] in cold}
+    cold_paths_after = {f["path"] for f in files_after if f["bucket"] in cold}
+    assert cold_paths_before == cold_paths_after  # cold files untouched
+    after_state = table.read().toPandas().sort_values(
+        ["conv_id", "turn_idx"]
+    ).reset_index(drop=True)
+    assert before_state.equals(after_state)
+    # no-op when nothing exceeds the threshold
+    seq = table.current_seq()
+    table.compact(min_files_per_bucket=10_000)
+    assert table.current_seq() == seq

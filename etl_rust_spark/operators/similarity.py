@@ -215,6 +215,108 @@ def rh_lsh_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the second ANN scale path
+    next to LSH (the task brief names exactly these two).
+
+    1. **Centroids**: the first ``n_centroids`` vectors stand in for
+       k-means-trained centroids (deterministic → oracle-checkable; in
+       production you'd train on a sample — the plan below is identical
+       either way). They are collected to the driver (K×dim floats,
+       bounded metadata, NOT a data-path collect) and embedded as literal
+       arrays, so per-row assignment is K inline JVM dot products — no
+       row multiplication, no shuffle.
+    2. **Assignment**: each corpus vector goes to its max-cosine centroid
+       (ties → lowest centroid id). At scale this list is the partition
+       key: the corpus is written bucketed by centroid.
+    3. **Probe**: each query searches only its ``nprobe`` nearest
+       centroids' lists — candidate volume ≈ nprobe/K of the corpus —
+       then exact-cosine reranks.
+    """
+    cents = sorted(
+        embeddings.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect(),
+        key=lambda r: r[id_col],
+    )
+
+    def cent_cos(cid: int) -> str:
+        vals = [float(v) for v in cents[cid][vec_col]]
+        arr = "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + ")"
+        dot = (
+            f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y),"
+            f" CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+        )
+        self_dot = (
+            f"aggregate(zip_with({vec_col}, {vec_col},"
+            f" (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            f" CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+        )
+        # centroid norm precomputed in float64 with the same left-to-right
+        # fold DuckDB's list_sum uses, so the oracle reproduces it exactly
+        sq = 0.0
+        for v in vals:
+            sq += v * v
+        norm_c = sq ** 0.5
+        return f"({dot}) / (sqrt({self_dot}) * CAST({norm_c!r} AS DOUBLE))"
+
+    # (cos, -cid) struct-max picks max cosine, ties -> lowest centroid id
+    assign = F.greatest(
+        *[
+            F.struct(
+                F.expr(cent_cos(c)).alias("c"), F.lit(-c).alias("negid")
+            )
+            for c in range(n_centroids)
+        ]
+    )
+    assigned = embeddings.select(
+        F.col(id_col), F.col(vec_col), (-assign["negid"]).cast("int").alias("cid")
+    )
+    # query probes: top-nprobe centroids by (cos desc, cid asc)
+    probe_structs = F.array(
+        *[
+            F.struct((-F.expr(cent_cos(c))).alias("negc"), F.lit(c).alias("cid"))
+            for c in range(n_centroids)
+        ]
+    )
+    q = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.explode(
+                F.slice(F.array_sort(probe_structs), 1, nprobe)
+            ).alias("p"),
+        )
+        .select("query_id", "qvec", F.col("p.cid").alias("qcid"))
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(q),
+            (F.col("cid") == F.col("qcid")) & (F.col(id_col) != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine("qvec", vec_col), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -935,6 +935,60 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+_IVF_K, _IVF_NPROBE = 16, 4
+
+
+@query(
+    "ann_ivf_topk",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cvec,
+             sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                  i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS cnorm
+      FROM embeddings WHERE vec_id < {_IVF_K}),
+    scored_cents AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+        (list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE)))
+        / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) * c.cnorm) AS ccos
+      FROM embeddings e, cents c),
+    assigned AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT *, row_number() OVER
+          (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+        FROM scored_cents) WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS qcid FROM (
+        SELECT vec_id, cid, row_number() OVER
+          (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+        FROM scored_cents
+        WHERE vec_id IN ({", ".join(map(str, _ANN_QUERY_IDS))}))
+      WHERE rn <= {_IVF_NPROBE}),
+    s AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             round({_cos_sql("qe.embedding", "a.embedding")}, 6) AS cos_sim
+      FROM assigned a
+        JOIN probes p ON a.cid = p.qcid AND a.vec_id <> p.query_id
+        JOIN embeddings qe ON qe.vec_id = p.query_id)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER
+            (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM s)
+    WHERE rank <= 5
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (the brief's second scale path next to LSH): assign every
+    vector to its nearest centroid with K inline JVM dot products (no row
+    multiplication), probe the query's nprobe nearest lists, exact-cosine
+    rerank. Oracle rebuilds the same assignment from the table itself."""
+    return sim.ivf_topk(
+        _t(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS,
+        k=5, n_centroids=_IVF_K, nprobe=_IVF_NPROBE,
+    )
+
+
 @query(
     "embedding_bucket_stats",
     """
@@ -1255,6 +1309,67 @@ def q18_large_orders(spark, sf_dir):
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "o_orderkey", _EPOCH("o_orderdate").alias("orderdate_epoch"))
         .agg(F.sum(qty).cast("double").alias("total_qty"))
+    )
+
+
+@query(
+    "q4_order_priority",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: date-filtered orders EXISTS-semi-joined against
+    their late-shipped lineitems (shipped >90 days after order date — the
+    correlated predicate references BOTH sides, a non-equi condition
+    riding the semi-join), counted by priority."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    late = (l.l_orderkey == o.o_orderkey) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(l, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "scd2_event_intervals",
+    """
+    SELECT user_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_epoch,
+           CAST(floor(epoch(lead(ts) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS valid_to_epoch,
+           CAST(CASE WHEN lead(ts) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS INTEGER) AS is_current
+    FROM events
+    """,
+)
+def scd2_event_intervals(spark, sf_dir):
+    """SCD2 history shape (the CDC-history twin of the upsert sink): each
+    event becomes a [valid_from, valid_to) interval per key via lead();
+    the open interval is flagged current. One keyed-window shuffle."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead(F.col("ts").cast("timestamp").cast("long")).over(w)
+    return e.select(
+        "user_id",
+        "event_type",
+        _EPOCH("ts").alias("valid_from_epoch"),
+        nxt.alias("valid_to_epoch"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
     )
 
 

@@ -86,3 +86,17 @@ def test_hyperplanes_deterministic_and_seed_varied():
     assert all(-1.0 <= v <= 1.0 for v in flat)
     # not degenerate: both signs present (fixed-coordinate LSH's failure)
     assert min(flat) < 0 < max(flat)
+
+
+def test_ivf_recall_neardup_regime(spark, planted):
+    """IVF recall vs brute force on the planted fixture: measured curve
+    nprobe 2/4/6/8 → 0.775/0.875/0.975/1.000 at K=16 untrained centroids;
+    assert the ≥0.9 point (nprobe=6). With k-means-trained centroids and
+    production K the probed fraction drops far below 6/16."""
+    qids = list(range(0, 100, 10))
+    brute = _topk_sets(sim.brute_force_topk(planted, qids, k=4))
+    ivf = _topk_sets(
+        sim.ivf_topk(planted, qids, k=4, n_centroids=16, nprobe=6)
+    )
+    hits = sum(len(brute[q] & ivf.get(q, set())) for q in qids)
+    assert hits / (4 * len(qids)) >= 0.9

@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "token_stats",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "dedup_ngram_jaccard",
     "transcript_export_renumbered",
     "explode_embeddings",

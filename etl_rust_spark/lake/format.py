@@ -611,6 +611,13 @@ class IceliteTable:
                 )
             mp = os.path.join(self._manifest_dir, f"manifest-{s:08d}.json")
             if not os.path.exists(mp):
+                if rec["files_added"] > 0:
+                    raise ValueError(
+                        f"changes for commit {s} have been expired "
+                        "(compaction folded them and expire_snapshots "
+                        "removed the originals) — incremental consumers "
+                        "must resume within the retention window"
+                    )
                 continue  # commit added no files (all-duplicate batch)
             entries = self._read_manifest(f"manifest-{s:08d}.json")
             paths.extend(e["path"] for e in entries)

@@ -195,3 +195,53 @@ def test_partial_compaction_only_hot_buckets(spark, tmp_path):
     seq = table.current_seq()
     table.compact(min_files_per_bucket=10_000)
     assert table.current_seq() == seq
+
+
+def test_crash_between_metadata_writes_is_recoverable(spark, tmp_path, monkeypatch):
+    """The pointer hard-link is the single commit point: a crash AFTER the
+    data files + lineage + manifest are written but BEFORE the pointer
+    lands must leave the table unchanged, and a retry of the same batch
+    must succeed cleanly (orphans from the failed attempt are overwritten
+    or ignored)."""
+    from etl_rust_spark.lake import format as fmt
+
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_changes(table, _batch(spark, 0, n=6), batch_key="b0", mode="mor")
+    seq_before = table.current_seq()
+    state_before = table.read().toPandas()
+
+    real_commit_pointer = fmt._commit_pointer
+
+    def crash(*a, **k):
+        raise RuntimeError("simulated crash before pointer link")
+
+    monkeypatch.setattr(fmt, "_commit_pointer", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        apply_changes(table, _batch(spark, 1, n=6), batch_key="b1", mode="mor")
+    monkeypatch.setattr(fmt, "_commit_pointer", real_commit_pointer)
+
+    # table unchanged: same seq, same state, ledger without b1
+    fresh = IceliteTable.load(spark, str(tmp_path / "t"))
+    assert fresh.current_seq() == seq_before
+    assert fresh.read().toPandas().equals(state_before)
+    assert not fresh.is_applied("b1")
+    # lineage() filters the orphan record by commit_seq
+    assert fresh.lineage().count() == seq_before
+
+    # retry commits cleanly over the orphans
+    rec = apply_changes(fresh, _batch(spark, 1, n=6), batch_key="b1", mode="mor")
+    assert rec is not None and rec["commit_seq"] == seq_before + 1
+    assert fresh.is_applied("b1")
+    assert fresh.read().count() == 6  # same 6 keys upserted
+    feed = fresh.read_changes(0).toPandas()
+    assert sorted(set(feed["_commit_seq"])) == [1, 2]
+
+
+def test_read_changes_expired_range_raises_clearly(spark, tmp_path):
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=2)
+    for i in range(3):
+        apply_changes(table, _batch(spark, i, n=6), batch_key=f"b{i}", mode="mor")
+    table.compact()
+    table.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="expired"):
+        table.read_changes(0)

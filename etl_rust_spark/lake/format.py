@@ -271,11 +271,13 @@ class IceliteTable:
         return df
 
     def read_keys(self, values, seq: int | None = None) -> DataFrame:
-        """Point/key lookup with bucket pruning: only the data files whose
-        bucket can contain the requested ``bucket_key`` values are read —
-        at n_buckets=4096 a single-conversation lookup touches ~1/4096 of
-        the table's files, no full scan. ``values`` is an iterable of
-        bucket-key values (e.g. conv_ids)."""
+        """Point/key lookup with two-level pruning: (1) bucket pruning —
+        only files in the requested keys' hash buckets; (2) data skipping —
+        within a bucket, only files whose [kmin, kmax] key range can
+        contain a requested value (per-file stats collected at commit
+        time; files are sorted by the order columns so ranges are tight).
+        At n_buckets=4096 a single-conversation lookup touches ~1/4096 of
+        the table's files, then usually ONE file of that bucket."""
         ptr = self.pointer(seq)
         n_buckets = ptr["n_buckets"]
         vals = list(values)
@@ -284,7 +286,25 @@ class IceliteTable:
             [(v,) for v in vals], f"{ptr['bucket_key']} string"
         ).select(_bucket_expr(ptr["bucket_key"], n_buckets).alias("b"))
         buckets = {int(r["b"]) for r in one.collect()}
-        df = self.read(seq=seq, buckets=buckets)
+        files = [f for f in self._files(ptr) if f["bucket"] in buckets]
+        pruned = [
+            f for f in files
+            if "kmin" not in f  # pre-stats manifests: can't skip, must read
+            or any(f["kmin"] <= v <= f["kmax"] for v in vals)
+        ]
+        schema = T.StructType.fromJson(ptr["schema"])
+        if not pruned:
+            return self.spark.createDataFrame([], schema)
+        df = (
+            self.spark.read.schema(schema)
+            .parquet(*[f["path"] for f in pruned])
+            .select(*[fld.name for fld in schema.fields])
+        )
+        # the skipped files cannot hold these keys, so max-LSN dedup over
+        # the pruned subset is still last-writer-correct per key
+        has_delta = any(f.get("kind", "base") == "delta" for f in pruned)
+        if has_delta and ptr.get("seq_col"):
+            df = _dedup_by_seq(df, ptr["key_cols"], ptr["seq_col"], schema)
         return df.filter(F.col(ptr["bucket_key"]).isin(vals))
 
     def lineage(self) -> DataFrame:
@@ -554,9 +574,12 @@ class IceliteTable:
 
     def _scan_commit_dir(self, commit_dir: str):
         """Per-file stats for a freshly written commit dir, computed as a
-        DISTRIBUTED footer scan (groupBy input_file_name over a zero-column
-        projection — Spark answers it from row-group metadata), replacing
-        the serial driver-side pyarrow loop of v1."""
+        DISTRIBUTED scan (groupBy input_file_name), replacing the serial
+        driver-side pyarrow loop of v1. Also collects min/max of the
+        bucket key per file — Iceberg-style data-skipping stats, used by
+        ``read_keys`` to prune files WITHIN a bucket (files are written
+        sorted by the order columns, so key ranges per file are tight)."""
+        bucket_key = self.pointer()["bucket_key"]
         try:
             df = self.spark.read.parquet(commit_dir)
         except Exception:
@@ -565,7 +588,11 @@ class IceliteTable:
             df.groupBy(
                 F.input_file_name().alias("path"), F.col("__bucket").alias("b")
             )
-            .count()
+            .agg(
+                F.count("*").alias("count"),
+                F.min(bucket_key).alias("kmin"),
+                F.max(bucket_key).alias("kmax"),
+            )
             .collect()
         )
         files, total, per_bucket = [], 0, {}
@@ -574,7 +601,13 @@ class IceliteTable:
             if n == 0:
                 continue
             files.append(
-                {"path": _local_path(r["path"]), "bucket": int(r["b"]), "rows": n}
+                {
+                    "path": _local_path(r["path"]),
+                    "bucket": int(r["b"]),
+                    "rows": n,
+                    "kmin": r["kmin"],
+                    "kmax": r["kmax"],
+                }
             )
             total += n
             per_bucket[int(r["b"])] = per_bucket.get(int(r["b"]), 0) + n

@@ -245,3 +245,25 @@ def test_read_changes_expired_range_raises_clearly(spark, tmp_path):
     table.expire_snapshots(keep_last=1)
     with pytest.raises(ValueError, match="expired"):
         table.read_changes(0)
+
+
+def test_file_skipping_stats_prune_within_bucket(spark, tmp_path):
+    """Per-file kmin/kmax stats: a point lookup must read fewer files
+    than its whole bucket holds when the bucket's files cover disjoint
+    key ranges, and still return exactly the right rows."""
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=1)
+    # one bucket, 3 commits with DISJOINT conv ranges -> 3 files, ranges tight
+    for i, convs in enumerate([("a",), ("m",), ("z",)]):
+        rows = [(f"conv-{c}{j}", j, "user", f"t{j}", None, None, i * 100 + j, "U")
+                for c in convs for j in range(5)]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string, "
+                  "tool string, ts timestamp, lsn long, op string")
+        apply_changes(table, df, batch_key=f"b{i}", mode="mor")
+    files = table.snapshot()["files"]
+    assert len(files) >= 3 and all("kmin" in f for f in files)
+    got = table.read_keys(["conv-z0"]).toPandas()
+    assert set(got["conv_id"]) == {"conv-z0"} and len(got) == 1
+    # pruning check: only files whose range covers 'conv-z0' are eligible
+    eligible = [f for f in files if f["kmin"] <= "conv-z0" <= f["kmax"]]
+    assert len(eligible) < len(files)

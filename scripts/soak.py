@@ -34,6 +34,10 @@ def main() -> None:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     per_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
     compact_every = 5
+    # partial compaction: only buckets with more than this many files
+    # rewrite (unset = full compaction each cycle)
+    min_files = os.environ.get("SOAK_COMPACT_MIN_FILES")
+    min_files = int(min_files) if min_files else None
     spark = get_spark("soak")
     work = tempfile.mkdtemp(prefix="soak_")
     try:
@@ -47,7 +51,7 @@ def main() -> None:
             t0 = time.monotonic()
             apply_changes(table, batch, batch_key=f"soak:{i}", mode="mor")
             if (i + 1) % compact_every == 0:
-                table.compact()
+                table.compact(min_files_per_bucket=min_files)
                 table.expire_snapshots(keep_last=3)
             latencies.append(round(time.monotonic() - t0, 2))
             file_counts.append(len(table.snapshot()["files"]))

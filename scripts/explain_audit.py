@@ -32,6 +32,11 @@ CHECKS = {
     "ann_cosine_topk": (["BroadcastNestedLoopJoin"], []),  # bounded: corpus x |queries|=5
     "ann_lsh_topk": ([], ["CartesianProduct"]),
     "topk_per_group": (["Window"], ["CartesianProduct"]),
+    "q4_order_priority": (["LeftSemi", "partial_count"], ["CartesianProduct"]),
+    "scd2_event_intervals": (["Window"], ["CartesianProduct", "Generate"]),
+    "ann_ivf_topk": ([], ["CartesianProduct"]),
+    "dedup_ngram_jaccard": ([], ["CartesianProduct"]),
+    "transcript_export_renumbered": (["FlatMapGroupsInPandas"], ["CartesianProduct"]),
     "pivot_event_counts": (["partial_pivot", "Exchange hashpartitioning(user_id"], []),
     "token_stats": (["partial_sum"], []),
 }

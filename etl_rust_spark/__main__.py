@@ -1,0 +1,168 @@
+"""spark-submit entrypoint: the engine as a deployable job.
+
+    zip -r etl_rust_spark.zip etl_rust_spark
+    spark-submit --py-files etl_rust_spark.zip -m etl_rust_spark \\
+        ingest --wal-dir /data/wal --table /lake/transcripts \\
+               --checkpoint /ckpt/transcripts --mode mor \\
+               --compact-every 16 --compact-min-files 8 [--follow]
+
+Subcommands map 1:1 onto the library surface (the reference's example
+binary plays the same role for its pipeline, /root/reference/example/src/
+main.rs:641-706):
+
+- ``create``   — create the transcripts sink table
+- ``ingest``   — tail WAL segments into the table (drain once, or
+                 ``--follow`` to keep running until SIGTERM)
+- ``compact``  — fold delta files (optionally only over-fragmented buckets)
+- ``expire``   — garbage-collect snapshots past the retention window
+- ``lineage``  — print the per-commit lineage ledger
+- ``changes``  — print the incremental change feed since a snapshot
+
+On a real cluster, pass ``--master``/executor confs to spark-submit as
+usual; this module only configures job semantics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark(args):
+    from etl_rust_spark.session import get_spark
+
+    return get_spark(f"etl-rust-spark:{args.cmd}")
+
+
+def cmd_create(args) -> int:
+    from etl_rust_spark.operators.apply import create_transcript_table
+
+    create_transcript_table(
+        _spark(args), args.table, n_buckets=args.n_buckets
+    )
+    print(f"created {args.table} (n_buckets={args.n_buckets})")
+    return 0
+
+
+def cmd_ingest(args) -> int:
+    from etl_rust_spark.changelog import (
+        CHANGELOG_SCHEMA,
+        CHANGELOG_SCHEMA_EVOLVED,
+    )
+    from etl_rust_spark.streaming.driver import ChangelogIngest
+
+    schema = CHANGELOG_SCHEMA_EVOLVED if args.evolved else CHANGELOG_SCHEMA
+    pipe = ChangelogIngest(
+        spark=_spark(args),
+        wal_dir=args.wal_dir,
+        table_path=args.table,
+        checkpoint_dir=args.checkpoint,
+        schema=schema,
+        name=args.name,
+        wal_format=args.wal_format,
+        mode=args.mode,
+        max_files_per_trigger=args.max_files_per_trigger,
+        compact_every=args.compact_every,
+        compact_min_files=args.compact_min_files,
+        salt_buckets=args.salt_buckets,
+    )
+    if args.follow:
+        q = pipe.start()
+        q.awaitTermination()
+    else:
+        pipe.run_available()
+    return 0
+
+
+def cmd_compact(args) -> int:
+    from etl_rust_spark.lake.format import IceliteTable
+
+    t = IceliteTable.load(_spark(args), args.table)
+    snap = t.compact(min_files_per_bucket=args.min_files_per_bucket)
+    print(f"compacted to seq {snap['seq']} ({len(snap['files'])} live files)")
+    return 0
+
+
+def cmd_expire(args) -> int:
+    from etl_rust_spark.lake.format import IceliteTable
+
+    t = IceliteTable.load(_spark(args), args.table)
+    removed = t.expire_snapshots(keep_last=args.keep_last)
+    print(f"removed {len(removed)} files")
+    return 0
+
+
+def cmd_lineage(args) -> int:
+    from etl_rust_spark.lake.format import IceliteTable
+
+    t = IceliteTable.load(_spark(args), args.table)
+    t.lineage().orderBy("commit_seq").show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_changes(args) -> int:
+    from etl_rust_spark.lake.format import IceliteTable
+
+    t = IceliteTable.load(_spark(args), args.table)
+    t.read_changes(args.since).orderBy("_commit_seq").show(
+        args.limit, truncate=False
+    )
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="etl_rust_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("create", help="create the transcripts sink table")
+    c.add_argument("--table", required=True)
+    c.add_argument("--n-buckets", type=int, default=32)
+    c.set_defaults(fn=cmd_create)
+
+    i = sub.add_parser("ingest", help="tail WAL segments into the table")
+    i.add_argument("--wal-dir", required=True)
+    i.add_argument("--table", required=True)
+    i.add_argument("--checkpoint", required=True)
+    i.add_argument("--name", default="transcripts_ingest")
+    i.add_argument("--wal-format", choices=["parquet", "json"], default="parquet")
+    i.add_argument("--mode", choices=["cow", "mor"], default="mor")
+    i.add_argument("--max-files-per-trigger", type=int, default=1)
+    i.add_argument("--compact-every", type=int, default=None)
+    i.add_argument("--compact-min-files", type=int, default=None)
+    i.add_argument("--salt-buckets", type=int, default=None)
+    i.add_argument("--evolved", action="store_true",
+                   help="WAL schema includes the evolved meta column")
+    i.add_argument("--follow", action="store_true",
+                   help="keep tailing (default: drain available and exit)")
+    i.set_defaults(fn=cmd_ingest)
+
+    k = sub.add_parser("compact", help="fold delta files")
+    k.add_argument("--table", required=True)
+    k.add_argument("--min-files-per-bucket", type=int, default=None)
+    k.set_defaults(fn=cmd_compact)
+
+    e = sub.add_parser("expire", help="expire old snapshots")
+    e.add_argument("--table", required=True)
+    e.add_argument("--keep-last", type=int, default=2)
+    e.set_defaults(fn=cmd_expire)
+
+    ln = sub.add_parser("lineage", help="show the lineage ledger")
+    ln.add_argument("--table", required=True)
+    ln.add_argument("--limit", type=int, default=50)
+    ln.set_defaults(fn=cmd_lineage)
+
+    ch = sub.add_parser("changes", help="show the incremental change feed")
+    ch.add_argument("--table", required=True)
+    ch.add_argument("--since", type=int, default=0)
+    ch.add_argument("--limit", type=int, default=50)
+    ch.set_defaults(fn=cmd_changes)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

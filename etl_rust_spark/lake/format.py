@@ -72,7 +72,8 @@ _TAIL_MAX = 64  # applied-ledger keys kept inline in the pointer
 
 LINEAGE_SCHEMA = (
     "commit_seq long, batch_key string, source string, n_changes long, "
-    "n_upserts long, n_deletes long, touched_buckets array<int>, "
+    "n_upserts long, n_deletes long, lsn_min long, lsn_max long, "
+    "touched_buckets array<int>, "
     "files_added int, files_removed int, rows_written long, "
     "per_bucket_rows map<string,long>, wall_ms double, committed_at string"
 )
@@ -404,6 +405,10 @@ class IceliteTable:
                 observation,
                 F.count(F.lit(1)).alias("rows"),
                 F.sum(F.when(is_delete, 1).otherwise(0)).alias("dels"),
+                # source-offset range (the changelog's own coordinates) —
+                # rides the write job, costs nothing extra
+                F.min(seq_col).alias("lsn_min"),
+                F.max(seq_col).alias("lsn_max"),
             )
             touched = None
             keep_manifests, rewrite_files = list(old_manifests), []
@@ -411,13 +416,24 @@ class IceliteTable:
             # CoW needs the touched-bucket set BEFORE reading old files →
             # one stats pass over the (cached) batch
             ch = ch.persist()
+            lsn_aggs = (
+                [F.min(seq_col).alias("lmin"), F.max(seq_col).alias("lmax")]
+                if seq_col is not None
+                else []
+            )
             stats = ch.groupBy("__bucket").agg(
                 F.count("*").alias("rows"),
                 F.sum(F.when(is_delete, 1).otherwise(0)).alias("dels"),
+                *lsn_aggs,
             ).collect()
             touched = sorted(int(r["__bucket"]) for r in stats)
             n_changes = sum(r["rows"] for r in stats)
             n_deletes = sum(r["dels"] for r in stats)
+            if seq_col is not None and stats:
+                lsn_min = min(r["lmin"] for r in stats)
+                lsn_max = max(r["lmax"] for r in stats)
+            else:
+                lsn_min = lsn_max = None
             if seq_col is not None and n_deletes > 0 and not has_tombstones:
                 ch.unpersist()
                 raise ValueError(
@@ -490,10 +506,12 @@ class IceliteTable:
                 try:
                     m = observation.get
                     n_changes, n_deletes = int(m["rows"]), int(m["dels"] or 0)
+                    lsn_min, lsn_max = m["lsn_min"], m["lsn_max"]
                 except Exception:
                     # a statically-empty batch folds the observe node out
                     # of the plan entirely (no tasks ran, nothing written)
                     n_changes, n_deletes = int(rows_written), 0
+                    lsn_min = lsn_max = None
             n_upserts = n_changes - n_deletes
         finally:
             if mode != "mor":
@@ -506,6 +524,8 @@ class IceliteTable:
             "n_changes": int(n_changes),
             "n_upserts": int(n_upserts),
             "n_deletes": int(n_deletes),
+            "lsn_min": int(lsn_min) if lsn_min is not None else None,
+            "lsn_max": int(lsn_max) if lsn_max is not None else None,
             "touched_buckets": touched,
             "files_added": len(new_files),
             "files_removed": len(rewrite_files),

@@ -140,6 +140,11 @@ def test_time_travel_and_lineage(spark, tiny_log, tmp_path):
     assert list(lin.batch_key) == ["b0", "b1", "b2"]
     assert (lin.n_changes > 0).all()
     assert lin.per_bucket_rows.map(len).gt(0).all()
+    # source-offset (lsn) range of each commit's APPLIED winners is
+    # recorded; the newest event always wins its key, so the final
+    # commit's lsn_max reaches the log's tail offset
+    assert (lin.lsn_min <= lin.lsn_max).all() and lin.lsn_min.notna().all()
+    assert lin.lsn_max.max() == tiny_log.lsn.max()
     assert table.applied_batches() == {"b0": 1, "b1": 2, "b2": 3}
 
 

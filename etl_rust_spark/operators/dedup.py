@@ -148,6 +148,65 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Cluster ids from near-duplicate PAIR edges — the step a dedup
+    pipeline actually consumes (keep min-id per component, drop the rest).
+
+    Min-label propagation: every node starts labeled with itself; each
+    round every node takes the min of its own and its neighbors' labels;
+    converged when no label changes. Rounds needed = graph diameter —
+    near-dup components are clique-ish (diameter ~2-3). Each round is one
+    join + one aggregation, labels localCheckpoint'ed so the plan doesn't
+    grow; edges carry only (id, id) — at 10^9 docs the label table is one
+    long column, never the text.
+
+    Returns (doc_id, cluster_id) for every node that appears in an edge
+    (singletons aren't dup-group members by definition)."""
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionAll(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    ).distinct().persist()
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        incoming = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(incoming, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """Per-doc SimHash fingerprint (bit-vote over word hashes).
 

@@ -215,6 +215,68 @@ def rh_lsh_topk(
     )
 
 
+def train_centroids(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd's k-means for IVF centroids — the iterative-algorithm slot.
+
+    Driver-loop pattern sized for 10^9 vectors: per round, the k centroids
+    (k×dim floats — bounded metadata) are embedded as literal arrays, so
+    assignment is k inline JVM distance expressions over one corpus scan
+    (argmin ‖v−c‖² == argmax 2·v·c − ‖c‖², no row multiplication); the
+    mean update is one posexplode + groupBy((cid, dim)) returning k×dim
+    rows to the driver. Deterministic: init = lowest-id k vectors, ties in
+    assignment break to the lowest centroid id."""
+    cents = [
+        [float(x) for x in r[vec_col]]
+        for r in sorted(
+            embeddings.filter(F.col(id_col) < k).select(id_col, vec_col).collect(),
+            key=lambda r: r[id_col],
+        )
+    ]
+    for _ in range(iters):
+        scores = []
+        for cid, c in enumerate(cents):
+            arr = "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in c) + ")"
+            dot = (
+                f"aggregate(zip_with({vec_col}, {arr},"
+                f" (x, y) -> CAST(x AS DOUBLE) * y),"
+                f" CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+            )
+            c2 = sum(v * v for v in c)
+            scores.append(
+                F.struct(
+                    (2.0 * F.expr(dot) - F.lit(c2)).alias("s"),
+                    F.lit(-cid).alias("negid"),
+                )
+            )
+        # two-step select: combining the struct-greatest accessor with
+        # posexplode in ONE select trips Spark 4.1's analyzer (struct
+        # field names degrade to col1/col2 under the Generate rewrite)
+        assigned = embeddings.select(
+            (-F.greatest(*scores)["negid"]).cast("int").alias("cid"),
+            F.col(vec_col),
+        ).select("cid", F.posexplode(vec_col).alias("dim", "x"))
+        means = (
+            assigned.groupBy("cid", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]  # empty clusters keep their centroid
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(int(r["cid"]), {})[int(r["dim"])] = float(r["m"])
+        for cid, dims in by_cid.items():
+            for d, m in dims.items():
+                new[cid][d] = m
+        cents = new
+    return cents
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -223,17 +285,18 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the second ANN scale path
     next to LSH (the task brief names exactly these two).
 
-    1. **Centroids**: the first ``n_centroids`` vectors stand in for
-       k-means-trained centroids (deterministic → oracle-checkable; in
-       production you'd train on a sample — the plan below is identical
-       either way). They are collected to the driver (K×dim floats,
-       bounded metadata, NOT a data-path collect) and embedded as literal
-       arrays, so per-row assignment is K inline JVM dot products — no
-       row multiplication, no shuffle.
+    1. **Centroids**: ``centroids`` (e.g. from ``train_centroids``), or
+       by default the first ``n_centroids`` vectors (deterministic →
+       oracle-checkable; the plan is identical either way). They are
+       collected to the driver (K×dim floats, bounded metadata, NOT a
+       data-path collect) and embedded as literal arrays, so per-row
+       assignment is K inline JVM dot products — no row multiplication,
+       no shuffle.
     2. **Assignment**: each corpus vector goes to its max-cosine centroid
        (ties → lowest centroid id). At scale this list is the partition
        key: the corpus is written bucketed by centroid.
@@ -241,15 +304,20 @@ def ivf_topk(
        centroids' lists — candidate volume ≈ nprobe/K of the corpus —
        then exact-cosine reranks.
     """
-    cents = sorted(
-        embeddings.filter(F.col(id_col) < n_centroids)
-        .select(id_col, vec_col)
-        .collect(),
-        key=lambda r: r[id_col],
-    )
+    if centroids is None:
+        centroids = [
+            [float(v) for v in r[vec_col]]
+            for r in sorted(
+                embeddings.filter(F.col(id_col) < n_centroids)
+                .select(id_col, vec_col)
+                .collect(),
+                key=lambda r: r[id_col],
+            )
+        ]
+    n_centroids = len(centroids)
 
     def cent_cos(cid: int) -> str:
-        vals = [float(v) for v in cents[cid][vec_col]]
+        vals = centroids[cid]
         arr = "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + ")"
         dot = (
             f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y),"

@@ -740,6 +740,37 @@ def _minhash_oracle(n_hashes=8, bands=4, shingle_n=3, tau=0.35):
     """
 
 
+def _cluster_oracle():
+    """Connected components over the MinHash near-dup pairs, via DuckDB's
+    recursive CTE: enumerate every (node, reachable-node) pair on the
+    bidirected edge set; the component id is the min reachable node."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    walk(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node)
+    SELECT node AS doc_id, MIN(label) AS cluster_id
+    FROM walk GROUP BY node
+    """
+
+
+@query("dedup_clusters", _cluster_oracle())
+def dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER ids (what the keep-one-per-group dedup step
+    consumes): MinHash+LSH pairs → connected components by min-label
+    propagation (iterative, one join+agg per round, converges in
+    graph-diameter rounds). Oracle: DuckDB recursive-CTE reachability."""
+    pairs = dd.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        n_hashes=8, bands=4, shingle_n=3, jaccard_threshold=0.35,
+    )
+    return dd.connected_components(pairs)
+
+
 @query("dedup_minhash_lsh", _minhash_oracle())
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join),
@@ -986,6 +1017,53 @@ def ann_ivf_topk(spark, sf_dir):
     return sim.ivf_topk(
         _t(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS,
         k=5, n_centroids=_IVF_K, nprobe=_IVF_NPROBE,
+    )
+
+
+@query(
+    "embedding_quantize_stats",
+    """
+    WITH q AS (
+      SELECT vec_id,
+        greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 1e-12) AS amax
+      FROM embeddings)
+    SELECT e.vec_id,
+      round(127.0 / q.amax, 6) AS qscale,
+      CAST(list_sum(list_transform(e.embedding,
+             x -> CAST(floor(x::DOUBLE * (127.0 / q.amax) + 0.5) AS INTEGER))) AS BIGINT)
+        AS q_checksum,
+      CAST(list_min(list_transform(e.embedding,
+             x -> CAST(floor(x::DOUBLE * (127.0 / q.amax) + 0.5) AS INTEGER))) AS INTEGER)
+        AS q_min,
+      CAST(list_max(list_transform(e.embedding,
+             x -> CAST(floor(x::DOUBLE * (127.0 / q.amax) + 0.5) AS INTEGER))) AS INTEGER)
+        AS q_max
+    FROM embeddings e JOIN q ON q.vec_id = e.vec_id
+    """,
+)
+def embedding_quantize_stats(spark, sf_dir):
+    """Int8 quantization of the embedding column (the storage/bandwidth
+    trick every large vector corpus uses): per-vector absmax scale,
+    floor(x*scale + 0.5) codes (floor is unambiguous cross-engine where
+    round() half-rules differ). Emits scale + code stats per vector; all
+    higher-order array functions, zero shuffle, zero Python."""
+    e = _t(spark, sf_dir, "embeddings")
+    amax = F.expr(
+        "greatest(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))),"
+        " 1e-12D)"
+    )
+    e = e.select("vec_id", "embedding", (127.0 / amax).alias("__s"))
+    codes = F.expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * __s + 0.5D) AS INT))"
+    )
+    return e.select(
+        "vec_id",
+        F.round("__s", 6).alias("qscale"),
+        F.aggregate(
+            codes, F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("q_checksum"),
+        F.array_min(codes).alias("q_min"),
+        F.array_max(codes).alias("q_max"),
     )
 
 

@@ -96,3 +96,21 @@ def test_guard_routes_small_blocks_exact(spark, skew_docs):
     # small-block planted pairs live at ids (400+3i, 401+3i)
     for i in range(5):
         assert (400 + 3 * i, 401 + 3 * i) in pairs
+
+
+def test_connected_components_chain_and_cliques(spark):
+    """Min-label propagation must converge on a long CHAIN (diameter >>
+    1), merge overlapping pairs into one component, and keep disjoint
+    components apart."""
+    edges = [(i, i + 1) for i in range(10, 20)]       # chain 10-…-20
+    edges += [(1, 2), (2, 3), (1, 3)]                 # clique {1,2,3}
+    edges += [(100, 101)]                             # pair {100,101}
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.connected_components(pairs).collect()
+    }
+    assert {got[i] for i in range(10, 21)} == {10}
+    assert {got[i] for i in (1, 2, 3)} == {1}
+    assert got[100] == got[101] == 100
+    assert len(got) == 11 + 3 + 2

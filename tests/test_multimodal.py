@@ -1,0 +1,48 @@
+"""Multimodal plumbing beyond feature extraction: resize (1:1 batch
+shape), frame sampling (1→N row explosion), and size-aware
+repartitioning. Decode kernels are deterministic stubs (no media libs in
+this container); schemas, Arrow batch shapes, and row cardinalities are
+the real, tested surface."""
+
+from pyspark.sql import functions as F
+
+from etl_rust_spark.operators import multimodal as mm
+
+
+def _blobs(spark):
+    rows = [(i, bytes(range(256)) * (i + 1), "video/fake") for i in range(6)]
+    return spark.createDataFrame(rows, "doc_id long, blob binary, mime string")
+
+
+def test_resize_is_one_to_one_and_fixed_size(spark):
+    df = _blobs(spark)
+    out = mm.resize_images(df, width=8, height=4).toPandas()
+    assert len(out) == 6
+    assert (out["blob"].map(len) == 8 * 4).all()
+    assert set(out.columns) == {"doc_id", "mime", "width", "height", "blob"}
+    # deterministic: same input -> same bytes
+    again = mm.resize_images(df, width=8, height=4).toPandas()
+    assert list(out.sort_values("doc_id")["blob"]) == list(
+        again.sort_values("doc_id")["blob"]
+    )
+
+
+def test_sample_frames_explodes_rows(spark):
+    df = _blobs(spark)
+    out = mm.sample_frames(df, frame_bytes=256, every_n=2).toPandas()
+    # doc i has (i+1) 256-byte frames; sampled every 2nd -> ceil((i+1)/2)
+    per_doc = out.groupby("doc_id").size().to_dict()
+    assert per_doc == {i: (i + 1 + 1) // 2 for i in range(6)}
+    assert (out["frame_idx"] % 2 == 0).all()
+    assert (out["frame"].map(len) <= 256).all()
+    assert (out.groupby("doc_id")["n_frames"].first()
+            == [i + 1 for i in range(6)]).all()
+
+
+def test_repartition_by_blob_size(spark):
+    df = _blobs(spark)
+    out = mm.repartition_by_blob_size(df, target_partition_bytes=1024)
+    # ~5.3 KB of blobs / 1 KB target -> >1 partition, all rows preserved
+    assert out.rdd.getNumPartitions() >= 2
+    assert out.count() == 6
+    assert set(r.doc_id for r in out.select("doc_id").collect()) == set(range(6))

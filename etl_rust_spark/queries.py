@@ -1452,6 +1452,77 @@ def scd2_event_intervals(spark, sf_dir):
 
 
 @query(
+    "transcript_role_violations",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events)
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = prev THEN 1 ELSE 0 END) AS BIGINT) AS n_repeats,
+           COUNT(*) AS n_turns
+    FROM o GROUP BY user_id
+    """,
+)
+def transcript_role_violations(spark, sf_dir):
+    """Transcript-quality validation: adjacent turns with the SAME role
+    (event_type stands in for role) violate the user/assistant
+    alternation a clean training transcript needs. One keyed-window
+    shuffle + agg; the n_repeats=0 slice is the exportable set."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    return (
+        e.withColumn("__rep", F.when(F.col("event_type") == prev, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(
+            F.sum("__rep").cast("long").alias("n_repeats"),
+            F.count("*").alias("n_turns"),
+        )
+    )
+
+
+_CHUNK, _STRIDE = 32, 24
+
+
+@query(
+    "document_chunks",
+    f"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+      FROM documents),
+    c AS (
+      SELECT doc_id, ws, unnest(range(1, greatest(len(ws), 1) + 1, {_STRIDE})) AS start
+      FROM w)
+    SELECT doc_id,
+           CAST((start - 1) / {_STRIDE} AS INTEGER) AS chunk_idx,
+           array_to_string(ws[start:start + {_CHUNK} - 1], ' ') AS chunk_text,
+           CAST(least({_CHUNK}, len(ws) - start + 1) AS INTEGER) AS n_words
+    FROM c
+    """,
+)
+def document_chunks(spark, sf_dir):
+    """Pre-tokenization chunking: overlapping 32-word windows with
+    stride 24 (8-word overlap) per document — the standard
+    long-document → training-sample window op. One Generate (posexplode
+    of chunk starts), no shuffle at all; chunk text is re-sliced from the
+    words array JVM-side."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.expr("filter(split(text, ' '), x -> length(x) > 0)")
+    d = d.select("doc_id", ws.alias("ws"))
+    starts = F.expr(f"sequence(1, greatest(size(ws), 1), {_STRIDE})")
+    c = d.select("doc_id", "ws", F.explode(starts).alias("start"))
+    return c.select(
+        "doc_id",
+        ((F.col("start") - 1) / _STRIDE).cast("int").alias("chunk_idx"),
+        F.array_join(F.slice("ws", F.col("start"), _CHUNK), " ").alias("chunk_text"),
+        F.least(
+            F.lit(_CHUNK), F.size("ws") - F.col("start") + 1
+        ).cast("int").alias("n_words"),
+    )
+
+
+@query(
     "grouped_map_dense_rank",
     """
     SELECT user_id, event_id,

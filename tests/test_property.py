@@ -73,3 +73,17 @@ def test_any_changelog_replays_to_oracle_state(spark, tmp_path_factory, case):
         assert len(actual) == 0
     else:
         assert_pdf_equal(actual, expected)
+
+
+def test_knuth_hash_full_long_domain(spark):
+    """ADVICE fix regression: the multiplicative fingerprint must be exact
+    (and ANSI-safe) across the FULL signed-64 domain — the old long
+    multiply overflowed past x≈3.4e9."""
+    from etl_rust_spark.functions.hashing import knuth_hash
+
+    xs = [0, 1, 3_400_000_000, 2**31, 2**40 + 7, 2**62, 2**63 - 1,
+          -1, -(2**62), -(2**63)]
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    got = {r["x"]: r["h"] for r in df.select("x", knuth_hash("x").alias("h")).collect()}
+    for x in xs:
+        assert got[x] == (x * 2654435761) % (2**32), x

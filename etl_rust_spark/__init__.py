@@ -10,8 +10,10 @@ see /root/reference/src/lib.rs:1-37) as an idiomatic Spark design:
   map-side partial aggregation (and optional explicit salting for extreme
   single-key skew),
 - MERGE'd exactly-once into an Iceberg-semantics lake table ("Icelite":
-  Parquet data files + atomic JSON snapshot manifests, copy-on-write,
-  bucket-pruned, schema-evolving, time-travelable),
+  Parquet data files + split JSON metadata — hard-link-committed snapshot
+  pointers over per-commit delta manifests — merge-on-read or
+  copy-on-write, bucket-pruned with per-file key-range skipping,
+  schema-evolving, time-travelable, incrementally consumable),
 - with a per-commit lineage ledger and an idempotent batch-key ledger so
   re-delivered micro-batches are no-ops.
 
@@ -30,7 +32,15 @@ from etl_rust_spark.changelog import (
     replay_oracle_pandas,
 )
 from etl_rust_spark.lake.format import IceliteTable
-from etl_rust_spark.operators.apply import apply_changes, dedup_max_lsn
+from etl_rust_spark.lake.seam import TableFormat, open_table
+from etl_rust_spark.operators.apply import (
+    apply_changes,
+    create_transcript_table,
+    dedup_max_lsn,
+    read_transcripts,
+    renumber_turns,
+)
+from etl_rust_spark.streaming.driver import ChangelogIngest, PipelineManager
 
 __all__ = [
     "get_spark",
@@ -41,8 +51,15 @@ __all__ = [
     "generate_changelog_spark",
     "replay_oracle_pandas",
     "IceliteTable",
+    "TableFormat",
+    "open_table",
     "apply_changes",
+    "create_transcript_table",
     "dedup_max_lsn",
+    "read_transcripts",
+    "renumber_turns",
+    "ChangelogIngest",
+    "PipelineManager",
 ]
 
 __version__ = "0.1.0"

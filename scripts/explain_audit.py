@@ -36,7 +36,8 @@ CHECKS = {
     "scd2_event_intervals": (["Window"], ["CartesianProduct", "Generate"]),
     "ann_ivf_topk": ([], ["CartesianProduct"]),
     "dedup_ngram_jaccard": ([], ["CartesianProduct"]),
-    "transcript_export_renumbered": (["FlatMapGroupsInPandas"], ["CartesianProduct"]),
+    "transcript_export_renumbered": (["FlatMapGroupsIn"], ["CartesianProduct"]),
+    "grouped_map_dense_rank": (["FlatMapGroupsInPandas"], ["CartesianProduct"]),
     "pivot_event_counts": (["partial_pivot", "Exchange hashpartitioning(user_id"], []),
     "token_stats": (["partial_sum"], []),
 }

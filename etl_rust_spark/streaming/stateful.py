@@ -9,6 +9,15 @@ for that user; closed sessions are emitted as they close, the open
 session rides in the group state. Assumes a per-key time-ordered source
 (a WAL tail); out-of-order handling belongs to the LSN-keyed ingest path,
 not this rollup.
+
+Note on the newer ``transformWithStateInPandas`` API (Spark 4.x
+StatefulProcessor): probed in this environment and NOT usable — its
+driver-side runner needs ``google.protobuf``, which is broken in this
+container (``cannot import name 'descriptor' from 'google.protobuf'``;
+installs are not permitted). ``applyInPandasWithState`` expresses the
+same cross-batch-state semantics and is fully exercised by
+tests/test_stateful.py; porting to a StatefulProcessor is mechanical
+when the dependency exists.
 """
 
 from __future__ import annotations

@@ -1452,6 +1452,32 @@ def scd2_event_intervals(spark, sf_dir):
 
 
 @query(
+    "windowed_event_counts",
+    """
+    SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS win_start_epoch,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,6))) AS DOUBLE) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def windowed_event_counts(spark, sf_dir):
+    """The streaming watermark rollup's BATCH twin (same function,
+    streaming/driver.py::windowed_event_counts, runs on both): 1-hour
+    tumbling event-time windows × event_type. On a stream the watermark
+    bounds state; here the oracle proves the window arithmetic."""
+    from etl_rust_spark.streaming.driver import windowed_event_counts as wec
+
+    out = wec(_t(spark, sf_dir, "events"), window="1 hour")
+    return out.select(
+        F.col("win_start").cast("timestamp").cast("long").alias("win_start_epoch"),
+        "event_type",
+        "n",
+        "total",
+    )
+
+
+@query(
     "transcript_role_violations",
     """
     WITH o AS (

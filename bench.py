@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "dedup_ngram_jaccard",
     "transcript_export_renumbered",
+    "document_chunks",
+    "windowed_event_counts",
     "explode_embeddings",
 ]
 

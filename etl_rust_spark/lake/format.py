@@ -53,6 +53,8 @@ commit loses the hard-link race and raises ``ConcurrentCommitError``.
 
 from __future__ import annotations
 
+import calendar
+import datetime as _dt
 import glob
 import json
 import os
@@ -92,6 +94,107 @@ def _local_path(p: str) -> str:
     if p.startswith("file:"):
         return unquote(urlparse(p).path)
     return p
+
+
+# --------------------------------------------------------------------------
+# per-file column stats (Iceberg-style data skipping)
+# --------------------------------------------------------------------------
+
+def _stat_expr(field: T.StructField):
+    """JSON-storable, order-preserving min/max representation per type:
+    timestamps → epoch micros (session is UTC-pinned, see session.py, so
+    NTZ wall clocks normalize consistently), dates → epoch days, numerics
+    and short strings raw. Returns None for unsupported types (no stats)."""
+    c = F.col(field.name)
+    dt = field.dataType
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return F.unix_micros(c.cast("timestamp"))
+    if isinstance(dt, T.DateType):
+        return F.unix_date(c)
+    if isinstance(dt, (T.IntegralType, T.FloatType, T.DoubleType)):
+        return c
+    if isinstance(dt, (T.StringType, T.BooleanType)):
+        return c
+    return None
+
+
+def _norm_stat_value(v, dtype: T.DataType):
+    """Normalize a user predicate value into the stored-stat domain."""
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        if isinstance(v, str):
+            v = _dt.datetime.fromisoformat(v)
+        if isinstance(v, _dt.datetime):
+            return calendar.timegm(v.utctimetuple()) * 1_000_000 + v.microsecond
+        return int(v)
+    if isinstance(dtype, T.DateType):
+        if isinstance(v, str):
+            v = _dt.date.fromisoformat(v)
+        if isinstance(v, _dt.date):
+            return (v - _dt.date(1970, 1, 1)).days
+        return int(v)
+    return v
+
+
+def _file_may_match(
+    entry: dict, conds: list, schema_by_name: dict, bucket_key: str | None = None
+) -> bool:
+    """Conservative stats check: False only when a file's [min, max] range
+    PROVABLY excludes every row satisfying the ANDed conditions. Missing
+    stats, null stats (all-null column), or uncomparable types are never
+    skippable (include the file) — the ADVICE-r02 read_keys null guard."""
+    stats = entry.get("stats") or {}
+    for col, op, val in conds:
+        rng = stats.get(col)
+        if rng is None:
+            # legacy (pre-v3) manifests carried only the bucket key's range
+            if col == bucket_key and "kmin" in entry:
+                rng = [entry.get("kmin"), entry.get("kmax")]
+            else:
+                continue
+        lo, hi = rng
+        if lo is None or hi is None:
+            continue
+        dtype = schema_by_name.get(col)
+        try:
+            if op == "between":
+                a, b = (_norm_stat_value(x, dtype) for x in val)
+                if hi < a or lo > b:
+                    return False
+            else:
+                v = _norm_stat_value(val, dtype)
+                if (
+                    (op == "=" and (v < lo or v > hi))
+                    or (op == "<" and lo >= v)
+                    or (op == "<=" and lo > v)
+                    or (op == ">" and hi <= v)
+                    or (op == ">=" and hi < v)
+                ):
+                    return False
+        except TypeError:
+            continue  # incomparable value vs stored stat: don't skip
+    return True
+
+
+_OPS = {
+    "=": lambda c, v: c == F.lit(v),
+    "<": lambda c, v: c < F.lit(v),
+    "<=": lambda c, v: c <= F.lit(v),
+    ">": lambda c, v: c > F.lit(v),
+    ">=": lambda c, v: c >= F.lit(v),
+    "between": lambda c, v: c.between(F.lit(v[0]), F.lit(v[1])),
+}
+
+
+def _where_filter(conds: list):
+    """The EXACT Spark predicate for a `where` spec (stats pruning is a
+    superset; this filter makes results exact)."""
+    pred = None
+    for col, op, val in conds:
+        if op not in _OPS:
+            raise ValueError(f"unsupported where op: {op!r} (use {sorted(_OPS)})")
+        p = _OPS[op](F.col(col), val)
+        pred = p if pred is None else (pred & p)
+    return pred
 
 
 class IceliteTable:
@@ -247,8 +350,32 @@ class IceliteTable:
         return tail, archives
 
     # ----------------------------------------------------------------- read
-    def read(self, seq: int | None = None, buckets: set[int] | None = None) -> DataFrame:
-        """Snapshot-consistent read; optional bucket pruning.
+    def read(
+        self,
+        seq: int | None = None,
+        buckets: set[int] | None = None,
+        where: list | None = None,
+    ) -> DataFrame:
+        """Snapshot-consistent read; optional bucket pruning and
+        predicate-driven FILE pruning.
+
+        ``where`` is a list of ``(col, op, value)`` conditions (ops: = < <=
+        > >= between, value a 2-tuple for between), ANDed. Files whose
+        per-column [min, max] manifest stats provably exclude the predicate
+        are dropped BEFORE ``spark.read.parquet`` — the Iceberg
+        manifest-pruning move; the exact predicate is then applied as a
+        normal filter, so pruning only ever removes whole files that
+        contain no matching rows.
+
+        Correctness under merge-on-read: when delta files are present,
+        stats pruning is restricted to the KEY columns (all versions of a
+        key share its key values, so a file whose key range excludes the
+        predicate holds no version of any matching key and dropping it
+        cannot change the max-seq dedup). Non-key predicates would be
+        unsafe there — a skipped file could hold the NEWER version of a
+        key whose older version matches — so they prune only delta-free
+        snapshots (pure CoW/compacted: exactly one live version per key)
+        and otherwise just filter.
 
         With merge-on-read delta files present, the read applies the
         last-writer-wins dedup (max seq_col per key) over base ∪ deltas —
@@ -258,6 +385,19 @@ class IceliteTable:
         files = self._files(ptr)
         if buckets is not None:
             files = [f for f in files if f["bucket"] in buckets]
+        has_delta = any(f.get("kind", "base") == "delta" for f in files)
+        pred = _where_filter(where) if where else None
+        if where:
+            key_cols = {ptr["bucket_key"], *ptr["key_cols"]}
+            prunable = [
+                c for c in where if (not has_delta) or c[0] in key_cols
+            ]
+            if prunable:
+                by_name = {f.name: f.dataType for f in schema.fields}
+                files = [
+                    f for f in files
+                    if _file_may_match(f, prunable, by_name, ptr["bucket_key"])
+                ]
         if not files:
             return self.spark.createDataFrame([], schema)
         # explicit schema => old files lacking evolved columns null-backfill
@@ -269,7 +409,7 @@ class IceliteTable:
         has_delta = any(f.get("kind", "base") == "delta" for f in files)
         if has_delta and ptr.get("seq_col"):
             df = _dedup_by_seq(df, ptr["key_cols"], ptr["seq_col"], schema)
-        return df
+        return df.filter(pred) if pred is not None else df
 
     def read_keys(self, values, seq: int | None = None) -> DataFrame:
         """Point/key lookup with two-level pruning: (1) bucket pruning —
@@ -290,8 +430,13 @@ class IceliteTable:
         files = [f for f in self._files(ptr) if f["bucket"] in buckets]
         pruned = [
             f for f in files
-            if "kmin" not in f  # pre-stats manifests: can't skip, must read
-            or any(f["kmin"] <= v <= f["kmax"] for v in vals)
+            # any requested value may fall in the file's key range (OR over
+            # values, so ANDed _file_may_match can't express it); null or
+            # missing stats / incomparable types are never skippable
+            if any(
+                _file_may_match(f, [(ptr["bucket_key"], "=", v)], {}, ptr["bucket_key"])
+                for v in vals
+            )
         ]
         schema = T.StructType.fromJson(ptr["schema"])
         if not pruned:
@@ -458,10 +603,19 @@ class IceliteTable:
                 )
 
             upserts = ch.filter(F.col(op_col) != "D").drop(op_col, "__bucket")
-            for fld in merged_schema.fields:
-                if fld.name not in upserts.columns:
-                    upserts = upserts.withColumn(fld.name, F.lit(None).cast(fld.dataType))
-            upserts = upserts.select(*[f.name for f in merged_schema.fields])
+            have = set(upserts.columns)
+            # missing columns null-fill; present columns cast to the merged
+            # type (no-op when equal; widens a narrower batch column)
+            upserts = upserts.select(
+                *[
+                    (
+                        F.col(f.name).cast(f.dataType)
+                        if f.name in have
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(f.name)
+                    for f in merged_schema.fields
+                ]
+            )
 
             if old is None:
                 new_data = upserts
@@ -592,27 +746,60 @@ class IceliteTable:
         }
         _commit_pointer(self._manifest_dir, commit_seq, pointer)
 
+    def _stat_fields(self, df_schema: T.StructType) -> list[T.StructField]:
+        """Columns to collect per-file min/max for: the key/bucket/order/seq
+        columns (pruned by ``read_keys``/key predicates) plus every numeric,
+        timestamp, and date column (pruned by ``read(where=...)``). Long
+        free-text string columns outside the key set are skipped — their
+        stats would bloat the JSON manifests for no pruning value."""
+        ptr = self.pointer()
+        keyish = {ptr["bucket_key"], *ptr["key_cols"], *ptr["order_cols"]}
+        if ptr.get("seq_col"):
+            keyish.add(ptr["seq_col"])
+        out = []
+        for f in df_schema.fields:
+            if f.name == "__bucket":
+                continue
+            rangy = isinstance(
+                f.dataType,
+                (T.NumericType, T.TimestampType, T.TimestampNTZType, T.DateType),
+            ) and not isinstance(f.dataType, T.DecimalType)
+            if (f.name in keyish or rangy) and _stat_expr(f) is not None:
+                out.append(f)
+        return out
+
     def _scan_commit_dir(self, commit_dir: str):
         """Per-file stats for a freshly written commit dir, computed as a
         DISTRIBUTED scan (groupBy input_file_name), replacing the serial
-        driver-side pyarrow loop of v1. Also collects min/max of the
-        bucket key per file — Iceberg-style data-skipping stats, used by
-        ``read_keys`` to prune files WITHIN a bucket (files are written
-        sorted by the order columns, so key ranges per file are tight)."""
+        driver-side pyarrow loop of v1. Collects min/max per stat column
+        (key/order/seq/ts/numeric) — Iceberg-style data-skipping stats,
+        used by ``read_keys`` and ``read(where=...)`` to prune files
+        before the parquet scan (files are written sorted by the order
+        columns, so key ranges per file are tight).
+
+        A commit dir with no part files (statically-empty batch) is
+        genuinely empty; any OTHER read failure propagates and aborts the
+        commit BEFORE the pointer lands — swallowing it would record zero
+        files while the batch key enters the ledger, silently dropping the
+        batch (ADVICE r02)."""
         bucket_key = self.pointer()["bucket_key"]
-        try:
-            df = self.spark.read.parquet(commit_dir)
-        except Exception:
+        part_files = glob.glob(
+            os.path.join(commit_dir, "**", "*.parquet"), recursive=True
+        )
+        if not part_files:
             return [], 0, {}
+        df = self.spark.read.parquet(commit_dir)
+        stat_fields = self._stat_fields(df.schema)
+        aggs = [F.count("*").alias("count")]
+        for fld in stat_fields:
+            e = _stat_expr(fld)
+            aggs.append(F.min(e).alias(f"__min_{fld.name}"))
+            aggs.append(F.max(e).alias(f"__max_{fld.name}"))
         rows = (
             df.groupBy(
                 F.input_file_name().alias("path"), F.col("__bucket").alias("b")
             )
-            .agg(
-                F.count("*").alias("count"),
-                F.min(bucket_key).alias("kmin"),
-                F.max(bucket_key).alias("kmax"),
-            )
+            .agg(*aggs)
             .collect()
         )
         files, total, per_bucket = [], 0, {}
@@ -620,13 +807,19 @@ class IceliteTable:
             n = int(r["count"])
             if n == 0:
                 continue
+            stats = {
+                fld.name: [r[f"__min_{fld.name}"], r[f"__max_{fld.name}"]]
+                for fld in stat_fields
+            }
             files.append(
                 {
                     "path": _local_path(r["path"]),
                     "bucket": int(r["b"]),
                     "rows": n,
-                    "kmin": r["kmin"],
-                    "kmax": r["kmax"],
+                    # kmin/kmax kept for pointer-format back-compat
+                    "kmin": stats.get(bucket_key, [None, None])[0],
+                    "kmax": stats.get(bucket_key, [None, None])[1],
+                    "stats": stats,
                 }
             )
             total += n
@@ -830,19 +1023,51 @@ def _dedup_by_seq(df: DataFrame, key_cols, seq_col: str, schema: T.StructType) -
     )
 
 
+# safe widening chains (Iceberg's type promotion set that Spark 4's
+# parquet reader can also widen at scan time, SPARK-40876): reading an old
+# int32 file through a long schema null-safely promotes, so widening the
+# table schema never requires rewriting old files
+_WIDEN_CHAINS = (
+    [T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType()],
+    [T.FloatType(), T.DoubleType()],
+)
+
+
+def _widen(a: T.DataType, b: T.DataType) -> T.DataType | None:
+    """The wider of two types if they sit on one widening chain, else
+    None. rename/drop are intentionally NOT supported — they need
+    Iceberg's field-id indirection; documented descope (SURVEY §7)."""
+    if a == b:
+        return a
+    for chain in _WIDEN_CHAINS:
+        if a in chain and b in chain:
+            return chain[max(chain.index(a), chain.index(b))]
+    return None
+
+
 def _merge_schema(old: T.StructType, new: T.StructType) -> T.StructType:
-    """Union schema: old columns keep position/type; new columns append.
-    Type conflicts are an error (no implicit casts — matches Iceberg's
-    strict evolution)."""
+    """Union schema: old columns keep position; new columns append; a
+    type mismatch on one widening chain promotes the column to the wider
+    type (int→long, float→double — old files read through the widened
+    schema via the parquet reader's type promotion; a narrower batch
+    column is cast up at write). Any other conflict is an error (no
+    implicit lossy casts — matches Iceberg's strict evolution)."""
     by_name = {f.name: f for f in old.fields}
     fields = list(old.fields)
     for f in new.fields:
         if f.name in by_name:
-            if by_name[f.name].dataType != f.dataType:
-                raise TypeError(
-                    f"schema evolution type conflict on '{f.name}': "
-                    f"{by_name[f.name].dataType} vs {f.dataType}"
+            cur = by_name[f.name].dataType
+            if cur != f.dataType:
+                wide = _widen(cur, f.dataType)
+                if wide is None:
+                    raise TypeError(
+                        f"schema evolution type conflict on '{f.name}': "
+                        f"{cur} vs {f.dataType}"
+                    )
+                i = next(
+                    idx for idx, fld in enumerate(fields) if fld.name == f.name
                 )
+                fields[i] = T.StructField(f.name, wide, True)
         else:
             fields.append(T.StructField(f.name, f.dataType, True))
     return T.StructType(fields)

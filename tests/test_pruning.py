@@ -1,0 +1,284 @@
+"""Predicate-driven FILE pruning on the general read path (round-3 #1):
+per-file min/max manifest stats for key/order/ts/numeric columns drive
+``read(where=...)`` file skipping BEFORE the parquet scan, proven by
+counting distinct ``input_file_name()`` — plus the merge-on-read safety
+rule (non-key predicates never prune under deltas) and the null/legacy
+stats guards (ADVICE r02).
+
+Reference analog: the whole point of the example's keyed sink design is
+selective access (/root/reference/example/create_schema.sql:3-135 PK
+design); Icelite's manifest stats are the Iceberg-shaped equivalent.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_rust_spark.lake.format import IceliteTable, _bucket_expr, _file_may_match
+from etl_rust_spark.operators.apply import apply_changes, create_transcript_table
+
+CHANGE_SCHEMA = (
+    "lsn long, op string, conv_id string, turn_idx int, role string, "
+    "text string, tool string, ts timestamp"
+)
+
+
+def _pick_bucket_disjoint_convs(spark, n_buckets, k=3):
+    """Two conv-id groups guaranteed to land in disjoint buckets, so CoW
+    commits for group A never rewrite group B's files."""
+    cands = spark.createDataFrame(
+        [(f"conv-{i:03d}",) for i in range(128)], "conv_id string"
+    ).select("conv_id", _bucket_expr("conv_id", n_buckets).alias("b"))
+    a, b, a_buckets, b_buckets = [], [], set(), set()
+    for r in cands.collect():
+        if len(a) < k and r["b"] not in b_buckets:
+            a.append(r["conv_id"])
+            a_buckets.add(r["b"])
+        elif len(b) < k and r["b"] not in a_buckets:
+            b.append(r["conv_id"])
+            b_buckets.add(r["b"])
+    assert len(a) == k and len(b) == k
+    return a, b
+
+
+def _batch(spark, convs, ts, lsn0):
+    rows = [
+        (lsn0 + i * 10 + t, "I", c, t, "user", f"text {c} {t}", "",
+         ts + dt.timedelta(minutes=t))
+        for i, c in enumerate(convs)
+        for t in range(5)
+    ]
+    return spark.createDataFrame(rows, CHANGE_SCHEMA)
+
+
+def _files_read(df):
+    """Files backing the plan's scan node (survives aggregations, unlike
+    input_file_name after a shuffle)."""
+    return set(df.inputFiles())
+
+
+def test_ts_range_pruning_on_cow_table(spark, tmp_path):
+    """Delta-free table: a ts-range read touches ONLY the files whose
+    stats overlap the range, and returns exactly the unpruned answer."""
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=16)
+    convs_a, convs_b = _pick_bucket_disjoint_convs(spark, 16)
+    jan, jun = dt.datetime(2025, 1, 1), dt.datetime(2025, 6, 1)
+    apply_changes(table, _batch(spark, convs_a, jan, 0), batch_key="a")
+    apply_changes(table, _batch(spark, convs_b, jun, 1000), batch_key="b")
+
+    all_files = _files_read(table.read())
+    where = [("ts", ">=", jun)]
+    pruned = table.read(where=where)
+    pruned_files = _files_read(pruned)
+    # strictly fewer files scanned, and none of batch A's files touched
+    assert pruned_files < all_files
+    expected = table.read().filter(F.col("ts") >= F.lit(jun))
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+    assert pruned.count() == 15  # batch B only
+
+    # between on ts: only batch A's window
+    feb = dt.datetime(2025, 2, 1)
+    ja = table.read(where=[("ts", "between", (jan, feb))])
+    assert _files_read(ja) < all_files
+    assert ja.count() == 15
+
+
+def test_key_predicate_pruning_and_file_counts(spark, tmp_path):
+    """conv_id equality prunes down to the one conversation's files —
+    bucket alignment + per-file key ranges."""
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=16)
+    convs_a, convs_b = _pick_bucket_disjoint_convs(spark, 16)
+    jan = dt.datetime(2025, 1, 1)
+    apply_changes(table, _batch(spark, convs_a, jan, 0), batch_key="a")
+    apply_changes(table, _batch(spark, convs_b, jan, 1000), batch_key="b")
+    target = convs_a[0]
+    got = table.read(where=[("conv_id", "=", target)])
+    assert _files_read(got) < _files_read(table.read())
+    assert got.count() == 5
+    assert {r["conv_id"] for r in got.select("conv_id").distinct().collect()} == {
+        target
+    }
+
+
+def test_nonkey_pruning_is_disabled_under_mor_deltas(spark, tmp_path):
+    """The adversarial MoR case: the key's NEWER version (in a delta)
+    falls outside the ts predicate while its older base version matches.
+    Naive stats pruning would skip the delta and resurrect the old row;
+    the read must return empty."""
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    jan, jun = dt.datetime(2025, 1, 1), dt.datetime(2025, 6, 1)
+    b1 = spark.createDataFrame(
+        [(1, "I", "c1", 0, "user", "v1", "", jan)], CHANGE_SCHEMA
+    )
+    b2 = spark.createDataFrame(
+        [(2, "U", "c1", 0, "user", "v2", "", jun)], CHANGE_SCHEMA
+    )
+    apply_changes(table, b1, batch_key="b1", mode="mor")
+    apply_changes(table, b2, batch_key="b2", mode="mor")
+    ptr = table.pointer()
+    kinds = {f.get("kind", "base") for f in table._files(ptr)}
+    assert "delta" in kinds  # precondition: snapshot really holds deltas
+    got = table.read(
+        where=[("ts", "between", (jan, dt.datetime(2025, 2, 1)))]
+    )
+    assert got.count() == 0  # current version of (c1,0) is June — excluded
+    # and the current row is still reachable
+    assert table.read(where=[("ts", ">=", jun)]).count() == 1
+
+
+def test_key_pruning_still_applies_under_mor_deltas(spark, tmp_path):
+    """Key-column predicates prune even with deltas present (all versions
+    of a key share its key values)."""
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=16)
+    convs_a, convs_b = _pick_bucket_disjoint_convs(spark, 16)
+    jan = dt.datetime(2025, 1, 1)
+    apply_changes(table, _batch(spark, convs_a, jan, 0), batch_key="a", mode="mor")
+    apply_changes(table, _batch(spark, convs_b, jan, 1000), batch_key="b", mode="mor")
+    got = table.read(where=[("conv_id", "=", convs_a[0])])
+    assert _files_read(got) < _files_read(table.read())
+    assert got.count() == 5
+
+
+def test_pruned_read_equals_filter_on_evolved_table(spark, tmp_path):
+    """Old files lack stats for an evolved column → non-skippable for
+    predicates on it; results still exact."""
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    jan = dt.datetime(2025, 1, 1)
+    apply_changes(
+        table,
+        spark.createDataFrame([(1, "I", "c1", 0, "u", "x", "", jan)], CHANGE_SCHEMA),
+        batch_key="b1",
+    )
+    evolved = CHANGE_SCHEMA + ", score double"
+    apply_changes(
+        table,
+        spark.createDataFrame(
+            [(2, "I", "c2", 0, "u", "y", "", jan, 0.75)], evolved
+        ),
+        batch_key="b2",
+    )
+    got = table.read(where=[("score", ">=", 0.5)])
+    assert got.count() == 1
+    assert got.collect()[0]["conv_id"] == "c2"
+
+
+def test_file_may_match_guards():
+    """ADVICE r02: null stats (all-null column), legacy entries, and
+    incomparable types are never skippable."""
+    sch = {}
+    # null stats → include
+    assert _file_may_match({"stats": {"k": [None, None]}}, [("k", "=", 5)], sch, "k")
+    # legacy entry: only kmin/kmax for the bucket key
+    legacy = {"kmin": "a", "kmax": "m"}
+    assert _file_may_match(legacy, [("k", "=", "b")], sch, "k")
+    assert not _file_may_match(legacy, [("k", "=", "z")], sch, "k")
+    # legacy null kmin (the exact ADVICE crash): include, don't TypeError
+    assert _file_may_match({"kmin": None, "kmax": None}, [("k", "=", "z")], sch, "k")
+    # incomparable predicate value vs stored stat type → include
+    assert _file_may_match({"stats": {"k": ["a", "m"]}}, [("k", "=", 5)], sch, "k")
+    # no stats at all (pre-stats manifest) → include
+    assert _file_may_match({}, [("k", "=", 5)], sch, "k")
+    # provable exclusions across ops
+    e = {"stats": {"x": [10, 20]}}
+    assert not _file_may_match(e, [("x", "<", 10)], sch, None)
+    assert not _file_may_match(e, [("x", "<=", 9)], sch, None)
+    assert not _file_may_match(e, [("x", ">", 20)], sch, None)
+    assert not _file_may_match(e, [("x", ">=", 21)], sch, None)
+    assert not _file_may_match(e, [("x", "between", (21, 30))], sch, None)
+    assert _file_may_match(e, [("x", "between", (20, 30))], sch, None)
+
+
+def test_read_keys_null_and_type_safety(spark, tmp_path):
+    """read_keys survives stats that can't be compared to the probe
+    values (returns the correct empty/complete answer, never TypeError)."""
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    jan = dt.datetime(2025, 1, 1)
+    apply_changes(
+        table,
+        spark.createDataFrame([(1, "I", "c1", 0, "u", "x", "", jan)], CHANGE_SCHEMA),
+        batch_key="b1",
+    )
+    assert table.read_keys(["c1"]).count() == 1
+    assert table.read_keys(["nope"]).count() == 0
+
+
+def test_unsupported_where_op_raises(spark, tmp_path):
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=2)
+    with pytest.raises(ValueError, match="unsupported where op"):
+        table.read(where=[("ts", "!=", 1)])
+
+
+# ---------------------------------------------------------------- widening
+
+
+def test_schema_widening_int_to_long(spark, tmp_path):
+    """turn_idx int → long mid-stream: schema widens, old int32 files read
+    through the long schema (parquet reader type promotion), and a later
+    narrower batch casts up."""
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    jan = dt.datetime(2025, 1, 1)
+    apply_changes(
+        table,
+        spark.createDataFrame([(1, "I", "c1", 0, "u", "old", "", jan)], CHANGE_SCHEMA),
+        batch_key="b1",
+    )
+    wide = CHANGE_SCHEMA.replace("turn_idx int", "turn_idx long")
+    apply_changes(
+        table,
+        spark.createDataFrame(
+            [(2, "I", "c2", 2**40, "u", "wide", "", jan)], wide
+        ),
+        batch_key="b2",
+    )
+    assert table.schema["turn_idx"].dataType.typeName() == "long"
+    rows = {r["conv_id"]: r["turn_idx"] for r in table.read().collect()}
+    assert rows == {"c1": 0, "c2": 2**40}
+    # narrower batch into the widened table: cast up, no error
+    apply_changes(
+        table,
+        spark.createDataFrame([(3, "I", "c3", 7, "u", "narrow", "", jan)], CHANGE_SCHEMA),
+        batch_key="b3",
+    )
+    assert table.read().count() == 3
+
+
+def test_schema_widening_float_to_double(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    table = create_transcript_table(
+        spark,
+        str(tmp_path / "t"),
+        n_buckets=4,
+        extra_fields=[T.StructField("score", T.FloatType(), True)],
+    )
+    jan = dt.datetime(2025, 1, 1)
+    sch_f = CHANGE_SCHEMA + ", score float"
+    sch_d = CHANGE_SCHEMA + ", score double"
+    apply_changes(
+        table,
+        spark.createDataFrame([(1, "I", "c1", 0, "u", "x", "", jan, 0.5)], sch_f),
+        batch_key="b1",
+    )
+    apply_changes(
+        table,
+        spark.createDataFrame([(2, "I", "c2", 0, "u", "y", "", jan, 0.25)], sch_d),
+        batch_key="b2",
+    )
+    assert table.schema["score"].dataType.typeName() == "double"
+    got = {r["conv_id"]: r["score"] for r in table.read().collect()}
+    assert got == {"c1": 0.5, "c2": 0.25}
+
+
+def test_non_widening_conflict_still_rejected(spark, tmp_path):
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=2)
+    jan = dt.datetime(2025, 1, 1)
+    bad = CHANGE_SCHEMA.replace("role string", "role int")
+    with pytest.raises(TypeError, match="type conflict"):
+        apply_changes(
+            table,
+            spark.createDataFrame([(1, "I", "c1", 0, 5, "x", "", jan)], bad),
+            batch_key="b1",
+        )

@@ -44,7 +44,12 @@ def knuth_hash(col: Column | str) -> Column:
 
 
 def knuth_hash_sql(expr: str) -> str:
-    return f"CAST((CAST({expr} AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT)"
+    """DuckDB twin of knuth_hash. DuckDB's ``%`` follows the dividend's
+    sign while Spark's ``pmod`` is always nonnegative, so the remainder is
+    re-normalized (+m then % m again) to stay engine-identical for
+    NEGATIVE inputs too (ADVICE r02)."""
+    prod = f"(CAST({expr} AS HUGEINT) * 2654435761)"
+    return f"CAST((({prod} % 4294967296) + 4294967296) % 4294967296 AS BIGINT)"
 
 
 def shingles(text_col: str, n: int = 3) -> Column:

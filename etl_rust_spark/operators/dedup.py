@@ -33,6 +33,33 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return grouped
 
 
+def _shingle_base(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    carry_cols: list[str] | None,
+) -> DataFrame:
+    return docs.select(
+        *(carry_cols or []),
+        F.col(id_col),
+        F.array_distinct(shingles(text_col, shingle_n)).alias("shingle_set"),
+    ).filter(F.size("shingle_set") > 0)
+
+
+def _signature_from_base(base: DataFrame, id_col: str, n_hashes: int) -> DataFrame:
+    exploded = base.select(F.col(id_col), F.explode("shingle_set").alias("__sh"))
+    sig = exploded.groupBy(id_col).agg(
+        F.array(
+            *[
+                F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__sh"))))
+                for i in range(n_hashes)
+            ]
+        ).alias("sig")
+    )
+    return base.join(sig, on=id_col)
+
+
 def minhash_signature(
     docs: DataFrame,
     text_col: str = "text",
@@ -48,23 +75,13 @@ def minhash_signature(
     The explode+agg beats H inline array_min(transform(...)) expressions
     by ~8× because Catalyst inlines (not CSEs) the shingle pipeline into
     every array element; the agg also gets map-side partial aggregation,
-    which is what keeps the shuffle bounded at 10^9 docs."""
-    base = docs.select(
-        *(carry_cols or []),
-        F.col(id_col),
-        F.array_distinct(shingles(text_col, shingle_n)).alias("shingle_set"),
-    ).filter(F.size("shingle_set") > 0)
-    base = base.persist()
-    exploded = base.select(F.col(id_col), F.explode("shingle_set").alias("__sh"))
-    sig = exploded.groupBy(id_col).agg(
-        F.array(
-            *[
-                F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__sh"))))
-                for i in range(n_hashes)
-            ]
-        ).alias("sig")
-    )
-    return base.join(sig, on=id_col)
+    which is what keeps the shuffle bounded at 10^9 docs.
+
+    Pure plan builder (no caching side effects): a caller that evaluates
+    the result more than once should persist it — ``minhash_lsh_pairs``
+    does, and unpersists before returning (round-3 cache hygiene)."""
+    base = _shingle_base(docs, text_col, id_col, shingle_n, carry_cols)
+    return _signature_from_base(base, id_col, n_hashes)
 
 
 def minhash_lsh_pairs(
@@ -83,11 +100,56 @@ def minhash_lsh_pairs(
     ``block_cols``: optional blocking keys hashed INTO the band bucket, so
     only same-block docs can collide — this is how oversized blocks from
     ngram_jaccard_pairs_guarded keep their block semantics on the
-    approximate path."""
+    approximate path.
+
+    Caching: ``base`` (the shingle sets) and ``sigs`` are each consumed
+    twice, so both persist for the duration of the call; the result is
+    materialized via an eager ``localCheckpoint`` (pairs are tiny —
+    (id, id, jaccard)) and the caches are dropped in ``finally``, so no
+    persisted RDDs outlive the call (round-3 cache hygiene; the
+    checkpointed result is released by the ContextCleaner with the
+    returned DataFrame)."""
     rows = n_hashes // bands
-    sigs = minhash_signature(
-        docs, text_col, id_col, n_hashes, shingle_n, carry_cols=block_cols
-    ).persist()
+    base = _shingle_base(docs, text_col, id_col, shingle_n, block_cols).persist()
+    sigs = _signature_from_base(base, id_col, n_hashes).persist()
+    try:
+        return _lsh_pairs_from_sigs(
+            sigs, id_col, bands, rows, jaccard_threshold, block_cols
+        ).localCheckpoint(eager=True)
+    finally:
+        sigs.unpersist()
+        base.unpersist()
+
+
+def minhash_lsh_pairs_plan(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """The same pair computation as ``minhash_lsh_pairs`` but fully LAZY
+    (no caching, no checkpoint): the signature subtree is recomputed at
+    each of its two uses. For plan inspection (scripts/explain_audit.py)
+    and callers that manage persistence themselves."""
+    base = _shingle_base(docs, text_col, id_col, shingle_n, block_cols)
+    sigs = _signature_from_base(base, id_col, n_hashes)
+    return _lsh_pairs_from_sigs(
+        sigs, id_col, bands, n_hashes // bands, jaccard_threshold, block_cols
+    )
+
+
+def _lsh_pairs_from_sigs(
+    sigs: DataFrame,
+    id_col: str,
+    bands: int,
+    rows: int,
+    jaccard_threshold: float,
+    block_cols: list[str] | None,
+) -> DataFrame:
     # band rows carry ONLY (id, band, bucket) — the shingle arrays never
     # ride through the self-join (they'd multiply the shuffle by the
     # candidate fan-out); sets are re-joined per verified candidate pair
@@ -165,6 +227,11 @@ def connected_components(
     grow; edges carry only (id, id) — at 10^9 docs the label table is one
     long column, never the text.
 
+    Raises when ``max_iters`` rounds pass without convergence (component
+    diameter > max_iters): silently returning partial labels would split
+    one component into several cluster ids and a dedup consumer would
+    keep duplicates (round-3 guard; ADVICE r02).
+
     Returns (doc_id, cluster_id) for every node that appears in an edge
     (singletons aren't dup-group members by definition)."""
     edges = pairs.select(
@@ -177,6 +244,7 @@ def connected_components(
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iters):
         incoming = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -202,8 +270,15 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(a component's diameter exceeds max_iters) — raise max_iters; "
+            "partial labels would silently split a component"
+        )
     return labels
 
 

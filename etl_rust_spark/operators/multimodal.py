@@ -138,16 +138,54 @@ def sample_frames(
 def repartition_by_blob_size(
     df: DataFrame, blob_col: str = "blob", target_partition_bytes: int = 64 << 20
 ) -> DataFrame:
-    """Size-aware repartitioning for heavily skewed blob sizes: rows are
-    spread so each partition carries ~target bytes (cumulative-free
-    approximation: random spread weighted by per-row size class), keeping
-    one Arrow batch of blobs inside executor memory. At 100 TB this is
-    the knob that pairs with spark.sql.files.maxPartitionBytes."""
+    """Size-WEIGHTED repartitioning for heavily skewed blob sizes: rows
+    are packed into partitions by cumulative blob bytes, so each output
+    partition carries ≤ target + one boundary-crossing blob — a partition
+    can never draw several giant blobs (the round-2 version spread rows
+    uniformly by hash, which could).
+
+    Scalable prefix-sum, no global sort: (1) per-input-partition byte
+    totals collect to the driver (bounded metadata — one row per input
+    partition) and prefix-sum into offsets; (2) a window per input
+    partition computes the local running total; (3) global cumulative =
+    offset + local, binned by target bytes, range-partitioned 1:1 onto
+    output partitions. Costs one extra shuffle over a plain repartition —
+    the price of deterministic packing; use it for final layout writes
+    where one Arrow batch of blobs must fit executor memory (pairs with
+    spark.sql.files.maxPartitionBytes)."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    stats = df.select(
-        F.sum(F.octet_length(blob_col)).alias("total"),
-    ).collect()[0]
-    total = stats["total"] or 1
-    n_parts = max(1, int(total / target_partition_bytes))
-    return df.repartition(n_parts, F.xxhash64(F.col(blob_col)))
+    totals = {
+        r["__pid"]: r["t"]
+        for r in df.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .agg(F.sum(F.octet_length(blob_col)).alias("t"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    if acc <= 0:
+        return df.coalesce(1)
+    n_parts = max(1, -(-acc // target_partition_bytes))  # ceil
+    off_expr = F.lit(0).cast("long")
+    for pid, off in offsets.items():
+        off_expr = F.when(F.col("__pid") == pid, F.lit(off)).otherwise(off_expr)
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.monotonically_increasing_id())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__cum", F.sum(F.octet_length(blob_col)).over(w) + off_expr)
+        .withColumn(
+            "__part",
+            F.floor((F.col("__cum") - 1) / F.lit(target_partition_bytes)).cast("int"),
+        )
+    )
+    return packed.repartitionByRange(n_parts, F.col("__part")).drop(
+        "__pid", "__cum", "__part"
+    )

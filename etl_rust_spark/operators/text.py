@@ -10,11 +10,30 @@ from pyspark.sql import functions as F
 
 from etl_rust_spark.functions.hashing import shingles
 
-# small fixed English stoplist — enough signal for a heuristic LID
+# small fixed stoplists (public common-word lists) — enough signal for a
+# heuristic LID; accent-free spellings keep the Spark/DuckDB twins
+# byte-identical without unicode-collation concerns
 EN_STOPWORDS = [
     "the", "of", "and", "to", "in", "a", "is", "that", "it", "for",
     "on", "with", "as", "was", "at", "by", "an", "be", "this", "are",
 ]
+STOPWORDS = {
+    "en": EN_STOPWORDS,
+    "es": [
+        "el", "la", "los", "las", "de", "que", "y", "en", "un", "una",
+        "es", "se", "no", "por", "con", "para", "como", "pero", "sus", "le",
+    ],
+    "fr": [
+        "le", "les", "des", "une", "est", "dans", "pour", "au", "aux", "ce",
+        "il", "elle", "ne", "pas", "sur", "avec", "son", "mais", "nous", "vous",
+    ],
+    "de": [
+        "der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu",
+        "den", "dem", "mit", "auf", "von", "sich", "auch", "als", "wir",
+        "aber", "ich",
+    ],
+}
+LID_LANGS = ("en", "es", "fr", "de")
 
 TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"  # BPE-ish word/number/punct split
 
@@ -23,8 +42,8 @@ def words_lower(text_col: str) -> Column:
     return F.expr(f"filter(split(lower({text_col}), ' '), w -> length(w) > 0)")
 
 
-def stopword_ratio(text_col: str) -> Column:
-    stoplist = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+def stopword_ratio(text_col: str, lang: str = "en") -> Column:
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
     return F.expr(
         f"CAST(size(filter(filter(split(lower({text_col}), ' '), w -> length(w) > 0),"
         f" w -> array_contains(array({stoplist}), w))) AS DOUBLE)"
@@ -32,11 +51,27 @@ def stopword_ratio(text_col: str) -> Column:
     )
 
 
-def language_id(text_col: str, en_threshold: float = 0.12) -> Column:
-    """Heuristic LID: English iff stopword ratio clears the threshold."""
-    return F.when(stopword_ratio(text_col) >= en_threshold, F.lit("en")).otherwise(
-        F.lit("other")
-    )
+def language_id(
+    text_col: str,
+    threshold: float = 0.12,
+    langs: tuple[str, ...] = LID_LANGS,
+) -> Column:
+    """Heuristic multi-language LID (round 3 — was an en/other binary):
+    per-language stopword ratio, argmax above ``threshold``, else
+    'other'. Ties break toward the earlier language in ``langs`` — the
+    cascade shape is mirrored verbatim in the DuckDB oracle, and the
+    ratios are exact int/int doubles, so both engines agree bit-for-bit.
+    Pure codegen expressions (the word split is inlined per language —
+    Catalyst doesn't CSE across lambdas; acceptable for a 4-way cascade,
+    measured in the lang_id oracle queries)."""
+    ratios = [stopword_ratio(text_col, lang) for lang in langs]
+    expr = F.lit("other")
+    for i in range(len(langs) - 1, -1, -1):
+        cond = ratios[i] >= threshold
+        for j in range(i + 1, len(langs)):
+            cond = cond & (ratios[i] >= ratios[j])
+        expr = F.when(cond, F.lit(langs[i])).otherwise(expr)
+    return expr
 
 
 def token_count(text_col: str) -> Column:

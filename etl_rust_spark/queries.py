@@ -698,6 +698,30 @@ _MWL_SQL = (
 )
 
 
+def _stopratio_sql(lang: str) -> str:
+    """DuckDB twin of tx.stopword_ratio(text, lang)."""
+    lst = ", ".join(f"'{w}'" for w in tx.STOPWORDS[lang])
+    return (
+        f"CAST(len(list_filter({_WORDS_SQL}, w -> list_contains([{lst}], w))) AS DOUBLE)"
+        f" / greatest(len({_WORDS_SQL}), 1)"
+    )
+
+
+def _lang_id_sql(threshold: float = 0.12) -> str:
+    """DuckDB twin of tx.language_id: the same argmax-with-threshold
+    cascade, earlier language wins ties — ratios are exact int/int
+    doubles, so both engines agree bit-for-bit."""
+    langs = tx.LID_LANGS
+    r = {lang: f"({_stopratio_sql(lang)})" for lang in langs}
+    arms = []
+    for i, lang in enumerate(langs):
+        conds = [f"{r[lang]} >= {threshold}"] + [
+            f"{r[lang]} >= {r[other]}" for other in langs[i + 1:]
+        ]
+        arms.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"CASE {' '.join(arms)} ELSE 'other' END"
+
+
 @query(
     "dedup_exact",
     """
@@ -1093,18 +1117,47 @@ def embedding_bucket_stats(spark, sf_dir):
 @query(
     "lang_id_eval",
     f"""
-    SELECT lang, CASE WHEN {_STOPRATIO_SQL} >= 0.12 THEN 'en' ELSE 'other' END AS lang_pred,
+    SELECT lang, {_lang_id_sql()} AS lang_pred,
            COUNT(*) AS n
     FROM documents GROUP BY 1, 2
     """,
 )
 def lang_id_eval(spark, sf_dir):
-    """Heuristic language ID (stopword-ratio) evaluated against the
-    labeled lang column."""
+    """Heuristic multi-language ID (per-language stopword-ratio argmax,
+    round 3 — was en/other) evaluated against the labeled lang column."""
     d = _t(spark, sf_dir, "documents")
     return d.groupBy("lang", tx.language_id("text").alias("lang_pred")).agg(
         F.count("*").alias("n")
     )
+
+
+_LID_PROBES = [
+    ("en1", "the cat sat on the mat and it was happy with this"),
+    ("en2", "this is a test of the language detector for an example"),
+    ("es1", "el perro corre por la calle y no se detiene con el gato"),
+    ("es2", "una casa en la montana es un lugar para vivir como sus amigos"),
+    ("fr1", "le chat est dans la maison avec une souris pour le diner"),
+    ("fr2", "nous allons au marche avec vous mais il ne vient pas"),
+    ("de1", "der hund und die katze sind auf dem tisch mit einem ball"),
+    ("de2", "wir haben ein haus und das ist nicht zu klein aber schoen"),
+    ("xx1", "zzz qqq vvv www kkk jjj xxx yyy mmm nnn"),
+]
+_LID_VALUES_SQL = ", ".join(f"('{pid}', '{txt}')" for pid, txt in _LID_PROBES)
+
+
+@query(
+    "lang_id_multilingual",
+    f"""
+    SELECT probe_id, {_lang_id_sql()} AS lang_pred
+    FROM (VALUES {_LID_VALUES_SQL}) AS t(probe_id, text)
+    """,
+)
+def lang_id_multilingual(spark, sf_dir):
+    """LID coverage probe over fixed multilingual sentences (en/es/fr/de
+    plus a stopword-free control) — both engines compute from the same
+    inline VALUES, proving the 4-way cascade end-to-end."""
+    d = spark.createDataFrame(_LID_PROBES, "probe_id string, text string")
+    return d.select("probe_id", tx.language_id("text").alias("lang_pred"))
 
 
 @query(

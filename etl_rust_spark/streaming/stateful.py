@@ -4,11 +4,19 @@
 This is the slot for semantics Spark's built-ins can't express — state
 that must survive across micro-batches per key (the reference has no
 cross-batch state at all, SURVEY §2.4 'stateful streaming ops'). Sessions
-close when an event arrives more than ``gap_sec`` after the previous one
-for that user; closed sessions are emitted as they close, the open
-session rides in the group state. Assumes a per-key time-ordered source
-(a WAL tail); out-of-order handling belongs to the LSN-keyed ingest path,
-not this rollup.
+close two ways:
+
+- **gap closure**: an event arrives more than ``gap_sec`` after the
+  previous one for that user — the old session is emitted, a new one
+  opens;
+- **event-time timeout** (round 3, VERDICT item 3): when the stream's
+  watermark passes ``last_ts + gap_sec`` for an idle user, the open
+  session can never be extended by non-late data, so it is flushed via
+  ``EventTimeTimeout`` — a drained/stopped stream no longer strands each
+  user's final session in state forever.
+
+Assumes a per-key time-ordered source (a WAL tail); out-of-order handling
+belongs to the LSN-keyed ingest path, not this rollup.
 
 Note on the newer ``transformWithStateInPandas`` API (Spark 4.x
 StatefulProcessor): probed in this environment and NOT usable — its
@@ -30,10 +38,19 @@ OUTPUT_SCHEMA = (
     "user_id long, session_start long, session_end long, n_events long"
 )
 STATE_SCHEMA = "start_ts long, last_ts long, n long"
+_COLS = ["user_id", "session_start", "session_end", "n_events"]
 
 
 def _sessionize_group(key, pdfs, state: GroupState, gap_sec: int):
     (user_id,) = key
+    if state.hasTimedOut:
+        # watermark passed last_ts + gap: no non-late event can extend
+        # this session — flush it and clear state (the end-of-stream /
+        # idle-user drain path)
+        start_ts, last_ts, n = state.get
+        state.remove()
+        yield pd.DataFrame([(user_id, start_ts, last_ts, n)], columns=_COLS)
+        return
     start_ts, last_ts, n = state.get if state.exists else (None, None, 0)
     closed: list[tuple] = []
     batch = pd.concat(list(pdfs))
@@ -51,24 +68,33 @@ def _sessionize_group(key, pdfs, state: GroupState, gap_sec: int):
         else:
             last_ts, n = t, n + 1
     state.update((start_ts, last_ts, n))
+    # flush when the watermark passes the session's expiry; a timeout
+    # timestamp at or below the current watermark is rejected by Spark,
+    # so clamp to watermark+1 (fires on the next watermark advance)
+    expiry_ms = (last_ts + gap_sec) * 1000
+    state.setTimeoutTimestamp(max(expiry_ms, state.getCurrentWatermarkMs() + 1))
     if closed:
-        yield pd.DataFrame(
-            closed, columns=["user_id", "session_start", "session_end", "n_events"]
-        )
+        yield pd.DataFrame(closed, columns=_COLS)
 
 
-def stateful_sessionize(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
-    """events (streaming, with user_id + ts) → closed sessions per user."""
+def stateful_sessionize(
+    events: DataFrame, gap_sec: int = 1800, watermark: str = "10 seconds"
+) -> DataFrame:
+    """events (streaming, with user_id + ts) → sessions per user: closed
+    by gap as they close, idle/final sessions flushed when the watermark
+    (max event time − ``watermark`` delay) passes their expiry."""
     from pyspark.sql import functions as F
 
     def fn(key, pdfs, state):
         return _sessionize_group(key, pdfs, state, gap_sec)
 
-    src = events.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    src = events.select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    ).withWatermark("ts", watermark)
     return src.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

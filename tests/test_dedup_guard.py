@@ -114,3 +114,38 @@ def test_connected_components_chain_and_cliques(spark):
     assert {got[i] for i in (1, 2, 3)} == {1}
     assert got[100] == got[101] == 100
     assert len(got) == 11 + 3 + 2
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A component whose diameter exceeds max_iters must error loudly —
+    silently returning split labels would keep duplicates (round-3 guard;
+    ADVICE r02). With enough rounds the same chain converges to one
+    cluster."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(chain, max_iters=3)
+    labels = dd.connected_components(chain, max_iters=15)
+    assert {r["cluster_id"] for r in labels.collect()} == {0}
+    assert labels.count() == 13
+
+
+def test_minhash_lsh_pairs_releases_caches(spark):
+    """Round-3 cache hygiene: the shingle base and signature caches must
+    not outlive the call — at most the materialized result (one local
+    checkpoint) may remain, and it is still fully usable afterwards."""
+    docs = spark.createDataFrame(
+        [
+            (i, f"group {i % 5} shared shingle text body word{i % 5} "
+                + " ".join(f"t{i % 5}x{j}" for j in range(10)))
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    sc = spark.sparkContext
+    before = sc._jsc.getPersistentRDDs().size()
+    out = dd.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    after = sc._jsc.getPersistentRDDs().size()
+    assert after - before <= 1, "base/sigs caches leaked past the call"
+    assert out.count() > 0  # result independent of the dropped caches

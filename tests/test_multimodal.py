@@ -46,3 +46,32 @@ def test_repartition_by_blob_size(spark):
     assert out.rdd.getNumPartitions() >= 2
     assert out.count() == 6
     assert set(r.doc_id for r in out.select("doc_id").collect()) == set(range(6))
+
+
+def test_repartition_by_blob_size_packs_skewed_sizes(spark):
+    """Round-3 fix: packing is size-WEIGHTED — under heavy skew no
+    partition carries more than target + one boundary-crossing blob (the
+    old uniform-hash spread could stack several giants in one)."""
+    target = 1 << 20
+    giant = bytes(512) * (10 * 1024)  # 5 MiB each
+    small = bytes(256) * 40           # 10 KiB each
+    rows = [(i, giant, "video/fake") for i in range(4)]
+    rows += [(100 + i, small, "image/fake") for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, blob binary, mime string"
+    ).repartition(4)  # mix giants and smalls across input partitions
+    out = mm.repartition_by_blob_size(df, target_partition_bytes=target)
+    per = (
+        out.withColumn("p", F.spark_partition_id())
+        .groupBy("p")
+        .agg(
+            F.sum(F.octet_length("blob")).alias("bytes"),
+            F.sum((F.octet_length("blob") > target).cast("int")).alias("giants"),
+        )
+        .collect()
+    )
+    assert out.count() == 204
+    max_blob = len(giant)
+    for r in per:
+        assert r["bytes"] <= target + max_blob, r
+        assert r["giants"] <= 1, "two giant blobs packed into one partition"

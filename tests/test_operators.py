@@ -191,3 +191,21 @@ def test_flatten_reference_parity(spark):
     assert grp.id == "g-1" and grp.social_media_id == 7
     blob = tables["large_data"].collect()[0]
     assert blob.blob5 == "B5"
+
+
+def test_language_id_detects_four_languages(spark):
+    """Semantic check (the oracle row only proves engine parity): the
+    multi-language cascade must actually label en/es/fr/de sentences
+    correctly and fall back to 'other' on stopword-free text."""
+    from etl_rust_spark.operators.text import language_id
+    from etl_rust_spark.queries import _LID_PROBES
+
+    d = spark.createDataFrame(_LID_PROBES, "probe_id string, text string")
+    got = {
+        r["probe_id"]: r["pred"]
+        for r in d.select("probe_id", language_id("text").alias("pred")).collect()
+    }
+    assert got == {
+        "en1": "en", "en2": "en", "es1": "es", "es2": "es",
+        "fr1": "fr", "fr2": "fr", "de1": "de", "de2": "de", "xx1": "other",
+    }

@@ -87,3 +87,18 @@ def test_knuth_hash_full_long_domain(spark):
     got = {r["x"]: r["h"] for r in df.select("x", knuth_hash("x").alias("h")).collect()}
     for x in xs:
         assert got[x] == (x * 2654435761) % (2**32), x
+
+    # the DuckDB twin must agree on the SAME full domain — DuckDB's % is
+    # sign-following, so the SQL re-normalizes (ADVICE r02: the two
+    # engines diverged for negative inputs)
+    import duckdb
+
+    from etl_rust_spark.functions.hashing import knuth_hash_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(x,) for x in xs])
+    duck = dict(
+        con.execute(f"SELECT x, {knuth_hash_sql('x')} FROM t").fetchall()
+    )
+    assert duck == got

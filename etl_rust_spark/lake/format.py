@@ -46,9 +46,28 @@ Table semantics (unchanged from v1):
   whose batch carries new columns commits the union schema, and old
   files null-backfill through it.
 
-Single-writer-per-table is assumed (matches the reference's one pipeline
-per sink table, /root/reference/example/src/main.rs:690-693); a concurrent
-commit loses the hard-link race and raises ``ConcurrentCommitError``.
+Concurrency (round 3 — Iceberg-style optimistic retry): the hard-link
+pointer race still decides the winner, but the loser now REBASES instead
+of dying when its changes commute with the winner's:
+
+- **append-only commits** (merge-on-read ingest — the streaming path)
+  touch no existing manifest, so they rebase onto any winner: re-point
+  the data dir at the next sequence, re-merge the schema, re-roll the
+  ledger, link again.
+- **rewrite commits** (compaction; copy-on-write merge) rebase iff every
+  manifest they consumed is still present in the winner's snapshot —
+  i.e. the winner only appended. A compaction racing the ingest writer
+  (the realistic maintenance scenario) therefore succeeds; two writers
+  rewriting the same buckets is a true conflict and raises.
+- correctness of the interleaving relies on reader-side max-seq dedup
+  (base ∪ delta), so rebase requires the table to carry a ``seq_col``;
+  tables without one keep strict single-writer fail-fast semantics.
+
+Every attempt uses collision-free names (uuid token in the commit data
+dir, manifest, ledger-chunk, and lineage files), so two pre-link writers
+can never overwrite each other's in-flight metadata; a rebasing loser
+removes its superseded attempt's files (only a crash leaves orphans,
+which stay unreferenced).
 """
 
 from __future__ import annotations
@@ -58,6 +77,7 @@ import datetime as _dt
 import glob
 import json
 import os
+import re
 import time
 import uuid
 from urllib.parse import unquote, urlparse
@@ -327,27 +347,33 @@ class IceliteTable:
     def applied_batches(self) -> dict:
         return self._applied(self.pointer())
 
-    def _roll_ledger(self, ptr: dict, batch_key: str | None, commit_seq: int):
+    def _roll_ledger(
+        self, ptr: dict, batch_key: str | None, commit_seq: int, tok: str = ""
+    ):
         """New (tail, archives) after this commit. A full tail flushes to a
         new immutable chunk; too many chunks merge into one — per-commit
-        cost is O(1) amortized, and the pointer stays ≤ _TAIL_MAX keys."""
+        cost is O(1) amortized, and the pointer stays ≤ _TAIL_MAX keys.
+        ``tok`` makes chunk names collision-free across racing writers."""
         tail = dict(ptr["applied_tail"])
         archives = list(ptr["applied_archives"])
+        written: list[str] = []
         if batch_key is not None:
             tail[batch_key] = commit_seq
         if len(tail) > _TAIL_MAX:
-            name = f"applied-{commit_seq:08d}.json"
+            name = f"applied-{commit_seq:08d}{tok}.json"
             _write_json(os.path.join(self._manifest_dir, name), tail)
             archives.append(name)
+            written.append(name)
             tail = {}
             if len(archives) > _TAIL_MAX:
                 merged: dict = {}
                 for n in archives:
                     merged.update(self._read_archive(n))
-                name = f"applied-{commit_seq:08d}-merged.json"
+                name = f"applied-{commit_seq:08d}{tok}-merged.json"
                 _write_json(os.path.join(self._manifest_dir, name), merged)
+                written.append(name)
                 archives = [name]
-        return tail, archives
+        return tail, archives, written
 
     # ----------------------------------------------------------------- read
     def read(
@@ -632,7 +658,14 @@ class IceliteTable:
                 new_data = survivors.unionByName(upserts)
 
             commit_seq = ptr["seq"] + 1
-            commit_dir = os.path.join(self.path, _DATA_DIR, f"commit-{commit_seq:08d}")
+            # uuid suffix: two racing writers can never write into (or
+            # overwrite-mode clobber) the same data dir; a rebase renames
+            # the dir to the winning sequence
+            commit_dir = os.path.join(
+                self.path,
+                _DATA_DIR,
+                f"commit-{commit_seq:08d}-{uuid.uuid4().hex[:8]}",
+            )
             # write layout: each bucket spreads over at most `spread` tasks
             # (bounded file count per bucket) while a hot conversation still
             # splits across tasks (skew-aware write); sortWithinPartitions
@@ -688,15 +721,10 @@ class IceliteTable:
             "wall_ms": round((time.monotonic() - t0) * 1000.0, 3),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
-        manifests = list(keep_manifests)
-        if new_files:
-            manifests.append(
-                self._write_manifest_file(
-                    f"manifest-{commit_seq:08d}.json", new_files
-                )
-            )
-        self._commit(ptr, commit_seq, merged_schema, manifests, batch_key, lineage_rec)
-        return lineage_rec
+        return self._commit_rebasing(
+            ptr, merged_schema, keep_manifests, new_files,
+            batch_key, lineage_rec, commit_dir,
+        )
 
     def _write_manifest_file(self, name: str, entries: list) -> dict:
         """Write one immutable manifest chunk; return its pointer entry
@@ -718,15 +746,23 @@ class IceliteTable:
         manifests: list,
         batch_key: str | None,
         lineage_rec: dict,
-    ) -> None:
+        tok: str = "",
+    ) -> list[str]:
         """Write lineage + ledger chunks (unreferenced until the pointer
         lands), then hard-link the pointer — the single atomic commit
-        point. A crash before the link leaves only orphans."""
-        _write_json(
-            os.path.join(self._lineage_dir, f"lineage-{commit_seq:08d}.json"),
-            lineage_rec,
+        point. A crash before the link leaves only orphans. Returns the
+        aux file paths written by THIS attempt so a rebasing loser can
+        remove them."""
+        lineage_path = os.path.join(
+            self._lineage_dir, f"lineage-{commit_seq:08d}{tok}.json"
         )
-        tail, archives = self._roll_ledger(parent_ptr, batch_key, commit_seq)
+        _write_json(lineage_path, lineage_rec)
+        tail, archives, chunks = self._roll_ledger(
+            parent_ptr, batch_key, commit_seq, tok
+        )
+        aux = [lineage_path] + [
+            os.path.join(self._manifest_dir, n) for n in chunks
+        ]
         pointer = {
             "format_version": FORMAT_VERSION,
             "seq": commit_seq,
@@ -745,6 +781,98 @@ class IceliteTable:
             + (1 if batch_key is not None else 0),
         }
         _commit_pointer(self._manifest_dir, commit_seq, pointer)
+        return aux
+
+    def _commit_rebasing(
+        self,
+        parent_ptr: dict,
+        schema: T.StructType,
+        keep_manifests: list,
+        new_files: list,
+        batch_key: str | None,
+        lineage_rec: dict,
+        commit_dir: str | None,
+        max_retries: int = 5,
+    ) -> dict | None:
+        """Optimistic-concurrency commit (the Iceberg retry loop): attempt
+        the hard-link; on losing the race, rebase onto the winner's
+        snapshot and retry when the two commits commute.
+
+        Commutes when: (a) every manifest this commit consumed (filtered
+        or removed) is still present in the winner's snapshot — an
+        append-only commit consumes none, so it always passes; a rewrite
+        (compaction) passes unless the winner also rewrote the same
+        manifests — and (b) the table has a ``seq_col``, because
+        correctness of interleaved append+rewrite relies on reader-side
+        max-seq dedup. Anything else raises ``ConcurrentCommitError``
+        (true conflict).
+
+        The rebase re-merges the schema over the winner's (preserving
+        both sides' evolution), re-rolls the exactly-once ledger, renames
+        the data dir to the new sequence, and removes the superseded
+        attempt's aux files. Returns the committed lineage record, or
+        None when a concurrent writer already applied ``batch_key``."""
+        parent_names = {m["name"] for m in parent_ptr["manifests"]}
+        keep_names = {m["name"] for m in keep_manifests}
+        consumed = parent_names - keep_names
+        rewritten = [m for m in keep_manifests if m["name"] not in parent_names]
+        ptr = parent_ptr
+        new_files = list(new_files)
+        for attempt in range(max_retries + 1):
+            commit_seq = ptr["seq"] + 1
+            tok = f"-{uuid.uuid4().hex[:8]}"
+            aux: list[str] = []
+            manifests = [
+                m for m in ptr["manifests"] if m["name"] not in consumed
+            ] + list(rewritten)
+            if new_files:
+                name = f"manifest-{commit_seq:08d}{tok}.json"
+                manifests.append(self._write_manifest_file(name, new_files))
+                aux.append(os.path.join(self._manifest_dir, name))
+            rec = {**lineage_rec, "commit_seq": commit_seq}
+            try:
+                aux += self._commit(
+                    ptr, commit_seq, schema, manifests, batch_key, rec, tok
+                )
+                return rec
+            except ConcurrentCommitError:
+                for p in aux:  # this attempt's files are unreferenced
+                    if os.path.exists(p):
+                        os.remove(p)
+                    self._manifest_cache.pop(os.path.basename(p), None)
+                    self._archive_cache.pop(os.path.basename(p), None)
+                if attempt == max_retries:
+                    raise
+                new_ptr = self.pointer()
+                if batch_key is not None and self.is_applied(batch_key, new_ptr):
+                    return None  # winner applied the same batch: no-op replay
+                present = {m["name"] for m in new_ptr["manifests"]}
+                if not ptr.get("seq_col") or not consumed <= present:
+                    raise ConcurrentCommitError(
+                        f"concurrent commit at seq {commit_seq} conflicts: "
+                        + (
+                            "winner rewrote manifests this commit consumed"
+                            if not consumed <= present
+                            else "table has no seq_col (no reader-side "
+                            "dedup), so interleaving is unsafe"
+                        )
+                    )
+                schema = _merge_schema(
+                    T.StructType.fromJson(new_ptr["schema"]), schema
+                )
+                if new_files and commit_dir:
+                    # the dir name encodes the commit seq (read_changes
+                    # recovers _commit_seq from it) — re-home it
+                    new_dir = os.path.join(
+                        self.path,
+                        _DATA_DIR,
+                        f"commit-{new_ptr['seq'] + 1:08d}-{uuid.uuid4().hex[:8]}",
+                    )
+                    os.rename(commit_dir, new_dir)
+                    for f in new_files:
+                        f["path"] = f["path"].replace(commit_dir, new_dir, 1)
+                    commit_dir = new_dir
+                ptr = new_ptr
 
     def _stat_fields(self, df_schema: T.StructType) -> list[T.StructField]:
         """Columns to collect per-file min/max for: the key/bucket/order/seq
@@ -845,9 +973,9 @@ class IceliteTable:
         until = self.current_seq() if until_seq is None else until_seq
         paths, seqs = [], []
         for s in range(since_seq + 1, until + 1):
-            lp = os.path.join(self._lineage_dir, f"lineage-{s:08d}.json")
-            with open(lp) as f:
-                rec = json.load(f)
+            rec = self._lineage_record(s)
+            if rec is None:
+                raise FileNotFoundError(f"no lineage record for commit {s}")
             if rec["source"] == "compact":
                 continue
             if rec["files_removed"] > 0:
@@ -855,8 +983,8 @@ class IceliteTable:
                     f"commit {s} is copy-on-write (rewrote files) — "
                     "incremental change reads require merge-on-read commits"
                 )
-            mp = os.path.join(self._manifest_dir, f"manifest-{s:08d}.json")
-            if not os.path.exists(mp):
+            names = self._added_manifests(s)
+            if not names:
                 if rec["files_added"] > 0:
                     raise ValueError(
                         f"changes for commit {s} have been expired "
@@ -865,8 +993,8 @@ class IceliteTable:
                         "must resume within the retention window"
                     )
                 continue  # commit added no files (all-duplicate batch)
-            entries = self._read_manifest(f"manifest-{s:08d}.json")
-            paths.extend(e["path"] for e in entries)
+            for name in names:
+                paths.extend(e["path"] for e in self._read_manifest(name))
             seqs.append(s)
         schema = T.StructType.fromJson(self.pointer(until)["schema"])
         if not paths:
@@ -877,11 +1005,33 @@ class IceliteTable:
             .parquet(*paths)
             .select(*[f.name for f in schema.fields])
         )
-        # commit seq recovered from the data layout (data/commit-<seq>/...)
+        # commit seq recovered from the data layout (data/commit-<seq>[-tok]/)
         return df.withColumn(
             "_commit_seq",
-            F.regexp_extract(F.input_file_name(), r"commit-(\d{8})/", 1).cast("long"),
+            F.regexp_extract(F.input_file_name(), r"commit-(\d{8})", 1).cast("long"),
         )
+
+    def _added_manifests(self, s: int) -> list[str]:
+        """Names of the DATA manifest(s) written by commit ``s`` — legacy
+        ``manifest-<seq>.json`` or token-suffixed; -rNNNN rewrite
+        manifests (filtered survivors of older commits) are excluded."""
+        pat = re.compile(rf"manifest-{s:08d}(-[0-9a-f]{{8}})?\.json")
+        return sorted(
+            os.path.basename(p)
+            for p in glob.glob(
+                os.path.join(self._manifest_dir, f"manifest-{s:08d}*.json")
+            )
+            if pat.fullmatch(os.path.basename(p))
+        )
+
+    def _lineage_record(self, s: int) -> dict | None:
+        cands = sorted(
+            glob.glob(os.path.join(self._lineage_dir, f"lineage-{s:08d}*.json"))
+        )
+        if not cands:
+            return None
+        with open(cands[0]) as f:
+            return json.load(f)
 
     # ------------------------------------------------------------- maintain
     def _filter_manifests(self, ptr: dict, tset: set[int], commit_seq: int):
@@ -890,6 +1040,7 @@ class IceliteTable:
         rewritten filtered. Returns (kept manifests, removed file entries).
         Shared by CoW merge and partial compaction."""
         keep, removed = [], []
+        tok = uuid.uuid4().hex[:8]  # collision-free across racing writers
         for i, m in enumerate(ptr["manifests"]):
             if tset & set(m["buckets"]):
                 entries = self._read_manifest(m["name"])
@@ -898,7 +1049,8 @@ class IceliteTable:
                 if survivors:
                     keep.append(
                         self._write_manifest_file(
-                            f"manifest-{commit_seq:08d}-r{i:04d}.json", survivors
+                            f"manifest-{commit_seq:08d}-r{i:04d}-{tok}.json",
+                            survivors,
                         )
                     )
             else:
@@ -932,7 +1084,9 @@ class IceliteTable:
             df = self.read()
             keep_manifests = []
             removed = self._files(ptr)
-        commit_dir = os.path.join(self.path, _DATA_DIR, f"commit-{commit_seq:08d}")
+        commit_dir = os.path.join(
+            self.path, _DATA_DIR, f"commit-{commit_seq:08d}-{uuid.uuid4().hex[:8]}"
+        )
         bexpr = _bucket_expr(ptr["bucket_key"], ptr["n_buckets"])
         (
             df.withColumn("__bucket", bexpr)
@@ -952,12 +1106,9 @@ class IceliteTable:
             "wall_ms": 0.0,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
-        manifests = list(keep_manifests)
-        if new_files:
-            manifests.append(
-                self._write_manifest_file(f"manifest-{commit_seq:08d}.json", new_files)
-            )
-        self._commit(ptr, commit_seq, schema, manifests, None, lineage_rec)
+        self._commit_rebasing(
+            ptr, schema, keep_manifests, new_files, None, lineage_rec, commit_dir
+        )
         return self.snapshot()
 
     def expire_snapshots(self, keep_last: int = 2) -> list[str]:

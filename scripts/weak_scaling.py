@@ -44,14 +44,41 @@ REPEATS = int(os.environ.get("WEAK_REPEATS", "2"))
 CORES = [int(c) for c in os.environ.get("WEAK_CORES", "8,32").split(",")]
 
 
-def _stage_totals(ui_url: str, app_id: str) -> dict[str, int]:
-    """Sum bytes over all completed stages via the UI REST API."""
+def _stage_list(ui_url: str, app_id: str) -> list[dict]:
     with urllib.request.urlopen(
         f"{ui_url}/api/v1/applications/{app_id}/stages?status=complete"
     ) as r:
-        stages = json.load(r)
+        return json.load(r)
+
+
+def _stage_totals(ui_url: str, app_id: str) -> dict[str, int]:
+    """Sum bytes over all completed stages via the UI REST API."""
+    stages = _stage_list(ui_url, app_id)
     keys = ("shuffleWriteBytes", "shuffleReadBytes", "inputBytes", "outputBytes")
     return {k: sum(int(s.get(k, 0)) for s in stages) for k in keys}
+
+
+def _phase_of(s: dict) -> str:
+    """Coarse phase attribution from stage I/O shape (round-3, VERDICT
+    item 4): map stages scan input and shuffle-write the dedup partials;
+    reduce stages with file output are the dedup-final + parquet write;
+    reduce stages without output are the per-file stats/metadata scans."""
+    if int(s.get("shuffleReadBytes", 0)) == 0:
+        return "scan+dedup_map"
+    if int(s.get("outputBytes", 0)) > 0:
+        return "dedup_reduce+write"
+    return "stats+metadata"
+
+
+def _attribution(stages: list[dict], skip_ids: set[int]) -> dict[str, float]:
+    """executorRunTime core-seconds per phase for stages not in skip_ids."""
+    out: dict[str, float] = {}
+    for s in stages:
+        if int(s["stageId"]) in skip_ids:
+            continue
+        ph = _phase_of(s)
+        out[ph] = out.get(ph, 0.0) + int(s.get("executorRunTime", 0)) / 1000.0
+    return out
 
 
 def worker(cores: int, workdir: str) -> None:
@@ -84,6 +111,8 @@ def worker(cores: int, workdir: str) -> None:
     table = create_transcript_table(
         spark, os.path.join(workdir, f"table-{cores}"), n_buckets=32
     )
+    pre_stages = _stage_list(sc.uiWebUrl, sc.applicationId)
+    skip_ids = {int(s["stageId"]) for s in pre_stages}
     before = _stage_totals(sc.uiWebUrl, sc.applicationId)
     t0 = time.monotonic()
     for i in range(BATCHES):
@@ -95,8 +124,28 @@ def worker(cores: int, workdir: str) -> None:
         )
     table.compact()
     dt = time.monotonic() - t0
+    stages = _stage_list(sc.uiWebUrl, sc.applicationId)
     after = _stage_totals(sc.uiWebUrl, sc.applicationId)
     d = {k: after[k] - before[k] for k in after}
+    phases = _attribution(stages, skip_ids)
+    # driver/commit residual: wall not covered by any running stage
+    stage_wall = sum(
+        int(s.get("executorRunTime", 0)) / 1000.0 / max(cores, 1)
+        for s in stages
+        if int(s["stageId"]) not in skip_ids
+    )
+    # machine-calibration probe IN THE SAME steal window: pure codegen,
+    # zero shuffle/IO — the ceiling this VM can deliver right now
+    from pyspark.sql import functions as F
+    n = cores * 50_000_000
+    c0 = time.monotonic()
+    (
+        spark.range(n, numPartitions=cores)
+        .select(F.xxhash64(F.xxhash64(F.xxhash64("id"))).alias("h"))
+        .agg(F.bit_xor("h"))
+        .collect()
+    )
+    calib_rate = n / (time.monotonic() - c0)
     print(json.dumps({
         "cores": cores,
         "events": events,
@@ -108,6 +157,13 @@ def worker(cores: int, workdir: str) -> None:
         "input_bytes": d["inputBytes"],
         "shuffle_write_bytes_per_event": round(d["shuffleWriteBytes"] / events, 2),
         "shuffle_read_bytes_per_event": round(d["shuffleReadBytes"] / events, 2),
+        "phase_core_sec": {k: round(v, 2) for k, v in phases.items()},
+        "phase_us_per_event_per_core": {
+            k: round(v / events * 1e6, 3) for k, v in phases.items()
+        },
+        "driver_residual_sec": round(max(0.0, dt - stage_wall), 2),
+        "calib_rows_per_sec": int(calib_rate),
+        "calib_rows_per_sec_per_core": int(calib_rate / cores),
     }))
     spark.stop()
 
@@ -139,6 +195,21 @@ def main() -> None:
             best[hi]["shuffle_write_bytes_per_event"]
             / max(best[lo]["shuffle_write_bytes_per_event"], 1e-9)
         )
+        # per-phase growth of core-seconds PER EVENT as cores quadruple:
+        # >1.0 means that phase's per-event work got slower at 4N (on one
+        # box: memory-system contention), pinning where the loss lives
+        phase_growth = {}
+        for ph in set(best[lo]["phase_us_per_event_per_core"]) | set(
+            best[hi]["phase_us_per_event_per_core"]
+        ):
+            a = best[lo]["phase_us_per_event_per_core"].get(ph)
+            b = best[hi]["phase_us_per_event_per_core"].get(ph)
+            if a and b:
+                phase_growth[ph] = round(b / a, 3)
+        calib_eff = (
+            best[hi]["calib_rows_per_sec_per_core"]
+            / max(best[lo]["calib_rows_per_sec_per_core"], 1)
+        )
         print(json.dumps({
             "protocol": "weak-scaling (fixed events/core)",
             "per_core_events": PER_CORE,
@@ -146,6 +217,8 @@ def main() -> None:
             f"local{hi}": {**best[hi], "all_sec": runs[hi]},
             "weak_scaling_efficiency": round(eff, 3),
             "shuffle_write_per_event_ratio_hi_over_lo": round(sw_ratio, 3),
+            "phase_per_event_core_cost_growth_hi_over_lo": phase_growth,
+            "calibration_same_window_per_core_eff": round(calib_eff, 3),
         }))
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

@@ -66,7 +66,7 @@ def bench_cdc(spark, workdir: str, mode: str, n_events: int) -> float:
     folds them (write-optimized — the scalable ingest path; larger
     batches amortize per-commit fixed cost, which is why the headline
     rate rises with batch size — see BENCH.md §1)."""
-    table = create_transcript_table(
+    bench_cdc.table = table = create_transcript_table(
         spark, os.path.join(workdir, f"transcripts_{mode}"), n_buckets=32
     )
     per_batch = n_events // CDC_BATCHES
@@ -114,6 +114,17 @@ def main() -> None:
         mor_sec = bench_cdc(spark, workdir, "mor", CDC_EVENTS)
         results["cdc_ingest_mor"] = round(mor_sec, 3)
         events_per_sec = int(CDC_EVENTS / mor_sec)
+        # predicate file pruning (round 3): point-conversation read via
+        # manifest stats vs the same predicate as a full-scan filter
+        table = bench_cdc.table
+        conv = table.read().select("conv_id").first()["conv_id"]
+        t0 = time.monotonic()
+        full = table.read().filter(f"conv_id = '{conv}'").count()
+        results["lake_point_read_fullscan"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        pruned = table.read(where=[("conv_id", "=", conv)]).count()
+        results["lake_point_read_pruned"] = round(time.monotonic() - t0, 3)
+        assert pruned == full
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 

@@ -15,6 +15,8 @@ main.rs:641-706):
                  ``--follow`` to keep running until SIGTERM)
 - ``compact``  — fold delta files (optionally only over-fragmented buckets)
 - ``expire``   — garbage-collect snapshots past the retention window
+- ``rebucket`` — rewrite the table under a new bucket count (growth move)
+- ``remove-orphans`` — delete crash debris no snapshot references
 - ``lineage``  — print the per-commit lineage ledger
 - ``changes``  — print the incremental change feed since a snapshot
 
@@ -92,6 +94,24 @@ def cmd_expire(args) -> int:
     return 0
 
 
+def cmd_rebucket(args) -> int:
+    from etl_rust_spark.lake.format import IceliteTable
+
+    t = IceliteTable.load(_spark(args), args.table)
+    snap = t.rebucket(args.n_buckets)
+    print(f"rebucketed to n_buckets={args.n_buckets} at seq {snap['seq']}")
+    return 0
+
+
+def cmd_remove_orphans(args) -> int:
+    from etl_rust_spark.lake.format import IceliteTable
+
+    t = IceliteTable.load(_spark(args), args.table)
+    removed = t.remove_orphans(grace_sec=args.grace_sec)
+    print(f"removed {len(removed)} orphaned files")
+    return 0
+
+
 def cmd_lineage(args) -> int:
     from etl_rust_spark.lake.format import IceliteTable
 
@@ -145,6 +165,16 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--table", required=True)
     e.add_argument("--keep-last", type=int, default=2)
     e.set_defaults(fn=cmd_expire)
+
+    rb = sub.add_parser("rebucket", help="rewrite under a new bucket count")
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--n-buckets", type=int, required=True)
+    rb.set_defaults(fn=cmd_rebucket)
+
+    ro = sub.add_parser("remove-orphans", help="delete crash debris")
+    ro.add_argument("--table", required=True)
+    ro.add_argument("--grace-sec", type=float, default=3600.0)
+    ro.set_defaults(fn=cmd_remove_orphans)
 
     ln = sub.add_parser("lineage", help="show the lineage ledger")
     ln.add_argument("--table", required=True)

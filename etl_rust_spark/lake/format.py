@@ -268,6 +268,7 @@ class IceliteTable:
             "applied_tail": {},     # batch_key -> commit seq (≤ _TAIL_MAX)
             "applied_archives": [],  # immutable chunk file names
             "applied_count": 0,
+            "committed_at_epoch": time.time(),
         }
         _commit_pointer(mdir, 0, pointer)
         return cls(spark, path)
@@ -325,6 +326,27 @@ class IceliteTable:
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(self.pointer()["schema"])
 
+    def seq_as_of(self, ts) -> int:
+        """Time travel by TIMESTAMP (Iceberg's ``FOR SYSTEM_TIME AS OF``):
+        the latest snapshot committed at or before ``ts`` (datetime
+        treated as UTC, or epoch seconds). Pre-r3 pointers without a
+        commit stamp fall back to pointer-file mtime."""
+        if isinstance(ts, _dt.datetime):
+            ts = calendar.timegm(ts.utctimetuple()) + ts.microsecond / 1e6
+        best = None
+        for p in glob.glob(os.path.join(self._manifest_dir, "snap-*.json")):
+            s = int(os.path.basename(p)[5:13])
+            try:
+                ptr = self.pointer(s)
+            except FileNotFoundError:
+                continue
+            at = ptr.get("committed_at_epoch") or os.path.getmtime(p)
+            if at <= ts and (best is None or s > best):
+                best = s
+        if best is None:
+            raise ValueError(f"no snapshot committed at or before {ts}")
+        return best
+
     # ---------------------------------------------------------------- ledger
     def _applied(self, pointer: dict) -> dict:
         out: dict = {}
@@ -381,6 +403,7 @@ class IceliteTable:
         seq: int | None = None,
         buckets: set[int] | None = None,
         where: list | None = None,
+        as_of=None,
     ) -> DataFrame:
         """Snapshot-consistent read; optional bucket pruning and
         predicate-driven FILE pruning.
@@ -405,7 +428,14 @@ class IceliteTable:
 
         With merge-on-read delta files present, the read applies the
         last-writer-wins dedup (max seq_col per key) over base ∪ deltas —
-        Iceberg v2 semantics. Compaction folds deltas back to base."""
+        Iceberg v2 semantics. Compaction folds deltas back to base.
+
+        ``as_of`` time-travels by timestamp (``seq_as_of``); ``seq``
+        time-travels by snapshot id — pass at most one."""
+        if as_of is not None:
+            if seq is not None:
+                raise ValueError("pass at most one of seq / as_of")
+            seq = self.seq_as_of(as_of)
         ptr = self.pointer(seq)
         schema = T.StructType.fromJson(ptr["schema"])
         files = self._files(ptr)
@@ -747,6 +777,7 @@ class IceliteTable:
         batch_key: str | None,
         lineage_rec: dict,
         tok: str = "",
+        ptr_overrides: dict | None = None,
     ) -> list[str]:
         """Write lineage + ledger chunks (unreferenced until the pointer
         lands), then hard-link the pointer — the single atomic commit
@@ -779,7 +810,9 @@ class IceliteTable:
             "applied_archives": archives,
             "applied_count": parent_ptr["applied_count"]
             + (1 if batch_key is not None else 0),
+            "committed_at_epoch": time.time(),
         }
+        pointer.update(ptr_overrides or {})
         _commit_pointer(self._manifest_dir, commit_seq, pointer)
         return aux
 
@@ -793,6 +826,7 @@ class IceliteTable:
         lineage_rec: dict,
         commit_dir: str | None,
         max_retries: int = 5,
+        ptr_overrides: dict | None = None,
     ) -> dict | None:
         """Optimistic-concurrency commit (the Iceberg retry loop): attempt
         the hard-link; on losing the race, rebase onto the winner's
@@ -832,7 +866,8 @@ class IceliteTable:
             rec = {**lineage_rec, "commit_seq": commit_seq}
             try:
                 aux += self._commit(
-                    ptr, commit_seq, schema, manifests, batch_key, rec, tok
+                    ptr, commit_seq, schema, manifests, batch_key, rec, tok,
+                    ptr_overrides,
                 )
                 return rec
             except ConcurrentCommitError:
@@ -976,8 +1011,8 @@ class IceliteTable:
             rec = self._lineage_record(s)
             if rec is None:
                 raise FileNotFoundError(f"no lineage record for commit {s}")
-            if rec["source"] == "compact":
-                continue
+            if rec["source"] in ("compact", "rebucket"):
+                continue  # rewrites, not changes
             if rec["files_removed"] > 0:
                 raise ValueError(
                     f"commit {s} is copy-on-write (rewrote files) — "
@@ -1110,6 +1145,107 @@ class IceliteTable:
             ptr, schema, keep_manifests, new_files, None, lineage_rec, commit_dir
         )
         return self.snapshot()
+
+    def rebucket(self, new_n_buckets: int) -> dict:
+        """Rewrite the table under a NEW bucket count — the growth move
+        when a table outgrows its create-time ``n_buckets`` (more buckets
+        = finer file pruning + more write parallelism; at 100 TB the
+        bucket count that was right at 1 TB starves pruning). One
+        full-table rewrite job, like Iceberg's partition-spec evolution
+        done eagerly. NON-rebasing: a concurrent commit during the
+        rewrite raises (mixing two bucket layouts in one snapshot would
+        corrupt bucket pruning); schedule rebuckets in a quiet window."""
+        t0 = time.monotonic()
+        ptr = self.pointer()
+        schema = T.StructType.fromJson(ptr["schema"])
+        commit_seq = ptr["seq"] + 1
+        df = self.read()  # live state (max-seq dedup'd; tombstones kept)
+        commit_dir = os.path.join(
+            self.path, _DATA_DIR, f"commit-{commit_seq:08d}-{uuid.uuid4().hex[:8]}"
+        )
+        bexpr = _bucket_expr(ptr["bucket_key"], int(new_n_buckets))
+        (
+            df.withColumn("__bucket", bexpr)
+            .repartition(F.col("__bucket"))
+            .sortWithinPartitions("__bucket", *ptr["order_cols"])
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(commit_dir)
+        )
+        new_files, rows_written, per_bucket = self._scan_commit_dir(commit_dir)
+        lineage_rec = {
+            "commit_seq": commit_seq, "batch_key": None, "source": "rebucket",
+            "n_changes": 0, "n_upserts": 0, "n_deletes": 0,
+            "touched_buckets": sorted(per_bucket), "files_added": len(new_files),
+            "files_removed": len(self._files(ptr)),
+            "rows_written": int(rows_written),
+            "per_bucket_rows": {str(k): int(v) for k, v in per_bucket.items()},
+            "wall_ms": round((time.monotonic() - t0) * 1000.0, 3),
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        self._commit_rebasing(
+            ptr, schema, [], new_files, None, lineage_rec, commit_dir,
+            max_retries=0, ptr_overrides={"n_buckets": int(new_n_buckets)},
+        )
+        return self.snapshot()
+
+    def remove_orphans(self, grace_sec: float = 3600.0) -> list[str]:
+        """Delete files under the table dir that NO existing snapshot
+        references and that are older than ``grace_sec`` — crash-orphan
+        cleanup (aborted commit attempts leave data dirs, manifests,
+        ledger chunks; rebasing losers clean up after themselves, a crash
+        cannot). The grace window protects in-flight writers whose files
+        are not yet referenced. O(files on disk) directory walk — a
+        maintenance job, Iceberg's ``remove_orphan_files`` analog."""
+        now = time.time()
+        live_data: set[str] = set()
+        live_meta: set[str] = set()
+        for p in glob.glob(os.path.join(self._manifest_dir, "snap-*.json")):
+            try:
+                ptr = self.pointer(int(os.path.basename(p)[5:13]))
+            except FileNotFoundError:
+                continue
+            live_data |= {f["path"] for f in self._files(ptr)}
+            live_meta |= {m["name"] for m in ptr["manifests"]}
+            live_meta |= set(ptr["applied_archives"])
+        removed: list[str] = []
+
+        def _rm(p: str) -> None:
+            os.remove(p)
+            removed.append(p)
+            self._manifest_cache.pop(os.path.basename(p), None)
+            self._archive_cache.pop(os.path.basename(p), None)
+
+        for p in glob.glob(
+            os.path.join(self.path, _DATA_DIR, "**", "*.parquet"), recursive=True
+        ):
+            if p not in live_data and now - os.path.getmtime(p) > grace_sec:
+                _rm(p)
+        for pattern in ("manifest-*.json", "applied-*.json"):
+            for p in glob.glob(os.path.join(self._manifest_dir, pattern)):
+                if (
+                    os.path.basename(p) not in live_meta
+                    and now - os.path.getmtime(p) > grace_sec
+                ):
+                    _rm(p)
+        # lineage records for sequences beyond the current snapshot can
+        # only be aborted attempts (committed seqs are ≤ current)
+        cur = self.current_seq()
+        for p in glob.glob(os.path.join(self._lineage_dir, "lineage-*.json")):
+            s = int(os.path.basename(p)[8:16])
+            if s > cur and now - os.path.getmtime(p) > grace_sec:
+                _rm(p)
+        # drop data dirs left empty (grace-aged, so never an in-flight
+        # writer's dir — its mtime refreshes as files land)
+        for d in glob.glob(os.path.join(self.path, _DATA_DIR, "commit-*")):
+            if (
+                not glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+                and now - os.path.getmtime(d) > grace_sec
+            ):
+                import shutil
+
+                shutil.rmtree(d, ignore_errors=True)
+        return removed
 
     def expire_snapshots(self, keep_last: int = 2) -> list[str]:
         """Delete data files, manifests, and ledger chunks referenced only

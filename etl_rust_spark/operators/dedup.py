@@ -282,6 +282,148 @@ def connected_components(
     return labels
 
 
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    shingle_n: int = 5,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Test-set DECONTAMINATION: flag training docs that share ≥
+    ``min_shared`` distinct word n-grams with any benchmark item — the
+    standard n-gram-overlap contamination check (GPT-3 §C / PaLM-style,
+    usually 8-13 grams at scale; n is a knob). Returns
+    (doc_id, bench_id, n_shared).
+
+    Plan: both sides explode to (id, shingle); the benchmark side is tiny
+    (eval sets are thousands of items) so it BROADCASTS — the corpus side
+    streams through map tasks with no shuffle of the corpus text; the
+    only aggregation is over matched (doc, bench) pairs. At 10^9 docs the
+    cost is one broadcast-hash-join probe per corpus shingle. Zero
+    Python."""
+    d = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles(text_col, shingle_n))
+        ).alias("__g"),
+    )
+    b = benchmark.select(
+        F.col(bench_id_col),
+        F.explode(
+            F.array_distinct(shingles(text_col, shingle_n))
+        ).alias("__g"),
+    )
+    return (
+        d.join(F.broadcast(b), "__g")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """INCREMENTAL near-dup check: new documents against an EXISTING
+    corpus (the daily-ingest shape — never re-pair the corpus against
+    itself). Returns (new_id, corpus_id, jaccard) with exact-Jaccard
+    verification. ``checkpoint=False`` returns the lazy uncached plan
+    (for plan inspection; caching hygiene then falls to the caller).
+
+    Same MinHash+LSH machinery as ``minhash_lsh_pairs`` but the band join
+    is CROSS-SET only (new × corpus): band rows carry one extra `side`
+    bit and the join keeps new-vs-corpus collisions, so candidate volume
+    is |new| × collision-rate, independent of corpus² . In production the
+    corpus side's signatures/bands are a persisted table maintained by
+    the ingest pipeline (computable once via ``minhash_signature``), so
+    the per-increment cost is shingling the NEW docs only."""
+    rows = n_hashes // bands
+
+    def prep(df):
+        base = _shingle_base(df, text_col, id_col, shingle_n, None)
+        return _signature_from_base(base, id_col, n_hashes)
+
+    nsig = prep(new_docs)
+    csig = prep(corpus)
+    if checkpoint:
+        nsig = nsig.persist()
+        csig = csig.persist()
+    try:
+
+        def band(df):
+            return df.select(
+                id_col,
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(b).alias("band"),
+                                F.md5(
+                                    F.concat_ws(
+                                        "|",
+                                        *[
+                                            F.col("sig")[b * rows + r]
+                                            for r in range(rows)
+                                        ],
+                                    )
+                                ).alias("bucket"),
+                            )
+                            for b in range(bands)
+                        ]
+                    )
+                ).alias("lsh"),
+            ).select(id_col, "lsh.band", "lsh.bucket")
+
+        cand = (
+            band(nsig).alias("n")
+            .join(
+                band(csig).alias("c"),
+                (F.col("n.band") == F.col("c.band"))
+                & (F.col("n.bucket") == F.col("c.bucket")),
+            )
+            .select(
+                F.col(f"n.{id_col}").alias("new_id"),
+                F.col(f"c.{id_col}").alias("corpus_id"),
+            )
+            .distinct()
+        )
+        pairs = (
+            cand.join(
+                nsig.select(F.col(id_col), F.col("shingle_set").alias("sh_n")),
+                F.col("new_id") == F.col(id_col),
+            )
+            .drop(id_col)
+            .join(
+                csig.select(F.col(id_col), F.col("shingle_set").alias("sh_c")),
+                F.col("corpus_id") == F.col(id_col),
+            )
+            .drop(id_col)
+        )
+        jac = F.size(F.array_intersect("sh_n", "sh_c")) / F.size(
+            F.array_union("sh_n", "sh_c")
+        )
+        out = (
+            pairs.withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("new_id", "corpus_id", "jaccard")
+        )
+        return out.localCheckpoint(eager=True) if checkpoint else out
+    finally:
+        if checkpoint:
+            nsig.unpersist()
+            csig.unpersist()
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """Per-doc SimHash fingerprint (bit-vote over word hashes).
 

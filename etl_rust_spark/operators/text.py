@@ -107,6 +107,44 @@ def quality_score(text_col: str) -> Column:
     )
 
 
+# PII patterns (round 3): kept inside the RE2 ∩ Java-regex common subset
+# (no lookaround, ASCII \b and \d only) so Spark and the DuckDB oracle
+# match byte-identically. Shapes are mutually exclusive (SSN has a 2-digit
+# middle group, phones 3; IPv4 needs three dots), so redaction order
+# cannot change the result.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_count(text_col: str, kind: str) -> Column:
+    """Non-overlapping match count for one PII kind (JVM regexp_count)."""
+    return F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[kind]))
+
+
+def redact_pii(text_col: str) -> Column:
+    """Replace every PII match with its [KIND] placeholder — chained
+    global regexp_replace, whole-stage codegen, zero Python. The
+    replacement order is fixed (email, ssn, phone, ipv4) and mirrored in
+    the SQL oracle."""
+    c = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, f"[{kind.upper()}]")
+    return c
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc PII counts + redacted text — the pre-training scrub pass."""
+    return docs.select(
+        "doc_id",
+        *[pii_count(text_col, k).alias(f"n_{k}") for k in PII_PATTERNS],
+        redact_pii(text_col).alias("redacted"),
+    )
+
+
 def doc_fingerprint(text_col: str, shingle_n: int = 4) -> Column:
     """Winnowing-style document fingerprint: the minimal shingle hash —
     robust to local edits, computed per-row with zero shuffle."""

@@ -1160,6 +1160,156 @@ def lang_id_multilingual(spark, sf_dir):
     return d.select("probe_id", tx.language_id("text").alias("lang_pred"))
 
 
+_PII_PROBES = [
+    ("p1", "contact me at alice.smith@example.com or bob@test.org today"),
+    ("p2", "call 555-123-4567 or 555.987.6543 about ssn 123-45-6789"),
+    ("p3", "server at 192.168.1.100 and 10.0.0.1 responded fine"),
+    ("p4", "no sensitive content in this sentence at all"),
+]
+_PII_VALUES_SQL = ", ".join(f"('{pid}', '{txt}')" for pid, txt in _PII_PROBES)
+
+
+def _pii_counts_sql() -> str:
+    return ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{kind}"
+        for kind, pat in tx.PII_PATTERNS.items()
+    )
+
+
+def _pii_redact_sql() -> str:
+    expr = "text"
+    for kind, pat in tx.PII_PATTERNS.items():
+        expr = f"regexp_replace({expr}, '{pat}', '[{kind.upper()}]', 'g')"
+    return expr
+
+
+@query(
+    "pii_scan",
+    f"""
+    SELECT probe_id, {_pii_counts_sql()}, {_pii_redact_sql()} AS redacted
+    FROM (VALUES {_PII_VALUES_SQL}) AS t(probe_id, text)
+    """,
+)
+def pii_scan(spark, sf_dir):
+    """PII detection + redaction probe (emails, SSNs, phones, IPv4) —
+    fixed VALUES rows, patterns in the Java∩RE2 regex subset so both
+    engines count and redact identically. The scrub pass every
+    training-data pipeline runs before tokenization."""
+    d = spark.createDataFrame(_PII_PROBES, "probe_id string, text string")
+    return d.select(
+        "probe_id",
+        *[
+            tx.pii_count("text", k).cast("long").alias(f"n_{k}")
+            for k in tx.PII_PATTERNS
+        ],
+        tx.redact_pii("text").alias("redacted"),
+    )
+
+
+@query(
+    "pii_doc_stats",
+    f"""
+    SELECT source,
+      CAST(SUM(len(regexp_extract_all(text, '{tx.PII_PATTERNS["email"]}'))) AS BIGINT) AS total_emails,
+      CAST(SUM(len(regexp_extract_all(text, '{tx.PII_PATTERNS["ipv4"]}'))) AS BIGINT) AS total_ipv4,
+      CAST(SUM(CASE WHEN regexp_matches(text, '{tx.PII_PATTERNS["email"]}')
+                 OR regexp_matches(text, '{tx.PII_PATTERNS["ipv4"]}')
+               THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+      COUNT(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def pii_doc_stats(spark, sf_dir):
+    """Corpus-level PII accounting per source — single scan, partial
+    aggregation; shuffle carries one row per source."""
+    d = _t(spark, sf_dir, "documents")
+    email, ipv4 = tx.PII_PATTERNS["email"], tx.PII_PATTERNS["ipv4"]
+    has_pii = (F.regexp_count("text", F.lit(email)) > 0) | (
+        F.regexp_count("text", F.lit(ipv4)) > 0
+    )
+    return d.groupBy("source").agg(
+        F.sum(tx.pii_count("text", "email")).cast("long").alias("total_emails"),
+        F.sum(tx.pii_count("text", "ipv4")).cast("long").alias("total_ipv4"),
+        F.sum(has_pii.cast("int")).cast("long").alias("docs_with_pii"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+_DECON_SH = f"list_distinct({shingles_sql('text', 5)})"
+
+
+@query(
+    "decontamination",
+    f"""
+    WITH bench AS (
+      SELECT doc_id AS bench_id, {_DECON_SH} AS s FROM documents
+      WHERE doc_id % 11 = 0),
+    d AS (
+      SELECT doc_id, {_DECON_SH} AS s FROM documents WHERE doc_id % 11 <> 0),
+    de AS (SELECT doc_id, unnest(s) AS g FROM d),
+    be AS (SELECT bench_id, unnest(s) AS g FROM bench)
+    SELECT de.doc_id, be.bench_id, COUNT(*) AS n_shared
+    FROM de JOIN be USING (g)
+    GROUP BY 1, 2
+    """,
+)
+def decontamination(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing any distinct word
+    5-gram with a held-out 'benchmark' slice (doc_id % 11 = 0 stands in
+    for an eval set). Benchmark side broadcasts; the corpus never
+    self-joins. The contamination check every pre-training run needs."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    train = docs.filter(F.col("doc_id") % 11 != 0)
+    return dd.contamination_check(train, bench, shingle_n=5)
+
+
+def _incremental_oracle(n_hashes=8, bands=4, shingle_n=3, tau=0.35):
+    rows = n_hashes // bands
+    sh = f"list_distinct({shingles_sql('text', shingle_n)})"
+    sig = ", ".join(
+        f"list_min(list_transform(s, x -> md5('{i}:' || x)))" for i in range(n_hashes)
+    )
+    band_rows = ", ".join(f"({b})" for b in range(bands))
+    bucket = " || '|' || ".join(f"sig[band * {rows} + {r + 1}]" for r in range(rows))
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {sh} AS s FROM documents WHERE len({sh}) > 0),
+    sig AS (SELECT doc_id, s, [{sig}] AS sig FROM sh),
+    banded AS (
+      SELECT doc_id, band, md5({bucket}) AS bucket
+      FROM sig, (VALUES {band_rows}) b(band)),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+      FROM banded n JOIN banded c
+        ON n.band = c.band AND n.bucket = c.bucket
+       AND n.doc_id % 2 = 1 AND c.doc_id % 2 = 0),
+    j AS (
+      SELECT c.new_id, c.corpus_id,
+        round(CAST(len(list_intersect(sn.s, sc.s)) AS DOUBLE)
+              / len(list_distinct(sn.s || sc.s)), 6) AS jaccard
+      FROM cand c JOIN sh sn ON sn.doc_id = c.new_id
+                  JOIN sh sc ON sc.doc_id = c.corpus_id)
+    SELECT new_id, corpus_id, jaccard FROM j WHERE jaccard >= {tau}
+    """
+
+
+@query("dedup_incremental", _incremental_oracle())
+def dedup_incremental_q(spark, sf_dir):
+    """Incremental near-dup check — NEW docs (odd ids) against an
+    EXISTING corpus (even ids): band join is cross-set only, so cost
+    scales with the increment, not corpus². The daily-ingest dedup
+    shape."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    return dd.dedup_incremental(
+        new, corpus, n_hashes=8, bands=4, shingle_n=3, jaccard_threshold=0.35
+    )
+
+
 @query(
     "quality_scores",
     f"""

@@ -55,7 +55,24 @@ def _minhash_lazy(spark, sf_dir):
     )
 
 
-PLAN_OVERRIDES = {"dedup_minhash_lsh": _minhash_lazy}
+def _incremental_lazy(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.operators.dedup import dedup_incremental
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_incremental(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        n_hashes=8, bands=4, shingle_n=3, jaccard_threshold=0.35,
+        checkpoint=False,
+    )
+
+
+PLAN_OVERRIDES = {
+    "dedup_minhash_lsh": _minhash_lazy,
+    "dedup_incremental": _incremental_lazy,
+}
 
 
 def main() -> int:

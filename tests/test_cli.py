@@ -19,5 +19,10 @@ def test_parser_surface():
     assert a.min_files_per_bucket == 4
     a = p.parse_args(["changes", "--table", "/t", "--since", "7"])
     assert a.since == 7
-    for cmd in ("create", "ingest", "compact", "expire", "lineage", "changes"):
+    a = p.parse_args(["rebucket", "--table", "/t", "--n-buckets", "256"])
+    assert a.n_buckets == 256
+    a = p.parse_args(["remove-orphans", "--table", "/t", "--grace-sec", "60"])
+    assert a.grace_sec == 60.0
+    for cmd in ("create", "ingest", "compact", "expire", "rebucket",
+                "remove-orphans", "lineage", "changes"):
         assert any(cmd in str(c) for c in p._subparsers._group_actions[0].choices)

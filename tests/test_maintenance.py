@@ -1,0 +1,141 @@
+"""Round-3 maintenance surface: time travel by timestamp (seq_as_of /
+read(as_of=...)), crash-orphan cleanup (remove_orphans), and bucket-count
+evolution (rebucket) — the operations a long-lived 100 TB table needs
+beyond compaction and snapshot expiry."""
+
+import datetime as dt
+import json
+import os
+import time
+
+import pytest
+
+import etl_rust_spark.lake.format as fmt
+from etl_rust_spark.lake.format import ConcurrentCommitError, IceliteTable
+from etl_rust_spark.operators.apply import apply_changes, create_transcript_table
+
+CHANGE_SCHEMA = (
+    "lsn long, op string, conv_id string, turn_idx int, role string, "
+    "text string, tool string, ts timestamp"
+)
+TS = dt.datetime(2025, 1, 1)
+
+
+def _batch(spark, conv, lsn0, n=4):
+    rows = [
+        (lsn0 + t, "I", conv, t, "user", f"{conv} t{t}", "", TS) for t in range(n)
+    ]
+    return spark.createDataFrame(rows, CHANGE_SCHEMA)
+
+
+def test_time_travel_by_timestamp(spark, tmp_path):
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(table, _batch(spark, "c0", 0), batch_key="b0", mode="mor")
+    time.sleep(0.15)
+    t_mid = time.time()
+    time.sleep(0.15)
+    apply_changes(table, _batch(spark, "c1", 100), batch_key="b1", mode="mor")
+
+    assert table.seq_as_of(t_mid) == 1
+    assert table.read(as_of=t_mid).count() == 4
+    assert table.read(as_of=time.time()).count() == 8
+    # datetime form (UTC)
+    as_dt = dt.datetime.utcfromtimestamp(t_mid)
+    assert table.read(as_of=as_dt).count() == 4
+    with pytest.raises(ValueError, match="no snapshot"):
+        table.seq_as_of(0.0)  # before the table existed
+    with pytest.raises(ValueError, match="at most one"):
+        table.read(seq=1, as_of=t_mid)
+
+
+def test_remove_orphans_cleans_crash_debris(spark, tmp_path):
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(table, _batch(spark, "c0", 0), batch_key="b0", mode="mor")
+    apply_changes(table, _batch(spark, "c1", 100), batch_key="b1", mode="mor")
+    before = sorted(map(tuple, table.read().collect()))
+
+    # plant crash debris: an aborted attempt's data dir, manifest, and
+    # lineage record for a sequence that never committed
+    base = str(tmp_path / "t")
+    orphan_dir = os.path.join(base, "data", "commit-00000099-deadbeef", "__bucket=0")
+    os.makedirs(orphan_dir)
+    orphan_parquet = os.path.join(orphan_dir, "part-000.parquet")
+    with open(orphan_parquet, "wb") as f:
+        f.write(b"not really parquet")
+    orphan_manifest = os.path.join(base, "_manifests", "manifest-00000099-deadbeef.json")
+    with open(orphan_manifest, "w") as f:
+        json.dump([], f)
+    orphan_lineage = os.path.join(base, "_lineage", "lineage-00000099-deadbeef.json")
+    with open(orphan_lineage, "w") as f:
+        json.dump({"commit_seq": 99}, f)
+    past = time.time() - 7200
+    for p in (orphan_parquet, orphan_manifest, orphan_lineage,
+              orphan_dir, os.path.dirname(orphan_dir)):
+        os.utime(p, (past, past))
+
+    removed = table.remove_orphans(grace_sec=3600)
+    assert orphan_parquet in removed
+    assert orphan_manifest in removed
+    assert orphan_lineage in removed
+    assert not os.path.exists(os.path.dirname(orphan_dir))  # empty dir dropped
+    # live state and feed untouched
+    assert sorted(map(tuple, table.read().collect())) == before
+    assert table.read_changes(since_seq=0).count() == 8
+
+
+def test_remove_orphans_respects_grace_window(spark, tmp_path):
+    """A FRESH unreferenced file (an in-flight writer's) must survive."""
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(table, _batch(spark, "c0", 0), batch_key="b0", mode="mor")
+    base = str(tmp_path / "t")
+    fresh_dir = os.path.join(base, "data", "commit-00000042-cafecafe", "__bucket=0")
+    os.makedirs(fresh_dir)
+    fresh = os.path.join(fresh_dir, "part-000.parquet")
+    with open(fresh, "wb") as f:
+        f.write(b"in flight")
+    removed = table.remove_orphans(grace_sec=3600)
+    assert fresh not in removed and os.path.exists(fresh)
+
+
+def test_rebucket_grows_bucket_count(spark, tmp_path):
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_changes(table, _batch(spark, "c0", 0), batch_key="b0", mode="mor")
+    apply_changes(table, _batch(spark, "c1", 100), batch_key="b1", mode="mor")
+    before = sorted(map(tuple, table.read().collect()))
+
+    table.rebucket(16)
+    ptr = table.pointer()
+    assert ptr["n_buckets"] == 16
+    assert sorted(map(tuple, table.read().collect())) == before
+    files = table._files(ptr)
+    assert all(f["bucket"] < 16 for f in files)
+    assert {f.get("kind", "base") for f in files} == {"base"}  # full rewrite
+    # point lookups use the NEW layout correctly
+    assert table.read_keys(["c0"]).count() == 4
+    # subsequent ingest lands in the new layout and stays readable
+    apply_changes(table, _batch(spark, "c2", 200), batch_key="b2", mode="mor")
+    assert table.read().count() == 12
+    assert table.read_keys(["c2"]).count() == 4
+
+
+def test_rebucket_refuses_concurrent_commit(spark, tmp_path, monkeypatch):
+    """Mixing two bucket layouts in one snapshot would corrupt bucket
+    pruning — a commit landing mid-rebucket must fail the rebucket."""
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_changes(table, _batch(spark, "c0", 0), batch_key="b0", mode="mor")
+    rival = IceliteTable.load(spark, str(tmp_path / "t"))
+    orig = fmt._commit_pointer
+    state = {"armed": True}
+
+    def racing(manifest_dir, seq, pointer):
+        if state["armed"]:
+            state["armed"] = False
+            apply_changes(rival, _batch(spark, "c1", 100), batch_key="b1", mode="mor")
+        return orig(manifest_dir, seq, pointer)
+
+    monkeypatch.setattr(fmt, "_commit_pointer", racing)
+    with pytest.raises(ConcurrentCommitError):
+        table.rebucket(8)
+    # rival's commit stands; layout unchanged
+    assert table.pointer()["n_buckets"] == 2
+    assert table.read().count() == 8

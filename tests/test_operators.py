@@ -209,3 +209,61 @@ def test_language_id_detects_four_languages(spark):
         "en1": "en", "en2": "en", "es1": "es", "es2": "es",
         "fr1": "fr", "fr2": "fr", "de1": "de", "de2": "de", "xx1": "other",
     }
+
+
+def test_pii_scan_semantics(spark):
+    """Counts/redactions must be RIGHT, not merely engine-identical."""
+    from etl_rust_spark.operators.text import pii_scan
+    from etl_rust_spark.queries import _PII_PROBES
+
+    d = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(_PII_PROBES)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in pii_scan(d).collect()}
+    assert (got[0]["n_email"], got[0]["n_phone"]) == (2, 0)
+    assert (got[1]["n_phone"], got[1]["n_ssn"]) == (2, 1)
+    assert got[2]["n_ipv4"] == 2
+    assert all(got[3][f"n_{k}"] == 0 for k in ("email", "ssn", "phone", "ipv4"))
+    assert got[0]["redacted"] == "contact me at [EMAIL] or [EMAIL] today"
+    assert got[1]["redacted"] == "call [PHONE] or [PHONE] about ssn [SSN]"
+    assert got[2]["redacted"] == "server at [IPV4] and [IPV4] responded fine"
+
+
+def test_contamination_check_planted(spark):
+    """A doc containing a benchmark item's 5-gram is flagged; clean docs
+    are not; the benchmark never matches itself (cross-set only)."""
+    from etl_rust_spark.operators.dedup import contamination_check
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "bench_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "intro text then the quick brown fox jumps over everything"),
+            (2, "completely unrelated words nothing shared at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = contamination_check(docs, bench, shingle_n=5).collect()
+    assert [(r["doc_id"], r["bench_id"]) for r in got] == [(1, 100)]
+    assert got[0]["n_shared"] == 2  # two overlapping distinct 5-grams
+
+
+def test_dedup_incremental_cross_set_only(spark):
+    """Finds a planted new-vs-corpus near-dup; never reports
+    corpus-vs-corpus (or new-vs-new) pairs."""
+    from etl_rust_spark.operators.dedup import dedup_incremental
+
+    base = " ".join(f"w{j}" for j in range(20))
+    corpus = spark.createDataFrame(
+        [(0, base + " tail one"), (2, base + " tail one")],  # corpus-internal dup
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, base + " tail two"), (3, "totally different content entirely here")],
+        "doc_id long, text string",
+    )
+    got = dedup_incremental(new, corpus, jaccard_threshold=0.5).collect()
+    pairs = {(r["new_id"], r["corpus_id"]) for r in got}
+    assert pairs == {(1, 0), (1, 2)}  # the near-dup against BOTH corpus copies

@@ -1296,6 +1296,195 @@ def _incremental_oracle(n_hashes=8, bands=4, shingle_n=3, tau=0.35):
     """
 
 
+@query(
+    "gopher_quality",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+        len({_WORDS_RAW_SQL}) AS n_words,
+        {_MWL_SQL} AS mwl,
+        CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+          / greatest(len({_WORDS_RAW_SQL}), 1) AS symr,
+        CAST(len(list_filter({_WORDS_RAW_SQL}, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+          / greatest(len({_WORDS_RAW_SQL}), 1) AS alphar,
+        len(list_filter({_WORDS_SQL}, w -> list_contains([{_STOPLIST_SQL}], w))) AS n_stop
+      FROM documents)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      round(mwl, 6) AS mean_word_len, round(symr, 6) AS symbol_ratio,
+      round(alphar, 6) AS frac_alpha_words, CAST(n_stop AS BIGINT) AS n_stopwords,
+      (n_words BETWEEN 50 AND 100000) AND (mwl BETWEEN 3 AND 10)
+        AND symr < 0.1 AND alphar >= 0.8 AND n_stop >= 2 AS passes
+    FROM m
+    """,
+)
+def gopher_quality(spark, sf_dir):
+    """Gopher-style (Rae et al. 2021) document quality gates: word count,
+    mean word length, symbol-to-word ratio, alphabetic-word fraction,
+    stopword floor → one boolean `passes`. All ratios are exact
+    int/int doubles, so both engines agree bit-for-bit; pure codegen."""
+    d = _t(spark, sf_dir, "documents")
+    words_raw = "filter(split(text, ' '), w -> length(w) > 0)"
+    n_words = F.expr(f"size({words_raw})")
+    mwl = tx.mean_word_len("text")
+    symr = F.regexp_count("text", F.lit(r"#|\.\.\.")).cast("double") / F.greatest(
+        n_words, F.lit(1)
+    )
+    alphar = F.expr(
+        f"CAST(size(filter({words_raw}, w -> w rlike '[A-Za-z]')) AS DOUBLE)"
+        f" / greatest(size({words_raw}), 1)"
+    )
+    n_stop = F.expr(
+        "size(filter(filter(split(lower(text), ' '), w -> length(w) > 0),"
+        f" w -> array_contains(array({', '.join(repr(w) for w in tx.EN_STOPWORDS)}), w)))"
+    )
+    passes = (
+        n_words.between(50, 100000)
+        & mwl.between(3, 10)
+        & (symr < 0.1)
+        & (alphar >= 0.8)
+        & (n_stop >= 2)
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(symr, 6).alias("symbol_ratio"),
+        F.round(alphar, 6).alias("frac_alpha_words"),
+        n_stop.cast("long").alias("n_stopwords"),
+        passes.alias("passes"),
+    )
+
+
+@query(
+    "repetition_stats",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+    c AS (SELECT doc_id, word, COUNT(*) AS n FROM w GROUP BY 1, 2)
+    SELECT doc_id,
+      CAST(SUM(n) AS BIGINT) AS n_words,
+      round(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_word_frac,
+      round(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(n), 6) AS dup_word_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def repetition_stats(spark, sf_dir):
+    """Within-document repetition (the Gopher repetition-filter family):
+    most-frequent-word mass and duplicate-word fraction. Plan: one
+    explode → per-(doc, word) partial-agg count → per-doc agg; the
+    shuffle carries (doc, word) pairs, never text."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.explode(tx.words_lower("text")).alias("word")
+    )
+    c = w.groupBy("doc_id", "word").agg(F.count("*").alias("n"))
+    return c.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_words"),
+        F.round(F.max("n").cast("double") / F.sum("n"), 6).alias("top_word_frac"),
+        F.round(
+            F.lit(1.0) - F.count("*").cast("double") / F.sum("n"), 6
+        ).alias("dup_word_frac"),
+    )
+
+
+@query(
+    "corpus_lexical_stats",
+    f"""
+    WITH w AS (
+      SELECT source, unnest({_WORDS_SQL}) AS word FROM documents),
+    c AS (SELECT source, word, COUNT(*) AS n FROM w GROUP BY 1, 2)
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS vocab,
+      CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+      CAST(SUM(n) AS BIGINT) AS tokens,
+      round(CAST(COUNT(*) AS DOUBLE) / SUM(n), 6) AS type_token_ratio
+    FROM c GROUP BY source
+    """,
+)
+def corpus_lexical_stats(spark, sf_dir):
+    """Per-source lexical diversity: vocabulary size, hapax legomena,
+    type-token ratio — corpus health metrics a data-mix curator tracks.
+    Two-level aggregation, both with map-side partial agg."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("source", F.explode(tx.words_lower("text")).alias("word"))
+    c = w.groupBy("source", "word").agg(F.count("*").alias("n"))
+    return c.groupBy("source").agg(
+        F.count("*").cast("long").alias("vocab"),
+        F.sum((F.col("n") == 1).cast("int")).cast("long").alias("hapax"),
+        F.sum("n").cast("long").alias("tokens"),
+        F.round(F.count("*").cast("double") / F.sum("n"), 6).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+@query(
+    "top_terms_per_source",
+    f"""
+    WITH w AS (
+      SELECT source, unnest({_WORDS_SQL}) AS word FROM documents),
+    c AS (SELECT source, word, COUNT(*) AS n FROM w GROUP BY 1, 2),
+    r AS (SELECT source, word, n,
+            ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, word) AS rk
+          FROM c)
+    SELECT source, word, n, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5
+    """,
+)
+def top_terms_per_source(spark, sf_dir):
+    """Top-5 terms per source (count desc, word asc tie-break — fully
+    deterministic). The per-group top-k pattern over exploded tokens."""
+    d = _t(spark, sf_dir, "documents")
+    c = (
+        d.select("source", F.explode(tx.words_lower("text")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("word"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "word", "n", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+@query(
+    "interval_join_attribution",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS user_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT) AS secs_between
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 3600 SECONDS
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def interval_join_attribution(spark, sf_dir):
+    """Click→purchase attribution within the hour — the BATCH twin of
+    streaming.joins.interval_join (same code path; withWatermark is a
+    no-op on batch). On streams the time bound is what lets Spark expire
+    join state."""
+    from etl_rust_spark.streaming.joins import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    j = interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        key="user_id",
+        upper_sec=3600,
+    )
+    return j.select(
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        F.col("l_user_id").alias("user_id"),
+        (_ts_epoch("r_ts") - _ts_epoch("l_ts")).alias("secs_between"),
+    )
+
+
+def _ts_epoch(c):
+    return F.col(c).cast("timestamp").cast("long")
+
+
 @query("dedup_incremental", _incremental_oracle())
 def dedup_incremental_q(spark, sf_dir):
     """Incremental near-dup check — NEW docs (odd ids) against an

@@ -2079,3 +2079,651 @@ def transcript_export_renumbered(spark, sf_dir):
     return ren.groupBy("user_id").agg(
         ordered.alias("turns"), F.count("*").alias("n_turns")
     )
+
+# ---------------------------------------------------------------------------
+# TPC-H sweep — the remaining query shapes, adapted to this star-schema
+# subset (no partsupp table, no commit/receipt dates, no comments/phones).
+# Each keeps the ORIGINAL query's plan-defining structure: the point is
+# §2.4 relational coverage (disjunctive pushdown, correlated subqueries,
+# EXISTS/NOT-EXISTS self-joins, left-outer histograms, scalar subqueries,
+# conditional aggregation), not the literal TPC-H spec text.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: pure scan+filter+agg, the predicate-pushdown showcase.
+    All four predicates reach the parquet reader (PushedFilters); the
+    single global aggregate partial-combines map-side — zero shuffle rows
+    beyond one per partition. At 100 TB this is I/O-bound by design."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        F.sum(_dec("l_extendedprice", 14, 2) * _dec("l_discount", 4, 2))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@query(
+    "q7_nation_trade",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_trade(spark, sf_dir):
+    """TPC-H Q7: bidirectional nation-pair trade volume by ship year.
+    Both nation copies are pre-filtered to the two named nations and
+    broadcast, so supplier/customer rows outside the pair die at the
+    (broadcast) join; the residual disjunction only removes the two
+    same-nation combinations. One lineitem<->orders shuffle."""
+    names = ["NATION_1", "NATION_2"]
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(names))
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice", 14, 2) * (F.lit(1) - _dec("l_discount", 4, 2))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS volume,
+             n2.n_name AS nation
+      FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n1.n_regionkey
+        JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8: one nation's share of a part-type market inside one
+    customer region, per order year. Conditional DECIMAL sum over total
+    DECIMAL sum (exact; final division in double). part/supplier/
+    customer/nation/region all broadcast; lineitem<->orders is the one
+    shuffle. Ratio-of-sums folds into a single aggregate pass."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nat = _t(spark, sf_dir, "nation")
+    n1 = (
+        nat.join(F.broadcast(r), nat.n_regionkey == r.r_regionkey)
+        .select(F.col("n_nationkey").alias("n1_key"))
+    )
+    n2 = nat.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    l = _t(spark, sf_dir, "lineitem")
+    vol = _dec("l_extendedprice", 14, 2) * (F.lit(1) - _dec("l_discount", 4, 2))
+    rows = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            F.col("nation"),
+        )
+    )
+    return rows.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0)))
+            .cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "q9_product_profit",
+    """
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+               - CAST(p.p_retailprice AS DECIMAL(14,2)) * CAST(l.l_quantity AS DECIMAL(12,2)) AS amount
+      FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit per supplier nation per year over a
+    substring-filtered part set. No partsupp table in this schema, so the
+    cost term is p_retailprice * quantity (same plan: fact x filtered
+    part dim x 3 broadcast dims, exact DECIMAL arithmetic throughout).
+    The LIKE filter prunes part before broadcast."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = _t(spark, sf_dir, "nation")
+    l = _t(spark, sf_dir, "lineitem")
+    amount = _dec("l_extendedprice", 14, 2) * (
+        F.lit(1) - _dec("l_discount", 4, 2)
+    ) - _dec("p_retailprice", 14, 2) * _dec("l_quantity", 12, 2)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+@query(
+    "q11_important_parts",
+    """
+    WITH partval AS (
+      SELECT l.l_partkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(14,2)) * CAST(l.l_quantity AS DECIMAL(12,2))) AS val
+      FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      GROUP BY l.l_partkey)
+    SELECT l_partkey, CAST(val AS DOUBLE) AS value
+    FROM partval
+    WHERE CAST(val AS DOUBLE) > (SELECT CAST(SUM(val) AS DOUBLE) * 0.001 FROM partval)
+    """,
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (no partsupp: lineitem value per part for one
+    nation group): per-part DECIMAL value, kept only when above a scalar-
+    subquery fraction of the total. The scalar total is a 1-row broadcast
+    cross join — Spark's decorrelated form of the uncorrelated scalar
+    subquery; the base aggregate is computed once per branch off the same
+    deterministic input (identical both times, so no cache dependency)."""
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == n.n_nationkey
+    ).select("s_suppkey")
+    l = _t(spark, sf_dir, "lineitem")
+    partval = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(_dec("l_extendedprice", 14, 2) * _dec("l_quantity", 12, 2)).alias(
+                "val"
+            )
+        )
+    )
+    total = partval.agg((F.sum("val").cast("double") * F.lit(0.001)).alias("threshold"))
+    return (
+        partval.join(F.broadcast(total))
+        .filter(F.col("val").cast("double") > F.col("threshold"))
+        .select("l_partkey", F.col("val").cast("double").alias("value"))
+    )
+
+
+@query(
+    "q12_priority_shipping",
+    """
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    """,
+)
+def q12_priority_shipping(spark, sf_dir):
+    """TPC-H Q12 shape (l_shipmode/commitdate absent — grouped by
+    linestatus over a shipdate year): conditional aggregation splitting
+    one pass into high/low priority counts. Single lineitem<->orders
+    shuffle; the CASE folds into the partial aggregate."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13: orders-per-customer histogram via LEFT OUTER join with
+    an ON-clause (non-WHERE) filter — customers with zero qualifying
+    orders survive with c_count=0. Two aggregations: the first shuffles
+    on c_custkey, the second on the tiny c_count domain."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    """
+    SELECT CAST(100 * SUM(CASE WHEN p.p_type = 'PROMO'
+             THEN CAST(l.l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+             ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14: promo share of one month's revenue — conditional
+    DECIMAL ratio in a single aggregate pass. part broadcasts; the
+    shipdate month prunes lineitem at the scan."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    rev = _dec("l_extendedprice", 14, 2) * (F.lit(1) - _dec("l_discount", 4, 2))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                (F.lit(100) * F.sum(promo)).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: supplier(s) with the quarter's maximum revenue — a view
+    reused twice (base aggregate + its MAX as a scalar). The MAX is a
+    1-row broadcast; equality compares exact DECIMALs, so ties are
+    deterministic across engines."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = _dec("l_extendedprice", 14, 2) * (F.lit(1) - _dec("l_discount", 4, 2))
+    revenue = l.groupBy("l_suppkey").agg(F.sum(rev).alias("total_rev"))
+    mx = revenue.agg(F.max("total_rev").alias("mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
+        )
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_type <> 'MEDIUM'
+      AND p.p_size IN (1, 5, 9, 14, 23)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape (lineitem as the part<->supplier bridge): distinct
+    suppliers per (brand, type, size) outside an excluded-supplier set.
+    The NOT IN compiles to a broadcast anti-join (keys are non-null by
+    construction); COUNT(DISTINCT) expands then collapses in two hash
+    aggregate passes."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "MEDIUM")
+        & (F.col("p_size").isin(1, 5, 9, 14, 23))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_name").like("%7")).select(
+        "s_suppkey"
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5 AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19: disjunction of conjunctive ranges across both join
+    sides. The per-side implications are pushed manually (part: union of
+    brand/size disjuncts; lineitem: quantity in [1,30]) so each scan
+    prunes even if the optimizer can't factor the DNF; the full predicate
+    re-applies as the residual post-join."""
+    d1p = (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+    d2p = (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+    d3p = (F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+    p = _t(spark, sf_dir, "part").filter(d1p | d2p | d3p).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity").between(1, 30))
+    q = F.col("l_quantity")
+    residual = (
+        (d1p & q.between(1, 11)) | (d2p & q.between(10, 20)) | (d3p & q.between(20, 30))
+    )
+    rev = _dec("l_extendedprice", 14, 2) * (F.lit(1) - _dec("l_discount", 4, 2))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(residual)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q20_excess_shipments",
+    """
+    WITH avgq AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey)
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM supplier s
+      JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+      JOIN avgq a ON a.l_partkey = l.l_partkey
+    WHERE l.l_quantity > 1.5 * a.avg_qty
+    """,
+)
+def q20_excess_shipments(spark, sf_dir):
+    """TPC-H Q20 shape (no partsupp: "excess" = a shipment 1.5x above the
+    part's average quantity): correlated per-group average joined back to
+    the fact — the decorrelated form of Q20's nested agg subquery. The
+    avg uses an exact DECIMAL sum over COUNT so both engines compare the
+    same double. Self-join shuffles both sides on l_partkey (AQE
+    co-partitions); DISTINCT collapses before the broadcast supplier
+    join."""
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    avgq = l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.sum(_dec("l_quantity", 12, 2)).cast("double") / F.count("*")).alias(
+            "avg_qty"
+        )
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        l.join(avgq, F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") > F.lit(1.5) * F.col("avg_qty"))
+        .select("l_suppkey")
+        .distinct()
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+    )
+
+
+@query(
+    "q21_blocking_supplier",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+      JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name ASC
+    LIMIT 20
+    """,
+)
+def q21_blocking_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (l_returnflag='R' stands in for the late-delivery
+    predicate): the sole-blame pattern — EXISTS another supplier on the
+    same order, NOT EXISTS another *flagged* supplier. Expressed as a
+    left-semi then left-anti self-join, each on the orderkey equi-key
+    with the suppkey inequality as residual (no cartesian). Top-k via
+    TakeOrderedAndProject; s_name is unique so the tie-break is total."""
+    base = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    l1 = base.filter(F.col("l_returnflag") == "R")
+    l2 = base.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    l3 = base.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    cand = (
+        l1.join(o, l1.l_orderkey == o.o_orderkey)
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        cand.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    """
+    SELECT c.c_nationkey AS nation, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*)
+                         FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape (c_phone absent — grouped by nation): customers
+    with above-average positive balance and no recent orders (dormant).
+    Scalar average broadcasts (exact DECIMAL sum / count), the NOT EXISTS
+    is a left-anti against the date-pruned orders key column."""
+    c = _t(spark, sf_dir, "customer")
+    avg = c.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec("c_acctbal", 14, 2)).cast("double") / F.count("*")).alias("avg_bal")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(_dec("c_acctbal", 14, 2)).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "q2_min_price_supplier",
+    """
+    WITH minp AS (
+      SELECT l_partkey, MIN(l_extendedprice) AS min_price
+      FROM lineitem GROUP BY l_partkey)
+    SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+           CAST(l.l_extendedprice AS DOUBLE) AS price
+    FROM part p
+      JOIN lineitem l ON l.l_partkey = p.p_partkey
+      JOIN minp m ON m.l_partkey = l.l_partkey AND l.l_extendedprice = m.min_price
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE p.p_size <= 5 AND p.p_type = 'SMALL'
+    """,
+)
+def q2_min_price_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (lineitem as the part<->supplier bridge, price for
+    cost): for each filtered part, the supplier(s) achieving the
+    partition-wide MIN price — the correlated-MIN subquery decorrelated
+    into a per-key aggregate re-joined to the fact. MIN of a stored
+    double is exact, so the equality is engine-stable. part prunes before
+    broadcast; the min-join shuffles on l_partkey only."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 5) & (F.col("p_type") == "SMALL")
+    ).select("p_partkey", "p_name")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    minp = l.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(
+            minp,
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name",
+            F.col("l_extendedprice").alias("price"),
+        )
+        .distinct()
+    )

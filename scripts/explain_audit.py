@@ -40,6 +40,22 @@ CHECKS = {
     "grouped_map_dense_rank": (["FlatMapGroupsInPandas"], ["CartesianProduct"]),
     "pivot_event_counts": (["partial_pivot", "Exchange hashpartitioning(user_id"], []),
     "token_stats": (["partial_sum"], []),
+    # TPC-H sweep (round 3)
+    "q6_forecast_revenue": (["DataFilters: [isnotnull(l_shipdate", "partial_sum"], ["Exchange hashpartitioning"]),
+    "q7_nation_trade": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    "q8_market_share": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    "q9_product_profit": (["BroadcastHashJoin", "PushedFilters: [IsNotNull(p_name), StringContains(p_name,red)"], ["CartesianProduct"]),
+    "q11_important_parts": (["partial_sum"], ["CartesianProduct"]),
+    "q12_priority_shipping": (["DataFilters: [isnotnull(l_shipdate", "partial_sum"], ["CartesianProduct"]),
+    "q13_customer_distribution": (["partial_count"], ["CartesianProduct"]),
+    "q14_promo_revenue": (["BroadcastHashJoin", "DataFilters: [isnotnull(l_shipdate"], ["Exchange hashpartitioning"]),
+    "q15_top_supplier": (["BroadcastHashJoin", "partial_sum"], ["CartesianProduct"]),
+    "q16_supplier_part_counts": (["LeftAnti, BuildRight", "partial_count(distinct"], ["CartesianProduct"]),
+    "q19_discounted_revenue": (["BroadcastHashJoin", "DataFilters: [isnotnull(l_quantity"], ["Exchange hashpartitioning"]),
+    "q20_excess_shipments": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    "q21_blocking_supplier": (["LeftSemi", "LeftAnti", "TakeOrderedAndProject"], ["CartesianProduct"]),
+    "q22_dormant_customers": (["LeftAnti", "partial_sum"], ["CartesianProduct"]),
+    "q2_min_price_supplier": (["BroadcastHashJoin", "partial_min"], ["CartesianProduct"]),
 }
 
 

@@ -103,6 +103,24 @@ def cmd_rebucket(args) -> int:
     return 0
 
 
+def cmd_rename_column(args) -> int:
+    from etl_rust_spark.lake.format import IceliteTable
+
+    t = IceliteTable.load(_spark(args), args.table)
+    snap = t.rename_column(args.old, args.new)
+    print(f"renamed {args.old} -> {args.new} at seq {snap['seq']} (metadata-only)")
+    return 0
+
+
+def cmd_drop_column(args) -> int:
+    from etl_rust_spark.lake.format import IceliteTable
+
+    t = IceliteTable.load(_spark(args), args.table)
+    snap = t.drop_column(args.column)
+    print(f"dropped {args.column} at seq {snap['seq']} (metadata-only)")
+    return 0
+
+
 def cmd_remove_orphans(args) -> int:
     from etl_rust_spark.lake.format import IceliteTable
 
@@ -170,6 +188,21 @@ def build_parser() -> argparse.ArgumentParser:
     rb.add_argument("--table", required=True)
     rb.add_argument("--n-buckets", type=int, required=True)
     rb.set_defaults(fn=cmd_rebucket)
+
+    rn = sub.add_parser(
+        "rename-column", help="metadata-only column rename (field-id evolution)"
+    )
+    rn.add_argument("--table", required=True)
+    rn.add_argument("--old", required=True)
+    rn.add_argument("--new", required=True)
+    rn.set_defaults(fn=cmd_rename_column)
+
+    dc = sub.add_parser(
+        "drop-column", help="metadata-only column drop (field-id evolution)"
+    )
+    dc.add_argument("--table", required=True)
+    dc.add_argument("--column", required=True)
+    dc.set_defaults(fn=cmd_drop_column)
 
     ro = sub.add_parser("remove-orphans", help="delete crash debris")
     ro.add_argument("--table", required=True)

@@ -86,7 +86,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3  # v3: field-id column tracking (rename/drop evolution)
 _MANIFEST_DIR = "_manifests"
 _LINEAGE_DIR = "_lineage"
 _DATA_DIR = "data"
@@ -217,6 +217,50 @@ def _where_filter(conds: list):
     return pred
 
 
+# --------------------------------------------------------------------------
+# field-id column tracking (Iceberg-style rename/drop schema evolution)
+#
+# Every column carries a stable integer field id (pointer ``field_ids``:
+# current name → id). Data files keep their write-time column names; each
+# manifest entry records the id→name map in force when the file was
+# written (``cols``). Reads resolve file columns BY ID: a renamed column's
+# old files feed the new name via alias, a dropped column is simply never
+# selected, and a re-used name gets a FRESH id so stale data from before
+# the drop can never resurface. Tables created before v3 synthesize ids on
+# their first rename/drop; ``legacy_cols`` pins the original names for
+# files written before synthesis (names never changed before that moment,
+# so one pinned map covers them all).
+# Ref (semantics only): Iceberg table spec, "Schemas and Data Types" —
+# name mapping by field id. /root/reference has no schema-evolving store;
+# this is engine capability beyond the reference (SURVEY §7).
+# --------------------------------------------------------------------------
+
+
+def _file_cols(entry: dict, legacy_cols: dict | None) -> dict | None:
+    """The id→name map in force when this file was written (None: the
+    table has never renamed/dropped, names are current)."""
+    return entry.get("cols") or legacy_cols
+
+
+def _group_conds(conds: list, cmap: dict | None, fids: dict | None, by_name: dict):
+    """Rewrite pruning conditions to a file group's write-time column
+    names. Returns (conds, by_name, absent): ``absent`` means some
+    predicate column did not exist when the group's files were written —
+    every value there is NULL, and NULL satisfies none of the supported
+    ops (=/</<=/>/>=/between), so the whole group is provably skippable."""
+    if cmap is None or fids is None:
+        return conds, by_name, False
+    out, names = [], {}
+    for col, op, val in conds:
+        fid = fids.get(col)
+        w = cmap.get(str(fid)) if fid is not None else None
+        if w is None:
+            return [], {}, True
+        out.append((w, op, val))
+        names[w] = by_name.get(col)
+    return out, names, False
+
+
 class IceliteTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -264,6 +308,9 @@ class IceliteTable:
             "n_buckets": int(n_buckets),
             "order_cols": list(order_cols or key_cols),
             "seq_col": seq_col,
+            # stable per-column field ids (rename/drop evolution, v3)
+            "field_ids": {f.name: i for i, f in enumerate(schema.fields)},
+            "next_field_id": len(schema.fields),
             "manifests": [],        # [{name, buckets, n_files}]
             "applied_tail": {},     # batch_key -> commit seq (≤ _TAIL_MAX)
             "applied_archives": [],  # immutable chunk file names
@@ -325,6 +372,127 @@ class IceliteTable:
     @property
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(self.pointer()["schema"])
+
+    # ------------------------------------------------- field-id resolution
+    @staticmethod
+    def _assigned_field_ids(ptr: dict, schema: T.StructType):
+        """(field_ids, next_id) the child pointer of ``ptr`` carrying
+        ``schema`` will hold: parent ids plus fresh ids for appended
+        columns. (None, None) when the table predates id tracking and no
+        rename/drop has synthesized ids — reads then resolve by name,
+        which is correct because names have never changed."""
+        fids = ptr.get("field_ids")
+        if fids is None:
+            return None, None
+        fids = dict(fids)
+        nxt = int(ptr.get("next_field_id", len(fids)))
+        for f in schema.fields:
+            if f.name not in fids:
+                fids[f.name] = nxt
+                nxt += 1
+        return fids, nxt
+
+    @staticmethod
+    def _synthesized_evo(ptr: dict, schema: T.StructType):
+        """Field-id state for the FIRST rename/drop on a pre-v3 table:
+        synthesize ids positionally and pin the pre-evolution names in
+        ``legacy_cols`` (covers every file written before stamping)."""
+        if ptr.get("field_ids") is not None:
+            return (
+                dict(ptr["field_ids"]),
+                int(ptr.get("next_field_id", len(ptr["field_ids"]))),
+                ptr.get("legacy_cols"),
+            )
+        fids = {f.name: i for i, f in enumerate(schema.fields)}
+        legacy = {str(i): n for n, i in fids.items()}
+        return fids, len(fids), legacy
+
+    def _read_file_groups(
+        self, files: list, schema: T.StructType, ptr: dict
+    ) -> DataFrame:
+        """Read a set of manifest file entries normalized to the CURRENT
+        schema. Files are grouped by their write-time id→name map; each
+        group is scanned with the names it was written under (so a stale
+        same-named column from before a drop+re-add is never read),
+        aliased to current names by field id, null-backfilled for columns
+        that postdate it, and unioned. Tables that never renamed/dropped
+        collapse to a single plain scan — the pre-v3 fast path."""
+        fids = ptr.get("field_ids")
+        legacy = ptr.get("legacy_cols")
+        names = [f.name for f in schema.fields]
+        groups: dict = {}
+        order: list = []
+        for f in files:
+            cmap = _file_cols(f, legacy)
+            key = tuple(sorted(cmap.items())) if (cmap and fids) else None
+            if key not in groups:
+                groups[key] = []
+                order.append(key)
+            groups[key].append(f["path"])
+        parts = []
+        for key in order:
+            paths = groups[key]
+            if key is None:
+                part = (
+                    self.spark.read.schema(schema).parquet(*paths).select(*names)
+                )
+            else:
+                cmap = dict(key)
+                rf, alias, missing = [], [], []
+                for fld in schema.fields:
+                    w = cmap.get(str(fids.get(fld.name)))
+                    if w is None:
+                        missing.append(fld)
+                    else:
+                        rf.append(T.StructField(w, fld.dataType, True))
+                        alias.append((w, fld.name))
+                part = (
+                    self.spark.read.schema(T.StructType(rf))
+                    .parquet(*paths)
+                    .select(
+                        *[F.col(w).alias(c) for w, c in alias],
+                        *[
+                            F.lit(None).cast(fld.dataType).alias(fld.name)
+                            for fld in missing
+                        ],
+                    )
+                    .select(*names)
+                )
+            parts.append(part)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _prune_files(
+        self, files: list, conds: list, by_name: dict, ptr: dict
+    ) -> list:
+        """Stats-prune manifest entries against ANDed conditions on
+        CURRENT column names, translating each condition to every file's
+        write-time names by field id (stats are stored under write-time
+        names). A file written before a predicate column existed is
+        provably all-NULL there and is skipped."""
+        fids = ptr.get("field_ids")
+        legacy = ptr.get("legacy_cols")
+        cache: dict = {}
+        kept = []
+        for f in files:
+            cmap = _file_cols(f, legacy)
+            key = tuple(sorted(cmap.items())) if (cmap and fids) else None
+            if key not in cache:
+                g_conds, g_names, absent = _group_conds(
+                    conds, dict(key) if key else None, fids, by_name
+                )
+                bk = ptr["bucket_key"]
+                if key is not None:
+                    bk = dict(key).get(str(fids.get(bk))) or bk
+                cache[key] = (g_conds, g_names, absent, bk)
+            g_conds, g_names, absent, bk = cache[key]
+            if absent:
+                continue
+            if _file_may_match(f, g_conds, g_names, bk):
+                kept.append(f)
+        return kept
 
     def seq_as_of(self, ts) -> int:
         """Time travel by TIMESTAMP (Iceberg's ``FOR SYSTEM_TIME AS OF``):
@@ -450,18 +618,10 @@ class IceliteTable:
             ]
             if prunable:
                 by_name = {f.name: f.dataType for f in schema.fields}
-                files = [
-                    f for f in files
-                    if _file_may_match(f, prunable, by_name, ptr["bucket_key"])
-                ]
+                files = self._prune_files(files, prunable, by_name, ptr)
         if not files:
             return self.spark.createDataFrame([], schema)
-        # explicit schema => old files lacking evolved columns null-backfill
-        df = (
-            self.spark.read.schema(schema)
-            .parquet(*[f["path"] for f in files])
-            .select(*[fld.name for fld in schema.fields])
-        )
+        df = self._read_file_groups(files, schema, ptr)
         has_delta = any(f.get("kind", "base") == "delta" for f in files)
         if has_delta and ptr.get("seq_col"):
             df = _dedup_by_seq(df, ptr["key_cols"], ptr["seq_col"], schema)
@@ -490,18 +650,16 @@ class IceliteTable:
             # values, so ANDed _file_may_match can't express it); null or
             # missing stats / incomparable types are never skippable
             if any(
-                _file_may_match(f, [(ptr["bucket_key"], "=", v)], {}, ptr["bucket_key"])
+                len(
+                    self._prune_files([f], [(ptr["bucket_key"], "=", v)], {}, ptr)
+                )
                 for v in vals
             )
         ]
         schema = T.StructType.fromJson(ptr["schema"])
         if not pruned:
             return self.spark.createDataFrame([], schema)
-        df = (
-            self.spark.read.schema(schema)
-            .parquet(*[f["path"] for f in pruned])
-            .select(*[fld.name for fld in schema.fields])
-        )
+        df = self._read_file_groups(pruned, schema, ptr)
         # the skipped files cannot hold these keys, so max-LSN dedup over
         # the pruned subset is still last-writer-correct per key
         has_delta = any(f.get("kind", "base") == "delta" for f in pruned)
@@ -651,12 +809,8 @@ class IceliteTable:
 
             old = None
             if rewrite_files:
-                # explicit merged schema => evolved columns null-backfill
-                old = (
-                    self.spark.read.schema(merged_schema)
-                    .parquet(*[f["path"] for f in rewrite_files])
-                    .select(*[f.name for f in merged_schema.fields])
-                )
+                # field-id-resolved read; evolved columns null-backfill
+                old = self._read_file_groups(rewrite_files, merged_schema, ptr)
 
             upserts = ch.filter(F.col(op_col) != "D").drop(op_col, "__bucket")
             have = set(upserts.columns)
@@ -794,6 +948,7 @@ class IceliteTable:
         aux = [lineage_path] + [
             os.path.join(self._manifest_dir, n) for n in chunks
         ]
+        fids, next_id = self._assigned_field_ids(parent_ptr, schema)
         pointer = {
             "format_version": FORMAT_VERSION,
             "seq": commit_seq,
@@ -805,6 +960,9 @@ class IceliteTable:
             "n_buckets": parent_ptr["n_buckets"],
             "order_cols": parent_ptr["order_cols"],
             "seq_col": parent_ptr.get("seq_col"),
+            "field_ids": fids,
+            "next_field_id": next_id,
+            "legacy_cols": parent_ptr.get("legacy_cols"),
             "manifests": manifests,
             "applied_tail": tail,
             "applied_archives": archives,
@@ -860,6 +1018,15 @@ class IceliteTable:
                 m for m in ptr["manifests"] if m["name"] not in consumed
             ] + list(rewritten)
             if new_files:
+                # stamp the write-time id→name map (field-id evolution):
+                # reads resolve these files' columns by id even after a
+                # later rename/drop. Recomputed per attempt — a rebase may
+                # adopt a winner's evolved ids.
+                fids, _ = self._assigned_field_ids(ptr, schema)
+                if fids is not None:
+                    cmap = {str(fids[f.name]): f.name for f in schema.fields}
+                    for f in new_files:
+                        f["cols"] = cmap
                 name = f"manifest-{commit_seq:08d}{tok}.json"
                 manifests.append(self._write_manifest_file(name, new_files))
                 aux.append(os.path.join(self._manifest_dir, name))
@@ -1006,13 +1173,13 @@ class IceliteTable:
         incremental consumers). Retention note: keep_last on
         expire_snapshots bounds how far back a consumer may resume."""
         until = self.current_seq() if until_seq is None else until_seq
-        paths, seqs = [], []
+        entries, seqs = [], []
         for s in range(since_seq + 1, until + 1):
             rec = self._lineage_record(s)
             if rec is None:
                 raise FileNotFoundError(f"no lineage record for commit {s}")
-            if rec["source"] in ("compact", "rebucket"):
-                continue  # rewrites, not changes
+            if rec["source"] in ("compact", "rebucket", "rename", "drop"):
+                continue  # rewrites / metadata-only: not changes
             if rec["files_removed"] > 0:
                 raise ValueError(
                     f"commit {s} is copy-on-write (rewrote files) — "
@@ -1029,17 +1196,14 @@ class IceliteTable:
                     )
                 continue  # commit added no files (all-duplicate batch)
             for name in names:
-                paths.extend(e["path"] for e in self._read_manifest(name))
+                entries.extend(self._read_manifest(name))
             seqs.append(s)
-        schema = T.StructType.fromJson(self.pointer(until)["schema"])
-        if not paths:
+        until_ptr = self.pointer(until)
+        schema = T.StructType.fromJson(until_ptr["schema"])
+        if not entries:
             out = self.spark.createDataFrame([], schema)
             return out.withColumn("_commit_seq", F.lit(None).cast("long"))
-        df = (
-            self.spark.read.schema(schema)
-            .parquet(*paths)
-            .select(*[f.name for f in schema.fields])
-        )
+        df = self._read_file_groups(entries, schema, until_ptr)
         # commit seq recovered from the data layout (data/commit-<seq>[-tok]/)
         return df.withColumn(
             "_commit_seq",
@@ -1189,6 +1353,97 @@ class IceliteTable:
         )
         return self.snapshot()
 
+    def rename_column(self, old: str, new: str) -> dict:
+        """METADATA-ONLY column rename (Iceberg field-id evolution): no
+        data file is touched, at any table size. Existing files keep
+        their write-time column name; reads alias it to the new name by
+        field id (see ``_read_file_groups``). References in key/order/
+        bucket/seq columns follow the rename. NON-rebasing (like
+        ``rebucket``): a concurrent commit during the rename raises —
+        run schema changes in a quiet window."""
+        t0 = time.monotonic()
+        ptr = self.pointer()
+        schema = T.StructType.fromJson(ptr["schema"])
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise KeyError(f"no such column: {old!r}")
+        if new in names:
+            raise ValueError(f"column already exists: {new!r}")
+        if old.startswith("__") or new.startswith("__"):
+            raise ValueError("engine columns (__-prefixed) cannot be renamed")
+        fids, next_id, legacy = self._synthesized_evo(ptr, schema)
+        fids[new] = fids.pop(old)
+        new_schema = T.StructType(
+            [
+                T.StructField(new if f.name == old else f.name, f.dataType, True)
+                for f in schema.fields
+            ]
+        )
+        ren = lambda c: new if c == old else c  # noqa: E731
+        overrides = {
+            "field_ids": fids,
+            "next_field_id": next_id,
+            "legacy_cols": legacy,
+            "key_cols": [ren(c) for c in ptr["key_cols"]],
+            "order_cols": [ren(c) for c in ptr["order_cols"]],
+            "bucket_key": ren(ptr["bucket_key"]),
+            "seq_col": ren(ptr["seq_col"]) if ptr.get("seq_col") else None,
+        }
+        self._commit_rebasing(
+            ptr, new_schema, list(ptr["manifests"]), [], None,
+            self._meta_lineage(ptr, "rename", t0), None,
+            max_retries=0, ptr_overrides=overrides,
+        )
+        return self.snapshot()
+
+    def drop_column(self, name: str) -> dict:
+        """METADATA-ONLY column drop (Iceberg field-id evolution): the
+        column vanishes from the table schema; old files keep the bytes
+        but reads never select them. The field id is RETIRED — a later
+        add of the same name gets a fresh id, so pre-drop data can never
+        resurface under the new column. Key/order/bucket/seq and engine
+        columns (``__``-prefixed) cannot be dropped. NON-rebasing."""
+        t0 = time.monotonic()
+        ptr = self.pointer()
+        schema = T.StructType.fromJson(ptr["schema"])
+        if name not in [f.name for f in schema.fields]:
+            raise KeyError(f"no such column: {name!r}")
+        protected = {ptr["bucket_key"], *ptr["key_cols"], *ptr["order_cols"]}
+        if ptr.get("seq_col"):
+            protected.add(ptr["seq_col"])
+        if name in protected or name.startswith("__"):
+            raise ValueError(
+                f"cannot drop {name!r}: key/order/bucket/seq and engine "
+                "columns are structural"
+            )
+        fids, next_id, legacy = self._synthesized_evo(ptr, schema)
+        fids.pop(name, None)
+        new_schema = T.StructType(
+            [f for f in schema.fields if f.name != name]
+        )
+        overrides = {
+            "field_ids": fids,
+            "next_field_id": next_id,
+            "legacy_cols": legacy,
+        }
+        self._commit_rebasing(
+            ptr, new_schema, list(ptr["manifests"]), [], None,
+            self._meta_lineage(ptr, "drop", t0), None,
+            max_retries=0, ptr_overrides=overrides,
+        )
+        return self.snapshot()
+
+    def _meta_lineage(self, ptr: dict, source: str, t0: float) -> dict:
+        """Lineage record for a metadata-only commit (rename/drop)."""
+        return {
+            "commit_seq": ptr["seq"] + 1, "batch_key": None, "source": source,
+            "n_changes": 0, "n_upserts": 0, "n_deletes": 0,
+            "touched_buckets": [], "files_added": 0, "files_removed": 0,
+            "rows_written": 0, "per_bucket_rows": {},
+            "wall_ms": round((time.monotonic() - t0) * 1000.0, 3),
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+
     def remove_orphans(self, grace_sec: float = 3600.0) -> list[str]:
         """Delete files under the table dir that NO existing snapshot
         references and that are older than ``grace_sec`` — crash-orphan
@@ -1322,8 +1577,10 @@ _WIDEN_CHAINS = (
 
 def _widen(a: T.DataType, b: T.DataType) -> T.DataType | None:
     """The wider of two types if they sit on one widening chain, else
-    None. rename/drop are intentionally NOT supported — they need
-    Iceberg's field-id indirection; documented descope (SURVEY §7)."""
+    None. Merge-time evolution is add/widen only BY DESIGN: a batch with
+    a renamed column is indistinguishable from drop+add, so renames and
+    drops go through the explicit DDL (``rename_column``/``drop_column``,
+    field-id-based) instead of being inferred here."""
     if a == b:
         return a
     for chain in _WIDEN_CHAINS:

@@ -2727,3 +2727,155 @@ def q2_min_price_supplier(spark, sf_dir):
         )
         .distinct()
     )
+
+# ---------------------------------------------------------------------------
+# training-data curation, round 3b: corpus-wide line-level dedup (C4-style),
+# sequence packing, deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+_LINE_W = 8  # words per "line" segment (corpus text carries no newlines)
+
+
+@query(
+    "line_dedup_stats",
+    f"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+      FROM documents),
+    seg AS (
+      SELECT doc_id,
+             CAST((start - 1) / {_LINE_W} AS INTEGER) AS pos,
+             array_to_string(ws[start:start + {_LINE_W} - 1], ' ') AS line
+      FROM (SELECT doc_id, ws,
+                   unnest(range(1, greatest(len(ws), 1) + 1, {_LINE_W})) AS start
+            FROM w)),
+    d AS (SELECT line, COUNT(DISTINCT doc_id) AS nd FROM seg GROUP BY line),
+    m AS (SELECT s.doc_id, s.pos, s.line, (d.nd > 1) AS is_dup
+          FROM seg s JOIN d USING (line))
+    SELECT doc_id,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(is_dup AS INT)) AS BIGINT) AS n_dup_lines,
+           {md5_long_sql("COALESCE(string_agg(CASE WHEN NOT is_dup THEN line END, ' ' ORDER BY pos), '')")} AS clean_fp
+    FROM m GROUP BY doc_id
+    """,
+)
+def line_dedup_stats(spark, sf_dir):
+    """C4-style corpus-wide line-level dedup: segment every document into
+    8-word "lines", drop each line that occurs in MORE THAN ONE document,
+    and fingerprint the surviving text. The C4 pipeline's "deduplicate at
+    the line level across the corpus" stage (public: Raffel et al. 2020
+    §2.2) — boilerplate repeated across pages dies, unique prose stays.
+
+    Scale shape: lines never carry payload through the dup-count shuffle
+    (only their 60-bit hash + doc id); the rebuild is one groupBy(doc)
+    with sort/filter/join running as JVM higher-order array functions.
+    Three shuffles total, all keyed, no window over the whole corpus."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("filter(split(text, ' '), x -> length(x) > 0)").alias("ws")
+    )
+    starts = F.expr(f"sequence(1, greatest(size(ws), 1), {_LINE_W})")
+    lines = d.select("doc_id", F.explode(starts).alias("start"), "ws").select(
+        "doc_id",
+        ((F.col("start") - 1) / _LINE_W).cast("int").alias("pos"),
+        F.array_join(F.slice("ws", F.col("start"), _LINE_W), " ").alias("line"),
+    )
+    lh = lines.withColumn("lh", md5_long(F.col("line")))
+    dup = lh.groupBy("lh").agg(F.countDistinct("doc_id").alias("nd"))
+    marked = lh.join(dup, "lh").withColumn("is_dup", F.col("nd") > 1)
+    rows = F.array_sort(
+        F.collect_list(F.struct("pos", F.col("line").alias("line"), F.col("is_dup").alias("is_dup")))
+    )
+    kept = F.transform(
+        F.filter(rows, lambda x: ~x["is_dup"]), lambda x: x["line"]
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("is_dup").cast("int")).cast("long").alias("n_dup_lines"),
+        md5_long(F.array_join(kept, " ")).alias("clean_fp"),
+    )
+
+
+_PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+@query(
+    "sequence_packing",
+    f"""
+    WITH t AS (
+      SELECT source, doc_id, len({_WORDS_SQL}) AS n_tokens FROM documents),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT source,
+           CAST(floor((cum - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE) / {_PACK_BUDGET}.0, 6) AS fill_ratio
+    FROM c GROUP BY 1, 2
+    """,
+)
+def sequence_packing(spark, sf_dir):
+    """Concat-and-chunk sequence packing: documents stream in stable
+    (doc_id) order per source; a doc joins the sequence its cumulative
+    token offset falls in ({_PACK_BUDGET}-token budget) — the standard
+    pretraining packing layout (docs concatenated, then split at the
+    budget boundary). Per-source windows keep the running sum PARALLEL
+    (one partition per source, never a single global window — the 100-TB
+    trap for packing jobs); the rest is one keyed aggregation."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(tx.words_lower("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = d.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.withColumn(
+            "seq_id",
+            F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(float(_PACK_BUDGET))).cast("long"),
+        )
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.lit(float(_PACK_BUDGET)), 6
+            ).alias("fill_ratio"),
+        )
+    )
+
+
+@query(
+    "stratified_sample",
+    f"""
+    SELECT doc_id, source,
+           CAST({md5_long_sql("concat(source, ':', CAST(doc_id AS VARCHAR))")} % 10000 AS BIGINT) AS sample_key
+    FROM documents
+    WHERE {md5_long_sql("concat(source, ':', CAST(doc_id AS VARCHAR))")} % 10000
+          < (CASE WHEN source IN ('src0', 'src1', 'src2') THEN 9000
+                  WHEN source IN ('src3', 'src4') THEN 5000
+                  ELSE 2500 END)
+    """,
+)
+def stratified_sample(spark, sf_dir):
+    """Deterministic per-source (temperature-style) downsampling: keep a
+    document iff a uniform 60-bit hash of (source, doc_id) falls under
+    the source's rate — high-quality sources keep 90%, mid 50%, tail 25%.
+    Pure codegen filter, zero shuffle, reproducible across runs/engines
+    (the property `df.sample()` does NOT give: its Bernoulli draw depends
+    on partitioning). The data-mixture construction op."""
+    d = _t(spark, sf_dir, "documents")
+    key = F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string"))
+    h = F.pmod(md5_long(key), F.lit(10000))
+    rate = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), 9000)
+        .when(F.col("source").isin("src3", "src4"), 5000)
+        .otherwise(2500)
+    )
+    return d.select(
+        "doc_id", "source", h.cast("long").alias("sample_key"), rate.alias("__r")
+    ).filter(F.col("sample_key") < F.col("__r")).drop("__r")

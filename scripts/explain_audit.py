@@ -56,6 +56,10 @@ CHECKS = {
     "q21_blocking_supplier": (["LeftSemi", "LeftAnti", "TakeOrderedAndProject"], ["CartesianProduct"]),
     "q22_dormant_customers": (["LeftAnti", "partial_sum"], ["CartesianProduct"]),
     "q2_min_price_supplier": (["BroadcastHashJoin", "partial_min"], ["CartesianProduct"]),
+    # curation round 3b
+    "line_dedup_stats": (["Generate explode", "partial_count(distinct"], ["CartesianProduct", "Window"]),
+    "sequence_packing": (["Window", "Exchange hashpartitioning(source"], ["CartesianProduct"]),
+    "stratified_sample": ([], ["Exchange", "BatchEvalPython"]),
 }
 
 

@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "document_chunks",
     "windowed_event_counts",
     "explode_embeddings",
+    "q9_product_profit",
+    "q21_blocking_supplier",
+    "line_dedup_stats",
 ]
 
 CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "16000000"))

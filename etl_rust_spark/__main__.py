@@ -80,7 +80,11 @@ def cmd_compact(args) -> int:
     from etl_rust_spark.lake.format import IceliteTable
 
     t = IceliteTable.load(_spark(args), args.table)
-    snap = t.compact(min_files_per_bucket=args.min_files_per_bucket)
+    snap = t.compact(
+        min_files_per_bucket=args.min_files_per_bucket,
+        zorder=args.zorder.split(",") if args.zorder else None,
+        files_per_bucket=args.files_per_bucket,
+    )
     print(f"compacted to seq {snap['seq']} ({len(snap['files'])} live files)")
     return 0
 
@@ -177,6 +181,11 @@ def build_parser() -> argparse.ArgumentParser:
     k = sub.add_parser("compact", help="fold delta files")
     k.add_argument("--table", required=True)
     k.add_argument("--min-files-per-bucket", type=int, default=None)
+    k.add_argument(
+        "--zorder", default=None,
+        help="comma-separated numeric/temporal columns for morton-ordered layout",
+    )
+    k.add_argument("--files-per-bucket", type=int, default=4)
     k.set_defaults(fn=cmd_compact)
 
     e = sub.add_parser("expire", help="expire old snapshots")

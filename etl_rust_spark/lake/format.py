@@ -692,6 +692,7 @@ class IceliteTable:
         source: str = "batch",
         seq_col: str | None = None,
         mode: str = "cow",
+        stage_as: str | None = None,
     ) -> dict | None:
         """MERGE of deduplicated changes (one row per key).
 
@@ -718,10 +719,28 @@ class IceliteTable:
           micro-batch touches every bucket (CoW write amplification is
           O(table) per batch in that regime). Same tombstone rule.
 
+        ``stage_as="name"`` is WRITE-AUDIT-PUBLISH (Iceberg's wap.id
+        pattern): the batch is fully written and deduplicated but the
+        snapshot pointer does NOT advance — main readers cannot see it.
+        ``read_staged(name)`` shows the table as if published (audit
+        view); ``publish_staged(name)`` makes it live atomically (with
+        the normal optimistic rebase over commits that landed since);
+        ``drop_staged(name)`` discards data and metadata. Requires
+        ``mode="mor"`` (append-only commits rebase unconditionally, so a
+        stale staged batch can always publish). The exactly-once batch
+        key enters the ledger at PUBLISH time, so a re-delivered batch
+        that was staged-then-dropped is not falsely deduplicated.
+
         Returns the lineage record for the commit, or None when
         ``batch_key`` is already in the applied ledger (idempotent replay).
         """
         t0 = time.monotonic()
+        if stage_as is not None and mode != "mor":
+            raise ValueError(
+                "stage_as requires mode='mor' (append-only commits); "
+                "a staged CoW rewrite could not rebase over commits that "
+                "land during the audit"
+            )
         ptr = self.pointer()
         if batch_key is not None and self.is_applied(batch_key, ptr):
             return None
@@ -905,10 +924,120 @@ class IceliteTable:
             "wall_ms": round((time.monotonic() - t0) * 1000.0, 3),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
+        if stage_as is not None:
+            # WAP: everything is written; only the pointer advance is
+            # deferred to publish_staged(). Files are forced to delta so
+            # the audit/publish read always applies max-seq dedup even
+            # against rows that land in OTHER commits mid-audit.
+            for f in new_files:
+                f["kind"] = "delta"
+            fids, _ = self._assigned_field_ids(ptr, merged_schema)
+            if fids is not None:
+                cmap = {str(fids[f.name]): f.name for f in merged_schema.fields}
+                for f in new_files:
+                    f["cols"] = cmap
+            staged = {
+                "name": stage_as,
+                "parent_seq": ptr["seq"],
+                "schema": merged_schema.jsonValue(),
+                "files": new_files,
+                "batch_key": batch_key,
+                "lineage": lineage_rec,
+                "commit_dir": commit_dir,
+                "staged_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+            _write_json(self._staged_path(stage_as), staged)
+            return lineage_rec
         return self._commit_rebasing(
             ptr, merged_schema, keep_manifests, new_files,
             batch_key, lineage_rec, commit_dir,
         )
+
+    # ------------------------------------------------- write-audit-publish
+    def _staged_path(self, name: str) -> str:
+        if not re.fullmatch(r"[A-Za-z0-9_.-]+", name):
+            raise ValueError(f"invalid staged-commit name: {name!r}")
+        return os.path.join(self._manifest_dir, f"staged-{name}.json")
+
+    def _load_staged(self, name: str) -> dict:
+        p = self._staged_path(name)
+        if not os.path.exists(p):
+            raise FileNotFoundError(f"no staged commit named {name!r}")
+        with open(p) as f:
+            return json.load(f)
+
+    def list_staged(self) -> list[str]:
+        return sorted(
+            os.path.basename(p)[len("staged-"):-len(".json")]
+            for p in glob.glob(os.path.join(self._manifest_dir, "staged-*.json"))
+        )
+
+    def read_staged(self, name: str) -> DataFrame:
+        """The AUDIT view: the table exactly as it would look if the
+        staged commit published right now — current live files plus the
+        staged delta, max-seq dedup across both. Quality gates run here
+        (row counts, PII scans, schema checks) before any reader can see
+        the batch."""
+        st = self._load_staged(name)
+        ptr = self.pointer()
+        schema = _merge_schema(
+            T.StructType.fromJson(ptr["schema"]),
+            T.StructType.fromJson(st["schema"]),
+        )
+        files = self._files(ptr) + st["files"]
+        df = self._read_file_groups(files, schema, ptr)
+        if ptr.get("seq_col"):
+            df = _dedup_by_seq(df, ptr["key_cols"], ptr["seq_col"], schema)
+        return df
+
+    def publish_staged(self, name: str) -> dict | None:
+        """Atomically promote a staged commit to the live table — the
+        normal optimistic commit, rebasing over anything that landed
+        during the audit (staged commits are append-only deltas, which
+        rebase unconditionally). The batch key enters the exactly-once
+        ledger HERE. Returns the lineage record, or None when a
+        concurrent writer already applied the same batch key (the staged
+        data is then dropped as a duplicate)."""
+        st = self._load_staged(name)
+        ptr = self.pointer()
+        if st["batch_key"] is not None and self.is_applied(st["batch_key"], ptr):
+            self.drop_staged(name)
+            return None
+        schema = _merge_schema(
+            T.StructType.fromJson(ptr["schema"]),
+            T.StructType.fromJson(st["schema"]),
+        )
+        files = st["files"]
+        commit_dir = st["commit_dir"]
+        if ptr["seq"] != st["parent_seq"] and commit_dir and files:
+            # data-dir name encodes the commit seq (read_changes recovers
+            # _commit_seq from it) — re-home to the publish-time target
+            new_dir = os.path.join(
+                self.path, _DATA_DIR,
+                f"commit-{ptr['seq'] + 1:08d}-{uuid.uuid4().hex[:8]}",
+            )
+            os.rename(commit_dir, new_dir)
+            for f in files:
+                f["path"] = f["path"].replace(commit_dir, new_dir, 1)
+            commit_dir = new_dir
+        rec = {**st["lineage"], "source": st["lineage"]["source"] + "+published"}
+        out = self._commit_rebasing(
+            ptr, schema, list(ptr["manifests"]), files,
+            st["batch_key"], rec, commit_dir,
+        )
+        os.remove(self._staged_path(name))
+        return out
+
+    def drop_staged(self, name: str) -> None:
+        """Discard a staged commit: its data dir and metadata vanish (the
+        audit REJECTED the batch — on re-delivery the batch key is still
+        unapplied, so the corrected batch processes normally)."""
+        st = self._load_staged(name)
+        import shutil
+
+        if st.get("commit_dir"):
+            shutil.rmtree(st["commit_dir"], ignore_errors=True)
+        os.remove(self._staged_path(name))
 
     def _write_manifest_file(self, name: str, entries: list) -> dict:
         """Write one immutable manifest chunk; return its pointer entry
@@ -1256,7 +1385,49 @@ class IceliteTable:
                 keep.append(m)
         return keep, removed
 
-    def compact(self, min_files_per_bucket: int | None = None) -> dict:
+    def _zorder_key(self, df: DataFrame, cols: list[str]):
+        """Morton (bit-interleaved) sort key over ``cols`` — multi-column
+        file clustering so min/max stats prune on EVERY z-ordered column,
+        not just the leading sort column (the Iceberg/Delta OPTIMIZE
+        ZORDER move; public technique, Morton 1966). Each column is
+        scaled to 16 bits against its global [min, max] (one tiny agg —
+        2 values/column on the driver), then bits interleave JVM-side
+        (pure codegen shifts/ors; no Python in the row path)."""
+        exprs = []
+        for c in cols:
+            fld = next(f for f in df.schema.fields if f.name == c)
+            e = _stat_expr(fld)
+            if e is None or isinstance(fld.dataType, (T.StringType, T.BooleanType)):
+                raise ValueError(f"zorder column must be numeric/temporal: {c}")
+            exprs.append(e.cast("double"))
+        bounds = df.agg(
+            *[F.min(e).alias(f"lo{i}") for i, e in enumerate(exprs)],
+            *[F.max(e).alias(f"hi{i}") for i, e in enumerate(exprs)],
+        ).collect()[0]
+        quant = []
+        for i, e in enumerate(exprs):
+            lo = float(bounds[f"lo{i}"] if bounds[f"lo{i}"] is not None else 0.0)
+            hi = float(bounds[f"hi{i}"] if bounds[f"hi{i}"] is not None else 0.0)
+            span = (hi - lo) or 1.0
+            q = F.least(
+                F.lit(65535),
+                F.greatest(F.lit(0), ((e - F.lit(lo)) / F.lit(span) * 65535).cast("int")),
+            )
+            quant.append(F.coalesce(q, F.lit(0)).cast("long"))
+        n = len(quant)
+        z = F.lit(0).cast("long")
+        for b in range(16):
+            for i, q in enumerate(quant):
+                bit = F.shiftright(q, b).bitwiseAND(F.lit(1))
+                z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+        return z
+
+    def compact(
+        self,
+        min_files_per_bucket: int | None = None,
+        zorder: list[str] | None = None,
+        files_per_bucket: int = 4,
+    ) -> dict:
         """Small-file compaction after many micro-batch commits.
 
         Default: rewrite the whole live file set into one file per bucket
@@ -1287,11 +1458,30 @@ class IceliteTable:
             self.path, _DATA_DIR, f"commit-{commit_seq:08d}-{uuid.uuid4().hex[:8]}"
         )
         bexpr = _bucket_expr(ptr["bucket_key"], ptr["n_buckets"])
+        if zorder:
+            # z-ordered layout: several files per bucket, each covering a
+            # tight morton range, so read(where=...) prunes on every
+            # z-ordered column (stats per file stay exact — they're
+            # collected from the written rows, whatever the order)
+            zkey = self._zorder_key(df, list(zorder))
+            n_parts = max(1, len(target or range(ptr["n_buckets"]))) * max(
+                1, int(files_per_bucket)
+            )
+            writer = (
+                df.withColumn("__bucket", bexpr)
+                .withColumn("__z", zkey)
+                .repartitionByRange(n_parts, F.col("__bucket"), F.col("__z"))
+                .sortWithinPartitions("__bucket", "__z")
+                .drop("__z")
+            )
+        else:
+            writer = (
+                df.withColumn("__bucket", bexpr)
+                .repartition(F.col("__bucket"))
+                .sortWithinPartitions("__bucket", *ptr["order_cols"])
+            )
         (
-            df.withColumn("__bucket", bexpr)
-            .repartition(F.col("__bucket"))
-            .sortWithinPartitions("__bucket", *ptr["order_cols"])
-            .write.partitionBy("__bucket")
+            writer.write.partitionBy("__bucket")
             .mode("overwrite")
             .parquet(commit_dir)
         )
@@ -1463,6 +1653,13 @@ class IceliteTable:
             live_data |= {f["path"] for f in self._files(ptr)}
             live_meta |= {m["name"] for m in ptr["manifests"]}
             live_meta |= set(ptr["applied_archives"])
+        # staged (write-audit-publish) commits are live roots too: their
+        # files are referenced by no snapshot until publish
+        for p in glob.glob(os.path.join(self._manifest_dir, "staged-*.json")):
+            with open(p) as f:
+                st = json.load(f)
+            live_data |= {e["path"] for e in st.get("files", [])}
+            live_meta.add(os.path.basename(p))
         removed: list[str] = []
 
         def _rm(p: str) -> None:

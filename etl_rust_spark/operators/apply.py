@@ -74,6 +74,7 @@ def apply_changes(
     salt_buckets: int | None = None,
     source: str = "batch",
     mode: str = "cow",
+    stage_as: str | None = None,
 ) -> dict | None:
     """Apply one micro-batch of change events to an Icelite table.
 
@@ -108,6 +109,7 @@ def apply_changes(
         source=source,
         seq_col=LSN_COL,
         mode=mode,
+        stage_as=stage_as,
     )
 
 

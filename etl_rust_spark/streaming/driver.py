@@ -70,6 +70,16 @@ class ChangelogIngest:
     # src/etl/processor.rs:46-49): setup/teardown around the query
     pre_process: Callable[[], None] | None = None
     post_process: Callable[[], None] | None = None
+    # WAP audit gate: when set (requires mode="mor"), every micro-batch
+    # is STAGED (fully written, invisible to readers), ``audit`` inspects
+    # the exact post-publish view (read_staged), and only passing batches
+    # publish. Failing batches drop without a trace — their keys never
+    # enter the exactly-once ledger — and are recorded in ``rejected`` /
+    # reported via ``on_reject``. The quality gate a training-data ingest
+    # runs BEFORE a crawl batch can reach consumers.
+    audit: Callable[[DataFrame], bool] | None = None
+    on_reject: Callable[[int], None] | None = None
+    rejected: list = field(default_factory=list)
 
     def _run_id(self) -> str:
         """Per-checkpoint run id persisted INSIDE the checkpoint dir, so
@@ -98,11 +108,17 @@ class ChangelogIngest:
         table = IceliteTable.load(self.spark, self.table_path)
         run_id = self._run_id()
 
+        if self.audit is not None and self.mode != "mor":
+            raise ValueError("audited ingest requires mode='mor' (staged commits)")
+
         def _apply(batch_df: DataFrame, epoch_id: int) -> None:
             df = self.transform(batch_df) if self.transform else batch_df
             # epoch_id is stable across checkpoint restarts → the ledger
             # key that makes foreachBatch's at-least-once exactly-once;
             # run_id couples it to THIS checkpoint's lifetime
+            stage = (
+                f"{self.name}.{run_id}.{epoch_id}" if self.audit is not None else None
+            )
             rec = apply_changes(
                 table,
                 df,
@@ -110,7 +126,17 @@ class ChangelogIngest:
                 salt_buckets=self.salt_buckets,
                 source=f"stream:{self.name}",
                 mode=self.mode,
+                stage_as=stage,
             )
+            if stage is not None and rec is not None:
+                if self.audit(table.read_staged(stage)):
+                    rec = table.publish_staged(stage)
+                else:
+                    table.drop_staged(stage)
+                    self.rejected.append(epoch_id)
+                    if self.on_reject:
+                        self.on_reject(epoch_id)
+                    return
             if (
                 rec is not None
                 and self.mode == "mor"

@@ -1,0 +1,205 @@
+"""Write-audit-publish (WAP) staged commits — Iceberg's wap.id pattern on
+Icelite: a batch is fully written (deduplicated, stats-scanned) but the
+snapshot pointer does not advance until the audit passes. The
+training-data-pipeline gate: run quality checks on the exact post-publish
+view, then publish atomically or drop the batch without a trace.
+
+The reference has no audit gate (batches go straight to the sink,
+/root/reference/example/src/main.rs:489-510); semantics here follow the
+public Iceberg write-audit-publish workflow.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from etl_rust_spark.changelog import CHANGELOG_SCHEMA
+from etl_rust_spark.operators.apply import (
+    apply_changes,
+    create_transcript_table,
+    read_transcripts,
+)
+
+
+def _batch(spark, rows):
+    pdf = pd.DataFrame(
+        rows, columns=["lsn", "op", "conv_id", "turn_idx", "role", "text", "ts"]
+    )
+    pdf["tool"] = ""
+    pdf = pdf[["lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+    pdf["ts"] = pd.Timestamp("2025-01-01")
+    return spark.createDataFrame(pdf, schema=CHANGELOG_SCHEMA)
+
+
+def test_stage_audit_publish_roundtrip(spark, tmp_path):
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(t, _batch(spark, [
+        (1, "I", "c1", 0, "user", "hello", None),
+        (2, "I", "c1", 1, "assistant", "hi", None),
+    ]), batch_key="b0", mode="mor")
+    seq_live = t.current_seq()
+
+    apply_changes(t, _batch(spark, [
+        (3, "I", "c2", 0, "user", "staged row", None),
+        (4, "U", "c1", 1, "assistant", "hi v2", None),
+    ]), batch_key="b1", mode="mor", stage_as="qa")
+
+    # main is untouched: pointer, row count, and content all pre-stage
+    assert t.current_seq() == seq_live
+    assert read_transcripts(t).count() == 2
+    assert not t.is_applied("b1")
+    assert t.list_staged() == ["qa"]
+
+    # audit view = table as if published (upsert applied, new key present)
+    audit = {(r["conv_id"], r["turn_idx"]): r["text"]
+             for r in t.read_staged("qa").collect()}
+    assert audit == {("c1", 0): "hello", ("c1", 1): "hi v2", ("c2", 0): "staged row"}
+
+    rec = t.publish_staged("qa")
+    assert rec is not None and rec["source"].endswith("+published")
+    assert t.is_applied("b1")
+    assert t.list_staged() == []
+    live = {(r["conv_id"], r["turn_idx"]): r["text"]
+            for r in read_transcripts(t).collect()}
+    assert live == audit
+    # exactly-once: replaying the published batch is a no-op
+    assert apply_changes(t, _batch(spark, [
+        (3, "I", "c2", 0, "user", "staged row", None)]), batch_key="b1", mode="mor") is None
+
+
+def test_publish_rebases_over_commits_landed_during_audit(spark, tmp_path):
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(t, _batch(spark, [(1, "I", "c1", 0, "user", "a", None)]),
+                  batch_key="b0", mode="mor")
+    apply_changes(t, _batch(spark, [(2, "I", "c2", 0, "user", "staged", None)]),
+                  batch_key="st", mode="mor", stage_as="qa")
+    # another writer lands while the audit runs — including a NEWER version
+    # of the staged batch's key, which must win after publish (lsn order)
+    apply_changes(t, _batch(spark, [(5, "U", "c2", 0, "user", "newer", None)]),
+                  batch_key="b1", mode="mor")
+    seq_mid = t.current_seq()
+
+    rec = t.publish_staged("qa")
+    assert rec is not None and rec["commit_seq"] == seq_mid + 1
+    got = {(r["conv_id"], r["turn_idx"]): r["text"]
+           for r in read_transcripts(t).collect()}
+    assert got == {("c1", 0): "a", ("c2", 0): "newer"}
+    # the change feed sees the published commit at its real sequence
+    feed = t.read_changes(since_seq=seq_mid)
+    assert feed.filter(F.col("_commit_seq") == seq_mid + 1).count() == 1
+
+
+def test_drop_staged_leaves_no_trace_and_allows_redelivery(spark, tmp_path):
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(t, _batch(spark, [(1, "I", "c1", 0, "user", "bad batch", None)]),
+                  batch_key="bk", mode="mor", stage_as="qa")
+    st = t._load_staged("qa")
+    t.drop_staged("qa")
+    assert t.list_staged() == []
+    import os
+    assert not os.path.exists(st["commit_dir"])
+    assert read_transcripts(t).count() == 0
+    # the audit rejected the batch; the CORRECTED redelivery under the
+    # same batch key must process (key never entered the ledger)
+    rec = apply_changes(t, _batch(spark, [(1, "I", "c1", 0, "user", "good", None)]),
+                        batch_key="bk", mode="mor")
+    assert rec is not None
+    assert read_transcripts(t).collect()[0]["text"] == "good"
+
+
+def test_publish_after_concurrent_duplicate_is_noop(spark, tmp_path):
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(t, _batch(spark, [(1, "I", "c1", 0, "user", "x", None)]),
+                  batch_key="dup", mode="mor", stage_as="qa")
+    # a concurrent (non-staged) writer applies the SAME batch key first
+    apply_changes(t, _batch(spark, [(1, "I", "c1", 0, "user", "x", None)]),
+                  batch_key="dup", mode="mor")
+    seq = t.current_seq()
+    assert t.publish_staged("qa") is None  # duplicate: dropped, not applied twice
+    assert t.current_seq() == seq
+    assert t.list_staged() == []
+    assert read_transcripts(t).count() == 1
+
+
+def test_remove_orphans_protects_staged_files(spark, tmp_path):
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(t, _batch(spark, [(1, "I", "c1", 0, "user", "keep me", None)]),
+                  batch_key="b0", mode="mor", stage_as="qa")
+    removed = t.remove_orphans(grace_sec=0.0)
+    assert removed == []
+    assert t.read_staged("qa").count() == 1
+    assert t.publish_staged("qa") is not None
+    assert read_transcripts(t).count() == 1
+
+
+def test_stage_requires_mor(spark, tmp_path):
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    with pytest.raises(ValueError, match="mor"):
+        apply_changes(t, _batch(spark, [(1, "I", "c1", 0, "user", "x", None)]),
+                      batch_key="b0", mode="cow", stage_as="qa")
+    with pytest.raises(ValueError, match="invalid staged-commit name"):
+        t._staged_path("../escape")
+
+
+def test_audited_ingest_gates_each_micro_batch(spark, tmp_path):
+    """End-to-end audited streaming ingest: each micro-batch stages,
+    the audit inspects the post-publish view, failing batches drop
+    (quarantined, never in the ledger), passing batches publish — the
+    table only ever exposes audited data."""
+    from pyspark.sql import functions as SF
+
+    from etl_rust_spark.changelog import (
+        CHANGELOG_SCHEMA,
+        ChangelogConfig,
+        generate_changelog_pandas,
+        write_wal_segments,
+    )
+    from etl_rust_spark.lake.format import IceliteTable
+    from etl_rust_spark.streaming.driver import ChangelogIngest
+
+    log = generate_changelog_pandas(
+        ChangelogConfig(n_events=300, n_conversations=6, turns_per_conv=10, seed=3)
+    )
+    # poison the MIDDLE third: those events carry a marker the gate rejects
+    third = len(log) // 3
+    log.loc[third : 2 * third - 1, "text"] = "POISON " + log.loc[
+        third : 2 * third - 1, "text"
+    ]
+    wal = str(tmp_path / "wal")
+    write_wal_segments(log, wal, 3, spark)
+    create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+
+    def no_poison(view):
+        return view.filter(SF.col("text").startswith("POISON")).isEmpty()
+
+    ingest = ChangelogIngest(
+        spark=spark, wal_dir=wal, table_path=str(tmp_path / "t"),
+        checkpoint_dir=str(tmp_path / "ck"), schema=CHANGELOG_SCHEMA,
+        name="audited", mode="mor", audit=no_poison,
+    )
+    ingest.run_available()
+    table = IceliteTable.load(spark, ingest.table_path)
+
+    assert len(ingest.rejected) == 1  # exactly the poisoned segment
+    got = read_transcripts(table).toPandas()
+    assert len(got) > 0
+    assert not got.text.str.startswith("POISON").any()
+    # the rejected batch's key never entered the ledger; accepted ones did
+    lin = table.lineage().toPandas()
+    assert (lin.source == "stream:audited+published").all()
+    assert len(lin) == 2
+    assert table.list_staged() == []  # no staged debris either way
+
+
+def test_audited_ingest_requires_mor(spark, tmp_path):
+    from etl_rust_spark.changelog import CHANGELOG_SCHEMA
+    from etl_rust_spark.streaming.driver import ChangelogIngest, PipelineError
+
+    create_transcript_table(spark, str(tmp_path / "t"), n_buckets=2)
+    ingest = ChangelogIngest(
+        spark=spark, wal_dir=str(tmp_path / "wal"),
+        table_path=str(tmp_path / "t"), checkpoint_dir=str(tmp_path / "ck"),
+        schema=CHANGELOG_SCHEMA, name="bad", mode="cow", audit=lambda v: True,
+    )
+    with pytest.raises((PipelineError, ValueError)):
+        ingest.run_available()

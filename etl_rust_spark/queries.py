@@ -2879,3 +2879,40 @@ def stratified_sample(spark, sf_dir):
     return d.select(
         "doc_id", "source", h.cast("long").alias("sample_key"), rate.alias("__r")
     ).filter(F.col("sample_key") < F.col("__r")).drop("__r")
+
+
+@query(
+    "funnel_unconverted",
+    """
+    SELECT c.event_id AS click_id, c.user_id AS user_id,
+           p.event_id AS purchase_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT)
+             AS secs_between
+    FROM events c LEFT JOIN events p
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 3600 SECONDS
+    WHERE c.event_type = 'click'
+    """,
+)
+def funnel_unconverted(spark, sf_dir):
+    """Funnel analysis: every click, left-outer-joined to purchases by
+    the same user within the hour — unconverted clicks survive with null
+    purchase columns. BATCH twin of streaming.joins.interval_join_outer
+    (same code path; on streams the null extension waits for the
+    watermark to prove no match can arrive — tests/test_streamjoin.py)."""
+    from etl_rust_spark.streaming.joins import interval_join_outer
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    buys = e.filter(F.col("event_type") == "purchase")
+    j = interval_join_outer(clicks, buys, key="user_id", upper_sec=3600)
+    return j.select(
+        F.col("l_event_id").alias("click_id"),
+        F.col("l_user_id").alias("user_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        (
+            F.col("r_ts").cast("timestamp").cast("long")
+            - F.col("l_ts").cast("timestamp").cast("long")
+        ).alias("secs_between"),
+    )

@@ -52,6 +52,44 @@ def interval_join(
     return lf.join(rf, cond).select(*lcols, *rcols)
 
 
+def interval_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_sec: int = 0,
+    upper_sec: int = 3600,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """LEFT OUTER event-time interval join: like ``interval_join`` but
+    unmatched left rows survive with null right columns — the funnel
+    query (clicks that did NOT convert within the hour). On a stream the
+    null-extended row can only be emitted once the watermark passes the
+    interval's end (the engine must PROVE no match can still arrive), so
+    outer results trail the watermark — the correctness/latency trade
+    every streaming outer join makes. Same single code path for the
+    batch twin."""
+    lcols = [F.col(f"l.{c}").alias(f"l_{c}") for c in left.columns]
+    rcols = [F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns]
+    left = left.withColumn(left_ts, F.col(left_ts).cast("timestamp"))
+    right = right.withColumn(right_ts, F.col(right_ts).cast("timestamp"))
+    lf = left.withWatermark(left_ts, watermark).alias("l")
+    rf = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (
+            F.col(f"r.{right_ts}")
+            >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lower_sec} SECONDS")
+        )
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper_sec} SECONDS")
+        )
+    )
+    return lf.join(rf, cond, "left_outer").select(*lcols, *rcols)
+
+
 def dedup_within_watermark(
     events: DataFrame,
     keys: list[str] | tuple[str, ...] = ("event_id",),

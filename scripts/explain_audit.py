@@ -60,6 +60,7 @@ CHECKS = {
     "line_dedup_stats": (["Generate explode", "partial_count(distinct"], ["CartesianProduct", "Window"]),
     "sequence_packing": (["Window", "Exchange hashpartitioning(source"], ["CartesianProduct"]),
     "stratified_sample": ([], ["Exchange", "BatchEvalPython"]),
+    "funnel_unconverted": (["LeftOuter"], ["CartesianProduct"]),
 }
 
 

@@ -2916,3 +2916,53 @@ def funnel_unconverted(spark, sf_dir):
             - F.col("l_ts").cast("timestamp").cast("long")
         ).alias("secs_between"),
     )
+
+
+_PASSAGE_W = 16
+
+
+@query(
+    "udtf_passages",
+    f"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+      FROM documents),
+    c AS (
+      SELECT doc_id, ws,
+             unnest(range(1, greatest(len(ws), 1) + 1, {_PASSAGE_W})) AS start
+      FROM w)
+    SELECT doc_id,
+           CAST((start - 1) / {_PASSAGE_W} AS INTEGER) AS passage_idx,
+           array_to_string(ws[start:start + {_PASSAGE_W} - 1], ' ') AS passage,
+           CAST(least({_PASSAGE_W}, len(ws) - start + 1) AS INTEGER) AS n_words
+    FROM c
+    """,
+)
+def udtf_passages(spark, sf_dir):
+    """The UDTF surface (Spark 4 user-defined TABLE function, §2.4): a
+    Python generator class emits N rows per input row through a LATERAL
+    join — the one UDF shape the suite didn't yet exercise (scalar pandas
+    UDF, grouped-agg UDAF, grouped-map, mapInPandas/Arrow, and stateful
+    are all covered elsewhere). Row-based Python is deliberate here:
+    this entry completes the SURFACE; the production-shaped twin of the
+    same semantics is `document_chunks` (pure JVM, zero Python). The SQL
+    oracle proves the UDTF's row-multiplying semantics exactly."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="passage_idx int, passage string, n_words int")
+    class Passages:
+        def eval(self, text: str):
+            ws = [w for w in (text or "").split(" ") if w]
+            if not ws:
+                yield 0, "", 0
+                return
+            for i in range(0, len(ws), _PASSAGE_W):
+                piece = ws[i : i + _PASSAGE_W]
+                yield i // _PASSAGE_W, " ".join(piece), len(piece)
+
+    spark.udtf.register("icelite_passages", Passages)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, p.passage_idx, p.passage, p.n_words "
+        "FROM __docs_udtf d, LATERAL icelite_passages(d.text) p"
+    )

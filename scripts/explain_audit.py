@@ -61,6 +61,7 @@ CHECKS = {
     "sequence_packing": (["Window", "Exchange hashpartitioning(source"], ["CartesianProduct"]),
     "stratified_sample": ([], ["Exchange", "BatchEvalPython"]),
     "funnel_unconverted": (["LeftOuter"], ["CartesianProduct"]),
+    "udtf_passages": (["UDTF"], []),  # the deliberate Python-UDTF surface entry
 }
 
 

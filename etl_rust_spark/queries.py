@@ -2966,3 +2966,90 @@ def udtf_passages(spark, sf_dir):
         "SELECT d.doc_id, p.passage_idx, p.passage, p.n_words "
         "FROM __docs_udtf d, LATERAL icelite_passages(d.text) p"
     )
+
+
+def _canonical_oracle():
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    walk(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+    comp AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node),
+    lab AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+      FROM documents d LEFT JOIN comp c USING (doc_id)),
+    r AS (
+      SELECT doc_id, cluster_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM lab)
+    SELECT doc_id, cluster_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM r WHERE rk = 1
+    """
+
+
+@query("dedup_canonical", _canonical_oracle())
+def dedup_canonical(spark, sf_dir):
+    """The dedup pipeline's LAST stage, end to end: near-dup pairs →
+    connected components → keep ONE canonical document per cluster
+    (longest wins, doc_id tie-break; singletons are their own cluster).
+    This is the row set a training run actually reads after dedup. The
+    component labels ride a left join onto the full corpus, so untouched
+    docs never enter the iterative component computation."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(
+        docs, n_hashes=8, bands=4, shingle_n=3, jaccard_threshold=0.35
+    )
+    comp = dd.connected_components(pairs)
+    lab = (
+        docs.select("doc_id", "n_chars")
+        .join(comp, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        lab.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "cluster_id", F.col("n_chars").cast("long").alias("n_chars"))
+    )
+
+
+_N_SHARDS = 16
+
+
+@query(
+    "training_shards",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             {md5_long_sql("CAST(doc_id AS VARCHAR)")} % {_N_SHARDS} AS shard,
+             {md5_long_sql("CAST(doc_id AS VARCHAR)")} AS hkey
+      FROM documents)
+    SELECT doc_id, CAST(shard AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hkey, doc_id) - 1
+                AS INTEGER) AS pos
+    FROM h
+    """,
+)
+def training_shards(spark, sf_dir):
+    """Deterministic global shuffle + sharding for training: every doc
+    lands in one of {_N_SHARDS} shards by hash, ordered WITHIN the shard
+    by the same hash — a reproducible random permutation (same corpus →
+    same shard files, the property a seeded repartition does not give
+    across cluster sizes). One hash-partitioned window per shard; no
+    global sort, no single-partition choke point."""
+    d = _t(spark, sf_dir, "documents")
+    h = md5_long(F.col("doc_id").cast("string"))
+    base = d.select(
+        "doc_id",
+        F.pmod(h, F.lit(_N_SHARDS)).cast("int").alias("shard"),
+        h.alias("hkey"),
+    )
+    w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    return base.select(
+        "doc_id", "shard", (F.row_number().over(w) - 1).cast("int").alias("pos")
+    )

@@ -62,6 +62,8 @@ CHECKS = {
     "stratified_sample": ([], ["Exchange", "BatchEvalPython"]),
     "funnel_unconverted": (["LeftOuter"], ["CartesianProduct"]),
     "udtf_passages": (["UDTF"], []),  # the deliberate Python-UDTF surface entry
+    "training_shards": (["Window", "Exchange hashpartitioning(shard"], ["CartesianProduct"]),
+    "dedup_canonical": (["Window"], ["CartesianProduct"]),
 }
 
 

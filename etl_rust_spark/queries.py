@@ -3053,3 +3053,33 @@ def training_shards(spark, sf_dir):
     return base.select(
         "doc_id", "shard", (F.row_number().over(w) - 1).cast("int").alias("pos")
     )
+
+
+@query(
+    "map_event_histogram",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2)
+    SELECT user_id,
+           '{' || string_agg('"' || event_type || '":' || n, ',' ORDER BY event_type)
+               || '}' AS histogram,
+           CAST(COUNT(*) AS INTEGER) AS n_types
+    FROM c GROUP BY user_id
+    """,
+)
+def map_event_histogram(spark, sf_dir):
+    """MAP-typed functions (§2.4): per-user event-type histogram built as
+    a real MapType column (map_from_entries over key-sorted entries),
+    map_keys for the cardinality, then rendered to canonical JSON so both
+    engines compare byte-identically (map iteration order is the
+    determinism trap — the array_sort pins it)."""
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    entries = F.array_sort(
+        F.collect_list(F.struct(F.col("event_type").alias("k"), F.col("n").alias("v")))
+    )
+    m = F.map_from_entries(entries)
+    return c.groupBy("user_id").agg(
+        F.to_json(m).alias("histogram"),
+        F.size(F.map_keys(m)).alias("n_types"),
+    )

@@ -64,6 +64,7 @@ CHECKS = {
     "udtf_passages": (["UDTF"], []),  # the deliberate Python-UDTF surface entry
     "training_shards": (["Window", "Exchange hashpartitioning(shard"], ["CartesianProduct"]),
     "dedup_canonical": (["Window"], ["CartesianProduct"]),
+    "map_event_histogram": (["partial_count"], ["CartesianProduct", "BatchEvalPython"]),
 }
 
 

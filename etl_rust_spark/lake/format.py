@@ -1020,6 +1020,13 @@ class IceliteTable:
             for f in files:
                 f["path"] = f["path"].replace(commit_dir, new_dir, 1)
             commit_dir = new_dir
+            # persist the re-homed paths BEFORE attempting the commit: a
+            # crash past this point leaves a staged commit that still
+            # resolves (read_staged works, publish can retry, orphan GC
+            # keeps protecting the files) instead of dangling paths
+            st = {**st, "files": files, "commit_dir": commit_dir,
+                  "parent_seq": ptr["seq"]}
+            _write_json(self._staged_path(name), st)
         rec = {**st["lineage"], "source": st["lineage"]["source"] + "+published"}
         out = self._commit_rebasing(
             ptr, schema, list(ptr["manifests"]), files,

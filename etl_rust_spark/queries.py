@@ -3083,3 +3083,45 @@ def map_event_histogram(spark, sf_dir):
         F.to_json(m).alias("histogram"),
         F.size(F.map_keys(m)).alias("n_types"),
     )
+
+
+@query(
+    "gapfill_daily",
+    """
+    WITH e AS (SELECT user_id, date_trunc('day', ts) AS d FROM events),
+    c AS (SELECT user_id, d, COUNT(*) AS n FROM e GROUP BY 1, 2),
+    b AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM e GROUP BY 1),
+    s AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d
+          FROM b)
+    SELECT s.user_id, CAST(floor(epoch(s.d)) AS BIGINT) AS day_epoch,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+    FROM s LEFT JOIN c ON c.user_id = s.user_id AND c.d = s.d
+    """,
+)
+def gapfill_daily(spark, sf_dir):
+    """Time-series densification (gap-filling): per user, one row per
+    calendar day between their first and last event, zero-filled where
+    nothing happened — the dimension-completion shape every activity
+    dashboard and retention query needs (a plain groupBy silently skips
+    empty buckets). The spine comes from sequence()+explode per user —
+    rows generated at the executor, O(span) per user, no driver loop —
+    then a left join against the real counts co-partitioned on user_id."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts").cast("timestamp")).alias("d")
+    )
+    counts = e.groupBy("user_id", "d").agg(F.count("*").alias("n"))
+    spine = (
+        e.groupBy("user_id")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+            ).alias("d"),
+        )
+    )
+    return spine.join(counts, ["user_id", "d"], "left").select(
+        "user_id",
+        F.col("d").cast("long").alias("day_epoch"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+    )

@@ -65,6 +65,7 @@ CHECKS = {
     "training_shards": (["Window", "Exchange hashpartitioning(shard"], ["CartesianProduct"]),
     "dedup_canonical": (["Window"], ["CartesianProduct"]),
     "map_event_histogram": (["partial_count"], ["CartesianProduct", "BatchEvalPython"]),
+    "gapfill_daily": (["Generate explode"], ["CartesianProduct", "BatchEvalPython"]),
 }
 
 

@@ -203,3 +203,45 @@ def test_audited_ingest_requires_mor(spark, tmp_path):
     )
     with pytest.raises((PipelineError, ValueError)):
         ingest.run_available()
+
+
+def test_publish_crash_after_rehome_is_retryable(spark, tmp_path):
+    """Crash injected between the data-dir re-home and the pointer
+    commit: the staged commit must still resolve (re-homed paths are
+    persisted first), so the audit view keeps working and a publish
+    retry lands the batch."""
+    from etl_rust_spark.lake.format import ConcurrentCommitError, IceliteTable
+
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(t, _batch(spark, [(1, "I", "c1", 0, "user", "a", None)]),
+                  batch_key="b0", mode="mor")
+    apply_changes(t, _batch(spark, [(2, "I", "c2", 0, "user", "staged", None)]),
+                  batch_key="st", mode="mor", stage_as="qa")
+    # main advances during the audit, so publish must re-home the dir
+    apply_changes(t, _batch(spark, [(3, "I", "c3", 0, "user", "b", None)]),
+                  batch_key="b1", mode="mor")
+
+    real = IceliteTable._commit_rebasing
+
+    def boom(self, *a, **kw):
+        raise ConcurrentCommitError("injected crash after re-home")
+
+    IceliteTable._commit_rebasing = boom
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            t.publish_staged("qa")
+    finally:
+        IceliteTable._commit_rebasing = real
+
+    # staged state survived the crash consistently: files resolve,
+    # the audit view still works, orphan GC still protects the data
+    assert t.list_staged() == ["qa"]
+    import os
+    st = t._load_staged("qa")
+    assert all(os.path.exists(f["path"]) for f in st["files"])
+    assert t.read_staged("qa").filter("conv_id = 'c2'").count() == 1
+    assert t.remove_orphans(grace_sec=0.0) == []
+    # retry lands it
+    assert t.publish_staged("qa") is not None
+    got = {r["conv_id"] for r in read_transcripts(t).collect()}
+    assert got == {"c1", "c2", "c3"}

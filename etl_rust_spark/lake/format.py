@@ -180,6 +180,11 @@ def _file_may_match(
                 a, b = (_norm_stat_value(x, dtype) for x in val)
                 if hi < a or lo > b:
                     return False
+            elif op == "in":
+                # skippable only when EVERY requested value misses the range
+                vs = [_norm_stat_value(x, dtype) for x in val]
+                if vs and all(v < lo or v > hi for v in vs):
+                    return False
             else:
                 v = _norm_stat_value(val, dtype)
                 if (
@@ -202,6 +207,7 @@ _OPS = {
     ">": lambda c, v: c > F.lit(v),
     ">=": lambda c, v: c >= F.lit(v),
     "between": lambda c, v: c.between(F.lit(v[0]), F.lit(v[1])),
+    "in": lambda c, v: c.isin(list(v)),
 }
 
 
@@ -247,7 +253,7 @@ def _group_conds(conds: list, cmap: dict | None, fids: dict | None, by_name: dic
     names. Returns (conds, by_name, absent): ``absent`` means some
     predicate column did not exist when the group's files were written —
     every value there is NULL, and NULL satisfies none of the supported
-    ops (=/</<=/>/>=/between), so the whole group is provably skippable."""
+    ops (=/</<=/>/>=/between/in), so the whole group is provably skippable."""
     if cmap is None or fids is None:
         return conds, by_name, False
     out, names = [], {}
@@ -577,7 +583,8 @@ class IceliteTable:
         predicate-driven FILE pruning.
 
         ``where`` is a list of ``(col, op, value)`` conditions (ops: = < <=
-        > >= between, value a 2-tuple for between), ANDed. Files whose
+        > >= between in — value a 2-tuple for between, an iterable for
+        in), ANDed. Files whose
         per-column [min, max] manifest stats provably exclude the predicate
         are dropped BEFORE ``spark.read.parquet`` — the Iceberg
         manifest-pruning move; the exact predicate is then applied as a

@@ -45,6 +45,30 @@ class PipelineError(RuntimeError):
         self.__cause__ = cause
 
 
+def _checkpoint_run_id(checkpoint_dir: str) -> str:
+    """Per-checkpoint run id persisted INSIDE the checkpoint dir, so
+    ledger batch keys are namespaced by checkpoint lifetime: delete or
+    relocate the checkpoint and epoch ids restarting at 0 get FRESH
+    keys (reprocessed — safe, the lsn dedup is idempotent) instead of
+    silently matching a previous run's ledger entries."""
+    import os
+    import uuid
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    path = os.path.join(checkpoint_dir, "__run_id")
+    if not os.path.exists(path):
+        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            f.write(uuid.uuid4().hex)
+        try:
+            os.link(tmp, path)  # loser of a concurrent race keeps the winner's id
+        except FileExistsError:
+            pass
+        os.unlink(tmp)
+    with open(path) as f:
+        return f.read().strip()
+
+
 @dataclass
 class ChangelogIngest:
     """One CDC ingest pipeline: tail WAL segments, upsert into a table."""
@@ -82,27 +106,7 @@ class ChangelogIngest:
     rejected: list = field(default_factory=list)
 
     def _run_id(self) -> str:
-        """Per-checkpoint run id persisted INSIDE the checkpoint dir, so
-        ledger batch keys are namespaced by checkpoint lifetime: delete or
-        relocate the checkpoint and epoch ids restarting at 0 get FRESH
-        keys (reprocessed — safe, the lsn dedup is idempotent) instead of
-        silently matching a previous run's ledger entries."""
-        import os
-        import uuid
-
-        os.makedirs(self.checkpoint_dir, exist_ok=True)
-        path = os.path.join(self.checkpoint_dir, "__run_id")
-        if not os.path.exists(path):
-            tmp = f"{path}.{uuid.uuid4().hex}.tmp"
-            with open(tmp, "w") as f:
-                f.write(uuid.uuid4().hex)
-            try:
-                os.link(tmp, path)  # loser of a concurrent race keeps the winner's id
-            except FileExistsError:
-                pass
-            os.unlink(tmp)
-        with open(path) as f:
-            return f.read().strip()
+        return _checkpoint_run_id(self.checkpoint_dir)
 
     def start(self):
         table = IceliteTable.load(self.spark, self.table_path)
@@ -178,6 +182,113 @@ class ChangelogIngest:
             raise PipelineError(self.name, e) from e
         if self.post_process:
             self.post_process()
+
+
+@dataclass
+class WindowedRollupIngest:
+    """Streaming ROLLUP table: windowed per-key aggregates continuously
+    upserted into an Icelite table — the materialized-view pattern (a
+    dashboard reads the rollup, never the raw events). The streaming
+    aggregation runs in UPDATE mode, so each micro-batch emits only the
+    windows it changed; those rows upsert by (key, window_start) with
+    the epoch id as the last-writer-wins sequence. A late event (inside
+    the watermark) re-emits its window with a larger epoch and simply
+    overwrites the row — the final table equals the batch aggregate of
+    all events regardless of segmentation, ordering, or restarts
+    (exactly-once via the same run-id-namespaced ledger keys as the CDC
+    path). The double-typed value aggregates in DECIMAL so the result is
+    independent of per-batch summation order."""
+
+    spark: SparkSession
+    wal_dir: str
+    table_path: str
+    checkpoint_dir: str
+    schema: T.StructType
+    name: str = "rollup"
+    window: str = "1 hour"
+    ts_col: str = "ts"
+    key_col: str = "user_id"
+    value_col: str = "value"
+    watermark: str = "2 hours"
+    max_files_per_trigger: int = 1
+
+    ROLLUP_FIELDS = (
+        "window_start long, n_events long, value_sum double, __lsn long"
+    )
+
+    @classmethod
+    def create_table(cls, spark, path, key_field: T.StructField, n_buckets: int = 8):
+        fields = [key_field] + list(
+            T.StructType.fromDDL(cls.ROLLUP_FIELDS).fields
+        )
+        return IceliteTable.create(
+            spark, path, T.StructType(fields),
+            key_cols=(key_field.name, "window_start"),
+            bucket_key=key_field.name, n_buckets=n_buckets,
+            order_cols=(key_field.name, "window_start"), seq_col="__lsn",
+        )
+
+    def start(self):
+        from pyspark.sql import functions as F
+
+        table = IceliteTable.load(self.spark, self.table_path)
+        run_id = _checkpoint_run_id(self.checkpoint_dir)
+
+        def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+            changes = batch_df.withColumn(
+                "__lsn", F.lit(int(epoch_id)).cast("long")
+            ).withColumn("op", F.lit("U"))
+            table.merge(
+                changes,
+                batch_key=f"{self.name}:{run_id}:{epoch_id}",
+                op_col="op",
+                seq_col="__lsn",
+                mode="mor",
+                source=f"stream:{self.name}",
+            )
+
+        agg = (
+            self.spark.readStream.schema(self.schema)
+            .option("maxFilesPerTrigger", self.max_files_per_trigger)
+            .parquet(self.wal_dir)
+            .withColumn(self.ts_col, F.col(self.ts_col).cast("timestamp"))
+            .withWatermark(self.ts_col, self.watermark)
+            .groupBy(
+                F.window(self.ts_col, self.window).alias("__w"),
+                F.col(self.key_col),
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col(self.value_col).cast("decimal(24,6)"))
+                .cast("double")
+                .alias("value_sum"),
+            )
+            .select(
+                self.key_col,
+                F.col("__w.start").cast("long").alias("window_start"),
+                "n_events",
+                "value_sum",
+            )
+        )
+        return (
+            agg.writeStream.queryName(self.name)
+            .outputMode("update")
+            .foreachBatch(_apply)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    def run_available(self) -> None:
+        try:
+            q = self.start()
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                q.awaitTermination()
+        except Exception as e:
+            raise PipelineError(self.name, e) from e
 
 
 @dataclass

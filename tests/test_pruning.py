@@ -282,3 +282,23 @@ def test_non_widening_conflict_still_rejected(spark, tmp_path):
             spark.createDataFrame([(1, "I", "c1", 0, 5, "x", "", jan)], bad),
             batch_key="b1",
         )
+
+
+def test_in_predicate_prunes_and_is_exact(spark, tmp_path):
+    """`where=[("conv_id","in",[a, b])]` prunes to the named
+    conversations' files (a file skips only when EVERY requested value
+    misses its range) and the residual isin filter makes rows exact."""
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=16)
+    convs_a, convs_b = _pick_bucket_disjoint_convs(spark, 16)
+    jan = dt.datetime(2025, 1, 1)
+    apply_changes(table, _batch(spark, convs_a, jan, 0), batch_key="a")
+    apply_changes(table, _batch(spark, convs_b, jan, 1000), batch_key="b")
+    want = [convs_a[0], convs_b[0]]
+    got = table.read(where=[("conv_id", "in", want)])
+    assert len(_files_read(got)) < len(_files_read(table.read()))
+    assert got.count() == 10
+    assert {r["conv_id"] for r in got.select("conv_id").distinct().collect()} == set(
+        want
+    )
+    # empty IN list: no file is skippable by it, filter yields no rows
+    assert table.read(where=[("conv_id", "in", [])]).count() == 0

@@ -131,3 +131,78 @@ def test_json_wal_segments(spark, tmp_path):
     ingest.run_available()
     table = IceliteTable.load(spark, ingest.table_path)
     assert_pdf_equal(read_transcripts(table).toPandas(), replay_oracle_pandas(log))
+
+
+def test_windowed_rollup_table_equals_batch_aggregate(spark, tmp_path):
+    """Streaming rollup sink (materialized view): hourly per-user
+    aggregates continuously upserted into Icelite. Late events in later
+    segments re-emit their window with a larger epoch and overwrite the
+    row; the final table must equal the batch aggregate of ALL events,
+    and a restarted query must not double-apply (ledger no-op)."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from etl_rust_spark.streaming.driver import WindowedRollupIngest
+
+    rng = np.random.RandomState(7)
+    base = dt.datetime(2025, 3, 1)
+    rows = []
+    for i in range(600):
+        rows.append(
+            (i, base + dt.timedelta(minutes=int(rng.randint(0, 600))),
+             int(rng.randint(0, 12)), float(rng.randint(0, 1000)) / 7.0)
+        )
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "value"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    # segment 1 = first half by time, segments 2-3 = interleaved remainder
+    # (so late rows for already-emitted windows arrive in later batches)
+    srt = pdf.sort_values("ts").reset_index(drop=True)
+    segs = [srt.iloc[:300], srt.iloc[300::2], srt.iloc[301::2]]
+    wal = tmp_path / "wal"
+    wal.mkdir()
+    for i, seg in enumerate(segs):
+        pq.write_table(pa.Table.from_pandas(seg, preserve_index=False),
+                       wal / f"seg-{i}.parquet")
+    schema = spark.read.parquet(str(wal / "seg-0.parquet")).schema
+
+    WindowedRollupIngest.create_table(
+        spark, str(tmp_path / "rollup"),
+        T.StructField("user_id", T.LongType()), n_buckets=4,
+    )
+    pipe = WindowedRollupIngest(
+        spark=spark, wal_dir=str(wal), table_path=str(tmp_path / "rollup"),
+        checkpoint_dir=str(tmp_path / "ck"), schema=schema,
+        window="1 hour", watermark="12 hours",
+    )
+    pipe.run_available()
+
+    from etl_rust_spark.lake.format import IceliteTable
+
+    table = IceliteTable.load(spark, str(tmp_path / "rollup"))
+    got = (
+        table.read().drop("__lsn").toPandas()
+        .sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    )
+    want = (
+        spark.createDataFrame(pdf)
+        .groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(24,6)")).cast("double").alias("value_sum"),
+        )
+        .select("user_id", F.col("w.start").cast("long").alias("window_start"),
+                "n_events", "value_sum")
+        .toPandas()
+        .sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+    # restart from the same checkpoint: pure replay, table unchanged
+    seq = table.current_seq()
+    pipe.run_available()
+    assert table.current_seq() == seq

@@ -742,12 +742,19 @@ class IceliteTable:
         ``batch_key`` is already in the applied ledger (idempotent replay).
         """
         t0 = time.monotonic()
-        if stage_as is not None and mode != "mor":
-            raise ValueError(
-                "stage_as requires mode='mor' (append-only commits); "
-                "a staged CoW rewrite could not rebase over commits that "
-                "land during the audit"
-            )
+        if stage_as is not None:
+            if mode != "mor":
+                raise ValueError(
+                    "stage_as requires mode='mor' (append-only commits); "
+                    "a staged CoW rewrite could not rebase over commits that "
+                    "land during the audit"
+                )
+            if os.path.exists(self._staged_path(stage_as)):
+                raise ValueError(
+                    f"a staged commit named {stage_as!r} already exists — "
+                    "publish_staged or drop_staged it first (silently "
+                    "replacing it would orphan the earlier batch's data)"
+                )
         ptr = self.pointer()
         if batch_key is not None and self.is_applied(batch_key, ptr):
             return None
@@ -992,6 +999,8 @@ class IceliteTable:
             T.StructType.fromJson(st["schema"]),
         )
         files = self._files(ptr) + st["files"]
+        if not files:
+            return self.spark.createDataFrame([], schema)
         df = self._read_file_groups(files, schema, ptr)
         if ptr.get("seq_col"):
             df = _dedup_by_seq(df, ptr["key_cols"], ptr["seq_col"], schema)

@@ -3125,3 +3125,76 @@ def gapfill_daily(spark, sf_dir):
         F.col("d").cast("long").alias("day_epoch"),
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
     )
+
+
+@query(
+    "price_quantity_corr",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+             SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS syy,
+             SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           round(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+             6) AS corr_qty_price
+    FROM s
+    """,
+)
+def price_quantity_corr(spark, sf_dir):
+    """Statistical aggregate (Pearson correlation) computed EXACTLY
+    cross-engine: the built-in corr() accumulates double co-moments whose
+    value depends on partition/summation order, so it can never hash-match
+    another engine. Instead the five raw moments are summed in DECIMAL
+    (exact, order-free) in one pass and the correlation is assembled from
+    them in deterministic double arithmetic — the trick that makes any
+    moment-based statistic (corr, covar, stddev, skew) oracle-exact."""
+    l = _t(spark, sf_dir, "lineitem")
+    x, y = _dec("l_quantity", 12, 2), _dec("l_extendedprice", 14, 2)
+    s = l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (F.col(c).cast("double") for c in ("sxx", "syy", "sxy"))
+    corr = (nd * sxy - sx * sy) / F.sqrt(nd * sxx - sx * sx) / F.sqrt(
+        nd * syy - sy * sy
+    )
+    return s.select(
+        "l_returnflag", F.col("n").alias("n"), F.round(corr, 6).alias("corr_qty_price")
+    )
+
+
+@query(
+    "name_edit_distances",
+    """
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS INTEGER) AS dist
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    """,
+)
+def name_edit_distances(spark, sf_dir):
+    """Edit-distance scalar function (fuzzy matching's primitive) over
+    the bounded dim-x-dim pair space (25x25 nations — the deliberate,
+    size-disclosed exception to the no-pair-enumeration rule; both
+    engines compute exact integer Levenshtein)."""
+    n = _t(spark, sf_dir, "nation")
+    a = n.select(F.col("n_nationkey").alias("ka"), F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_nationkey").alias("kb"), F.col("n_name").alias("name_b"))
+    return (
+        a.join(F.broadcast(b), F.col("ka") < F.col("kb"))
+        .select(
+            "name_a", "name_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+    )

@@ -66,6 +66,9 @@ CHECKS = {
     "dedup_canonical": (["Window"], ["CartesianProduct"]),
     "map_event_histogram": (["partial_count"], ["CartesianProduct", "BatchEvalPython"]),
     "gapfill_daily": (["Generate explode"], ["CartesianProduct", "BatchEvalPython"]),
+    "price_quantity_corr": (["partial_sum"], ["CartesianProduct", "BatchEvalPython"]),
+    # bounded 25x25 dim pair space: the nested-loop join is the disclosed design
+    "name_edit_distances": (["BroadcastNestedLoopJoin"], ["BatchEvalPython"]),
 }
 
 

@@ -245,3 +245,19 @@ def test_publish_crash_after_rehome_is_retryable(spark, tmp_path):
     assert t.publish_staged("qa") is not None
     got = {r["conv_id"] for r in read_transcripts(t).collect()}
     assert got == {"c1", "c2", "c3"}
+
+
+def test_stage_name_collision_is_refused(spark, tmp_path):
+    """Staging over an existing name would orphan the first batch's data
+    — refuse until it's published or dropped."""
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(t, _batch(spark, [(1, "I", "c1", 0, "user", "first", None)]),
+                  batch_key="b0", mode="mor", stage_as="qa")
+    with pytest.raises(ValueError, match="already exists"):
+        apply_changes(t, _batch(spark, [(2, "I", "c2", 0, "user", "second", None)]),
+                      batch_key="b1", mode="mor", stage_as="qa")
+    t.drop_staged("qa")
+    # after the drop the name is free again
+    apply_changes(t, _batch(spark, [(2, "I", "c2", 0, "user", "second", None)]),
+                  batch_key="b1", mode="mor", stage_as="qa")
+    assert t.read_staged("qa").count() == 1

@@ -578,6 +578,7 @@ class IceliteTable:
         buckets: set[int] | None = None,
         where: list | None = None,
         as_of=None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Snapshot-consistent read; optional bucket pruning and
         predicate-driven FILE pruning.
@@ -606,11 +607,17 @@ class IceliteTable:
         Iceberg v2 semantics. Compaction folds deltas back to base.
 
         ``as_of`` time-travels by timestamp (``seq_as_of``); ``seq``
-        time-travels by snapshot id — pass at most one."""
+        time-travels by snapshot id; ``tag`` resolves a named pin
+        (``tag_snapshot``) — pass at most one."""
+        if sum(x is not None for x in (seq, as_of, tag)) > 1:
+            raise ValueError("pass at most one of seq / as_of / tag")
         if as_of is not None:
-            if seq is not None:
-                raise ValueError("pass at most one of seq / as_of")
             seq = self.seq_as_of(as_of)
+        if tag is not None:
+            found = self.tags().get(tag)
+            if found is None:
+                raise FileNotFoundError(f"no tag {tag!r}")
+            seq = found
         ptr = self.pointer(seq)
         schema = T.StructType.fromJson(ptr["schema"])
         files = self._files(ptr)
@@ -1566,6 +1573,38 @@ class IceliteTable:
         )
         return self.snapshot()
 
+    # ------------------------------------------------------- snapshot tags
+    def _tag_path(self, name: str) -> str:
+        if not re.fullmatch(r"[A-Za-z0-9_.-]+", name):
+            raise ValueError(f"invalid tag name: {name!r}")
+        return os.path.join(self._manifest_dir, f"tag-{name}.json")
+
+    def tag_snapshot(self, name: str, seq: int | None = None) -> int:
+        """Pin a snapshot under a NAME (Iceberg tags): `read(tag=...)`
+        resolves it, and `expire_snapshots` will NOT expire a tagged
+        snapshot — the audit/reproducibility pin ("the exact table the
+        March run trained on"). Defaults to the current snapshot."""
+        seq = self.current_seq() if seq is None else int(seq)
+        if not os.path.exists(self._pointer_path(seq)):
+            raise FileNotFoundError(f"no snapshot {seq} to tag")
+        _write_json(self._tag_path(name), {"name": name, "seq": seq,
+                                           "tagged_at": time.time()})
+        return seq
+
+    def tags(self) -> dict[str, int]:
+        out = {}
+        for p in glob.glob(os.path.join(self._manifest_dir, "tag-*.json")):
+            with open(p) as f:
+                t = json.load(f)
+            out[t["name"]] = int(t["seq"])
+        return out
+
+    def drop_tag(self, name: str) -> None:
+        p = self._tag_path(name)
+        if not os.path.exists(p):
+            raise FileNotFoundError(f"no tag {name!r}")
+        os.remove(p)
+
     def rename_column(self, old: str, new: str) -> dict:
         """METADATA-ONLY column rename (Iceberg field-id evolution): no
         data file is touched, at any table size. Existing files keep
@@ -1728,6 +1767,7 @@ class IceliteTable:
         the data tree, which would be O(all files ever written))."""
         cur = self.current_seq()
         keep_seqs = set(range(max(0, cur - keep_last + 1), cur + 1))
+        keep_seqs |= set(self.tags().values())  # tagged snapshots never expire
         live_files: set[str] = set()
         live_meta: set[str] = set()
         dead_files: set[str] = set()

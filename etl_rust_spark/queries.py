@@ -3198,3 +3198,56 @@ def name_edit_distances(spark, sf_dir):
             F.levenshtein("name_a", "name_b").alias("dist"),
         )
     )
+
+
+@query(
+    "tfidf_top_terms",
+    f"""
+    WITH w AS (
+      SELECT source, unnest({_WORDS_SQL}) AS word FROM documents),
+    tf AS (SELECT source, word, COUNT(*) AS n FROM w GROUP BY 1, 2),
+    df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    ns AS (SELECT COUNT(DISTINCT source) AS n_sources FROM documents),
+    sc AS (
+      SELECT tf.source, tf.word, tf.n,
+             round(tf.n * ln(CAST(ns.n_sources AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (word), ns),
+    r AS (
+      SELECT source, word, n, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY tfidf DESC, word) AS rk
+      FROM sc)
+    SELECT source, word, CAST(n AS BIGINT) AS n, tfidf FROM r WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Per-source most DISTINCTIVE terms by tf-idf (tf = in-source count,
+    df = number of sources containing the term) — the corpus-curation
+    view that raw top-terms can't give (ubiquitous words score ln(1)=0).
+    Exactness: both factors come from integer counts; the single double
+    multiply + ln is deterministic, rounded to 6dp. Two keyed
+    aggregations + a broadcast df join; the 1-row n_sources scalar rides
+    a broadcast cross join."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("source", F.explode(tx.words_lower("text")).alias("word"))
+    tf = w.groupBy("source", "word").agg(F.count("*").alias("n"))
+    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
+    ns = d.agg(F.countDistinct("source").alias("n_sources"))
+    sc = (
+        tf.join(df_, "word")
+        .join(F.broadcast(ns))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("n")
+                * F.log(F.col("n_sources").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    win = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        sc.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 3)
+        .select("source", "word", F.col("n").cast("long").alias("n"), "tfidf")
+    )

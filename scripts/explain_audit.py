@@ -69,6 +69,7 @@ CHECKS = {
     "price_quantity_corr": (["partial_sum"], ["CartesianProduct", "BatchEvalPython"]),
     # bounded 25x25 dim pair space: the nested-loop join is the disclosed design
     "name_edit_distances": (["BroadcastNestedLoopJoin"], ["BatchEvalPython"]),
+    "tfidf_top_terms": (["Window", "partial_count"], ["CartesianProduct", "BatchEvalPython"]),
 }
 
 

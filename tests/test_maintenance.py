@@ -139,3 +139,45 @@ def test_rebucket_refuses_concurrent_commit(spark, tmp_path, monkeypatch):
     # rival's commit stands; layout unchanged
     assert table.pointer()["n_buckets"] == 2
     assert table.read().count() == 8
+
+
+def test_snapshot_tags_pin_and_survive_expiry(spark, tmp_path):
+    """Tags (Iceberg-style named snapshot pins): read(tag=) resolves the
+    pinned state, expire_snapshots never expires a tagged snapshot, and
+    dropping the tag releases it for the next expiry."""
+    import pytest
+
+    from etl_rust_spark.operators.apply import apply_changes, create_transcript_table
+    from etl_rust_spark.lake.format import IceliteTable
+
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=2)
+    for i in range(5):
+        apply_changes(
+            t,
+            spark.createDataFrame(
+                [(i + 1, "I", f"c{i}", 0, "user", f"v{i}", "", None)],
+                "lsn long, op string, conv_id string, turn_idx int, role string,"
+                " text string, tool string, ts timestamp",
+            ),
+            batch_key=f"b{i}",
+            mode="mor",
+        )
+    pinned_seq = t.tag_snapshot("train-run-1", seq=2)
+    assert t.tags() == {"train-run-1": 2}
+    assert t.read(tag="train-run-1").count() == t.read(seq=pinned_seq).count() == 2
+
+    t.expire_snapshots(keep_last=1)
+    # the tagged snapshot (and its files) survived expiry
+    assert t.read(tag="train-run-1").count() == 2
+    assert t.read().count() == 5
+
+    with pytest.raises(ValueError, match="at most one"):
+        t.read(seq=2, tag="train-run-1")
+    with pytest.raises(FileNotFoundError):
+        t.read(tag="nope")
+
+    t.drop_tag("train-run-1")
+    t.expire_snapshots(keep_last=1)
+    import os
+    assert not os.path.exists(t._pointer_path(2))  # released pin expired
+    assert t.read().count() == 5

@@ -54,6 +54,15 @@ def cmd_ingest(args) -> int:
     from etl_rust_spark.streaming.driver import ChangelogIngest
 
     schema = CHANGELOG_SCHEMA_EVOLVED if args.evolved else CHANGELOG_SCHEMA
+    audit = None
+    if args.audit_reject_regex:
+        from pyspark.sql import functions as F
+
+        pat = args.audit_reject_regex
+
+        def audit(view):  # WAP gate: reject a batch whose published view
+            return view.filter(F.col("text").rlike(pat)).isEmpty()
+
     pipe = ChangelogIngest(
         spark=_spark(args),
         wal_dir=args.wal_dir,
@@ -67,12 +76,18 @@ def cmd_ingest(args) -> int:
         compact_every=args.compact_every,
         compact_min_files=args.compact_min_files,
         salt_buckets=args.salt_buckets,
+        audit=audit,
+        on_reject=(lambda e: print(f"REJECTED batch epoch={e} (audit gate)"))
+        if audit
+        else None,
     )
     if args.follow:
         q = pipe.start()
         q.awaitTermination()
     else:
         pipe.run_available()
+        if pipe.rejected:
+            print(f"rejected {len(pipe.rejected)} batch(es): {pipe.rejected}")
     return 0
 
 
@@ -174,6 +189,10 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--salt-buckets", type=int, default=None)
     i.add_argument("--evolved", action="store_true",
                    help="WAL schema includes the evolved meta column")
+    i.add_argument("--audit-reject-regex", default=None,
+                   help="WAP gate: stage each micro-batch and REJECT it "
+                        "(drop, quarantine the epoch) when any text matches "
+                        "this regex; requires --mode mor")
     i.add_argument("--follow", action="store_true",
                    help="keep tailing (default: drain available and exit)")
     i.set_defaults(fn=cmd_ingest)

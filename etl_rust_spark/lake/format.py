@@ -1122,6 +1122,8 @@ class IceliteTable:
             "field_ids": fids,
             "next_field_id": next_id,
             "legacy_cols": parent_ptr.get("legacy_cols"),
+            "zorder": parent_ptr.get("zorder"),
+            "zorder_files_per_bucket": parent_ptr.get("zorder_files_per_bucket"),
             "manifests": manifests,
             "applied_tail": tail,
             "applied_archives": archives,
@@ -1456,7 +1458,7 @@ class IceliteTable:
         self,
         min_files_per_bucket: int | None = None,
         zorder: list[str] | None = None,
-        files_per_bucket: int = 4,
+        files_per_bucket: int | None = None,
     ) -> dict:
         """Small-file compaction after many micro-batch commits.
 
@@ -1466,8 +1468,22 @@ class IceliteTable:
         buckets holding more than that many files are rewritten; at 100 TB
         this is the only affordable policy (whole-table compaction is an
         O(table) job; partial compaction is O(hot buckets), and MoR dedup
-        is per-key so compacting a bucket subset is always safe)."""
+        is per-key so compacting a bucket subset is always safe).
+
+        ``zorder`` persists: once a compaction z-orders, later plain
+        ``compact()`` calls keep the clustered layout (pointer
+        ``zorder``/``zorder_files_per_bucket``) — otherwise the nightly
+        maintenance job would silently destroy the clustering the
+        expensive OPTIMIZE run paid for. Pass ``zorder=[]`` to clear."""
         ptr = self.pointer()
+        if zorder is None:
+            zorder = ptr.get("zorder") or None
+            if files_per_bucket is None:
+                files_per_bucket = ptr.get("zorder_files_per_bucket") or 4
+        elif not zorder:  # explicit [] clears the persisted layout
+            zorder = None
+        if files_per_bucket is None:
+            files_per_bucket = 4
         schema = T.StructType.fromJson(ptr["schema"])
         commit_seq = ptr["seq"] + 1
         if min_files_per_bucket is not None:
@@ -1526,7 +1542,11 @@ class IceliteTable:
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         self._commit_rebasing(
-            ptr, schema, keep_manifests, new_files, None, lineage_rec, commit_dir
+            ptr, schema, keep_manifests, new_files, None, lineage_rec, commit_dir,
+            ptr_overrides={
+                "zorder": list(zorder) if zorder else None,
+                "zorder_files_per_bucket": int(files_per_bucket) if zorder else None,
+            },
         )
         return self.snapshot()
 
@@ -1640,6 +1660,9 @@ class IceliteTable:
             "order_cols": [ren(c) for c in ptr["order_cols"]],
             "bucket_key": ren(ptr["bucket_key"]),
             "seq_col": ren(ptr["seq_col"]) if ptr.get("seq_col") else None,
+            "zorder": (
+                [ren(c) for c in ptr["zorder"]] if ptr.get("zorder") else None
+            ),
         }
         self._commit_rebasing(
             ptr, new_schema, list(ptr["manifests"]), [], None,
@@ -1677,6 +1700,12 @@ class IceliteTable:
             "field_ids": fids,
             "next_field_id": next_id,
             "legacy_cols": legacy,
+            # a dropped column can no longer drive the clustered layout
+            "zorder": (
+                [c for c in ptr["zorder"] if c != name] or None
+                if ptr.get("zorder")
+                else None
+            ),
         }
         self._commit_rebasing(
             ptr, new_schema, list(ptr["manifests"]), [], None,

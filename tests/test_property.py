@@ -102,3 +102,134 @@ def test_knuth_hash_full_long_domain(spark):
         con.execute(f"SELECT x, {knuth_hash_sql('x')} FROM t").fetchall()
     )
     assert duck == got
+
+
+# ---------------------------------------------------------------------------
+# Model-based property: field-id schema evolution under ARBITRARY op
+# interleavings (merge / add-column / rename / drop / compact). The model
+# keys every value by FIELD ID, exactly like Icelite v3 must: a rename
+# moves the name, not the data; a drop retires the id; a merge that still
+# carries a renamed column's OLD name creates a FRESH column; an upsert
+# replaces the whole row (missing payload columns go null, never carried).
+# ---------------------------------------------------------------------------
+
+_EVO_KEYS = [("c0", 0), ("c0", 1), ("c1", 0), ("c2", 0)]
+
+
+@st.composite
+def evolution_ops(draw):
+    ops = []
+    n = draw(st.integers(min_value=2, max_value=7))
+    for _ in range(n):
+        kind = draw(st.sampled_from(["merge", "merge", "merge", "rename", "drop",
+                                     "add", "compact"]))
+        if kind == "merge":
+            ops.append(("merge",
+                        draw(st.lists(st.sampled_from(_EVO_KEYS), min_size=1,
+                                      max_size=4, unique=True)),
+                        draw(st.integers(0, 1000))))  # column-subset seed
+        elif kind == "rename":
+            ops.append(("rename", draw(st.integers(0, 1000))))
+        elif kind == "drop":
+            ops.append(("drop", draw(st.integers(0, 1000))))
+        elif kind == "add":
+            ops.append(("add", draw(st.sampled_from(_EVO_KEYS))))
+        else:
+            ops.append(("compact",))
+    return ops
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=evolution_ops())
+def test_field_id_evolution_matches_model(spark, ops):
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from etl_rust_spark.lake.format import IceliteTable
+
+    with tempfile.TemporaryDirectory(prefix="evo_prop_") as root:
+        schema = T.StructType([
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("p0", T.StringType()),
+        ])
+        t = IceliteTable.create(
+            spark, f"{root}/t", schema,
+            key_cols=["conv_id", "turn_idx"], bucket_key="conv_id",
+            n_buckets=2, order_cols=["conv_id", "turn_idx"], seq_col="lsn",
+        )
+        # ---- model: field ids are the source of truth
+        fields = [("p0", 0)]          # (current name, id), payload only
+        next_fid = [1]
+        data: dict = {}               # key -> {"lsn": n, fid: value}
+        lsn = [0]
+        name_ctr = [0]
+
+        def payload_names():
+            return [n for n, _ in fields]
+
+        def do_merge(keys, seed, extra_col=None):
+            names = payload_names()
+            # deterministic column subset of the CURRENT schema
+            use = [n for i, n in enumerate(names) if (seed >> i) & 1] or names[:1]
+            if extra_col:
+                use = use + [extra_col]
+            rows = []
+            for conv, turn in keys:
+                lsn[0] += 1
+                vals = {n: f"{n}:{lsn[0]}" for n in use}
+                rows.append((conv, turn, lsn[0], vals))
+            # engine side
+            cols = ["conv_id", "turn_idx", "lsn", *use]
+            sdf = spark.createDataFrame(
+                [(c, tu, sl, *[v[n] for n in use]) for c, tu, sl, v in rows],
+                "conv_id string, turn_idx int, lsn long, "
+                + ", ".join(f"`{n}` string" for n in use),
+            ).withColumn("op", F.lit("U"))
+            t.merge(sdf, seq_col="lsn")
+            # model side
+            for n in use:
+                if n not in dict(fields):
+                    fields.append((n, next_fid[0]))
+                    next_fid[0] += 1
+            byname = dict(fields)
+            for conv, turn, sl, vals in rows:
+                data[(conv, turn)] = {"lsn": sl,
+                                      **{byname[n]: v for n, v in vals.items()}}
+
+        for op in ops:
+            if op[0] == "merge":
+                do_merge(op[1], op[2])
+            elif op[0] == "add":
+                name_ctr[0] += 1
+                do_merge([op[1]], 1023, extra_col=f"p{name_ctr[0]}")
+            elif op[0] == "rename":
+                if not fields:
+                    continue
+                i = op[1] % len(fields)
+                old, fid = fields[i]
+                name_ctr[0] += 1
+                new = f"r{name_ctr[0]}"
+                t.rename_column(old, new)
+                fields[i] = (new, fid)
+            elif op[0] == "drop":
+                if len(fields) < 2:
+                    continue  # keep at least one payload column
+                i = op[1] % len(fields)
+                t.drop_column(fields[i][0])
+                fields.pop(i)
+            else:
+                t.compact()
+
+        # ---- compare engine vs model
+        got = {(r["conv_id"], r["turn_idx"]): r.asDict() for r in t.read().collect()}
+        byid = {fid: n for n, fid in fields}
+        want = {}
+        for key, row in data.items():
+            want[key] = {"conv_id": key[0], "turn_idx": key[1], "lsn": row["lsn"],
+                         **{n: row.get(fid) for fid, n in byid.items()}}
+        assert got == want, f"\nops={ops}\ngot={got}\nwant={want}"

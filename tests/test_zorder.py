@@ -87,3 +87,39 @@ def test_zorder_rejects_string_columns_and_preserves_rows(spark, tmp_path):
     assert before == after
     # point lookups through the bucket path still work on the new layout
     assert t.read_keys(["c3"]).count() == 64
+
+
+def test_zorder_persists_across_plain_compactions(spark, tmp_path):
+    """Once OPTIMIZE-style z-ordering ran, routine maintenance compaction
+    must keep the clustered layout (or the nightly job silently destroys
+    what the expensive run paid for); zorder=[] explicitly clears it."""
+    t = _table_with_grid(spark, str(tmp_path / "t"))
+    t.compact(zorder=["x", "y"], files_per_bucket=16)
+    # more data arrives, then a PLAIN maintenance compaction
+    rows = [(f"d{i}", 0, 10_000 + i, float(i % 64), float((i * 7) % 64))
+            for i in range(256)]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "lsn", "x", "y"])
+    t.merge(spark.createDataFrame(pdf, schema=SCHEMA).withColumn("op", F.lit("U")),
+            batch_key="b1", seq_col="lsn")
+    t.compact()  # no args: inherits the persisted z-order
+    n_files = len(t.snapshot()["files"])
+    assert n_files >= 8
+    for col in ("x", "y"):
+        pruned = t.read(where=[(col, "between", (0.0, 15.0))])
+        assert _files_read(pruned) <= (n_files + 1) // 2, f"lost clustering on {col}"
+    # explicit clear: back to one file per bucket, pointer forgets
+    t.compact(zorder=[])
+    assert t.pointer().get("zorder") is None
+    assert len(t.snapshot()["files"]) == 1  # single bucket
+
+
+def test_zorder_follows_rename_and_drop(spark, tmp_path):
+    t = _table_with_grid(spark, str(tmp_path / "t"))
+    t.compact(zorder=["x", "y"], files_per_bucket=8)
+    t.rename_column("x", "x2")
+    assert t.pointer()["zorder"] == ["x2", "y"]
+    t.compact()  # re-clusters under the renamed column without error
+    pruned = t.read(where=[("x2", "between", (0.0, 15.0))])
+    assert _files_read(pruned) < len(t.snapshot()["files"])
+    t.drop_column("y")
+    assert t.pointer()["zorder"] == ["x2"]

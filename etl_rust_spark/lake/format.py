@@ -658,19 +658,23 @@ class IceliteTable:
         ).select(_bucket_expr(ptr["bucket_key"], n_buckets).alias("b"))
         buckets = {int(r["b"]) for r in one.collect()}
         files = [f for f in self._files(ptr) if f["bucket"] in buckets]
-        pruned = [
-            f for f in files
-            # any requested value may fall in the file's key range (OR over
-            # values, so ANDed _file_may_match can't express it); null or
-            # missing stats / incomparable types are never skippable
-            if any(
-                len(
-                    self._prune_files([f], [(ptr["bucket_key"], "=", v)], {}, ptr)
-                )
-                for v in vals
-            )
-        ]
         schema = T.StructType.fromJson(ptr["schema"])
+        by_name = {f.name: f.dataType for f in schema.fields}
+        # a file survives when ANY requested value may fall in its key
+        # range (OR over values, so ANDed _file_may_match can't express
+        # it): one _prune_files pass per value — each pass translates the
+        # condition per cols-group ONCE and normalizes the value against
+        # the key's real dtype (timestamp/date keys prune via their
+        # epoch-encoded stats); null/missing stats never skip
+        survivors: set[int] = set()
+        for v in vals:
+            survivors.update(
+                id(f)
+                for f in self._prune_files(
+                    files, [(ptr["bucket_key"], "=", v)], by_name, ptr
+                )
+            )
+        pruned = [f for f in files if id(f) in survivors]
         if not pruned:
             return self.spark.createDataFrame([], schema)
         df = self._read_file_groups(pruned, schema, ptr)
@@ -1051,9 +1055,19 @@ class IceliteTable:
                   "parent_seq": ptr["seq"]}
             _write_json(self._staged_path(name), st)
         rec = {**st["lineage"], "source": st["lineage"]["source"] + "+published"}
+
+        def _persist_rehome(new_dir: str, new_files: list) -> None:
+            # the rebase loop may re-home the data dir again (another
+            # racing commit); keep the staged metadata pointing at live
+            # paths so a crash at ANY point leaves a publishable state
+            _write_json(
+                self._staged_path(name),
+                {**st, "files": new_files, "commit_dir": new_dir},
+            )
+
         out = self._commit_rebasing(
             ptr, schema, list(ptr["manifests"]), files,
-            st["batch_key"], rec, commit_dir,
+            st["batch_key"], rec, commit_dir, on_rehome=_persist_rehome,
         )
         os.remove(self._staged_path(name))
         return out
@@ -1110,6 +1124,11 @@ class IceliteTable:
         fids, next_id = self._assigned_field_ids(parent_ptr, schema)
         pointer = {
             "format_version": FORMAT_VERSION,
+            # the winner's OWN aux files, recorded in the atomic pointer:
+            # crash debris from a losing attempt at the same seq (same
+            # glob pattern, different uuid token) can then never be
+            # mistaken for this commit's lineage/manifests
+            "lineage_file": os.path.basename(lineage_path),
             "seq": commit_seq,
             "parent_seq": parent_ptr["seq"],
             "snapshot_id": str(uuid.uuid4()),
@@ -1146,6 +1165,7 @@ class IceliteTable:
         commit_dir: str | None,
         max_retries: int = 5,
         ptr_overrides: dict | None = None,
+        on_rehome=None,
     ) -> dict | None:
         """Optimistic-concurrency commit (the Iceberg retry loop): attempt
         the hard-link; on losing the race, rebase onto the winner's
@@ -1171,6 +1191,14 @@ class IceliteTable:
         rewritten = [m for m in keep_manifests if m["name"] not in parent_names]
         ptr = parent_ptr
         new_files = list(new_files)
+        # write-time identity of the new files: the parquet bytes carry the
+        # ENTRY schema's column names forever — a rebase may re-merge
+        # ``schema`` with a winner's evolution (rename/drop/add), but the
+        # id→name stamp must keep mapping the files' OWN column names to
+        # the ids they carry data for (stable id when the field survives a
+        # rename; the re-assigned id when the name is new or re-added)
+        write_names = [f.name for f in schema.fields]
+        parent_fids_entry = dict(parent_ptr.get("field_ids") or {})
         for attempt in range(max_retries + 1):
             commit_seq = ptr["seq"] + 1
             tok = f"-{uuid.uuid4().hex[:8]}"
@@ -1178,24 +1206,35 @@ class IceliteTable:
             manifests = [
                 m for m in ptr["manifests"] if m["name"] not in consumed
             ] + list(rewritten)
+            added_names: list[str] = []
             if new_files:
-                # stamp the write-time id→name map (field-id evolution):
-                # reads resolve these files' columns by id even after a
-                # later rename/drop. Recomputed per attempt — a rebase may
-                # adopt a winner's evolved ids.
+                # stamp the write-time id→name map (field-id evolution).
+                # Recomputed per attempt, but always against WRITE-TIME
+                # names: a field that survives (possibly renamed by a
+                # racing winner) keeps its stable parent id; a name the
+                # parent didn't track (our new column, or one whose id a
+                # winner retired mid-race) takes the attempt's assignment.
                 fids, _ = self._assigned_field_ids(ptr, schema)
                 if fids is not None:
-                    cmap = {str(fids[f.name]): f.name for f in schema.fields}
+                    cur_ids = set(fids.values())
+                    cmap = {}
+                    for n in write_names:
+                        x = parent_fids_entry.get(n)
+                        if x is not None and x in cur_ids:
+                            cmap[str(x)] = n
+                        elif n in fids:
+                            cmap[str(fids[n])] = n
                     for f in new_files:
                         f["cols"] = cmap
                 name = f"manifest-{commit_seq:08d}{tok}.json"
                 manifests.append(self._write_manifest_file(name, new_files))
                 aux.append(os.path.join(self._manifest_dir, name))
+                added_names.append(name)
             rec = {**lineage_rec, "commit_seq": commit_seq}
             try:
                 aux += self._commit(
                     ptr, commit_seq, schema, manifests, batch_key, rec, tok,
-                    ptr_overrides,
+                    {"added_manifests": added_names, **(ptr_overrides or {})},
                 )
                 return rec
             except ConcurrentCommitError:
@@ -1235,6 +1274,11 @@ class IceliteTable:
                     for f in new_files:
                         f["path"] = f["path"].replace(commit_dir, new_dir, 1)
                     commit_dir = new_dir
+                    if on_rehome is not None:
+                        # the caller tracks these files outside any
+                        # snapshot (WAP): let it persist the new paths so
+                        # a crash here never strands them
+                        on_rehome(commit_dir, new_files)
                 ptr = new_ptr
 
     def _stat_fields(self, df_schema: T.StructType) -> list[T.StructField]:
@@ -1372,9 +1416,17 @@ class IceliteTable:
         )
 
     def _added_manifests(self, s: int) -> list[str]:
-        """Names of the DATA manifest(s) written by commit ``s`` — legacy
-        ``manifest-<seq>.json`` or token-suffixed; -rNNNN rewrite
-        manifests (filtered survivors of older commits) are excluded."""
+        """Names of the DATA manifest(s) written by commit ``s``. The
+        committed pointer records its own manifests (``added_manifests``,
+        v3) — the authoritative source, immune to crash debris from a
+        LOSING attempt at the same seq (same glob pattern, different uuid
+        token). Pre-v3 pointers fall back to the glob."""
+        try:
+            recorded = self.pointer(s).get("added_manifests")
+        except FileNotFoundError:
+            recorded = None
+        if recorded is not None:
+            return list(recorded)
         pat = re.compile(rf"manifest-{s:08d}(-[0-9a-f]{{8}})?\.json")
         return sorted(
             os.path.basename(p)
@@ -1385,6 +1437,20 @@ class IceliteTable:
         )
 
     def _lineage_record(self, s: int) -> dict | None:
+        """The lineage record the WINNING commit at seq ``s`` wrote —
+        resolved through the pointer's own ``lineage_file`` (v3) so an
+        aborted attempt's orphan lineage can never be read in its place;
+        glob fallback for pre-v3 pointers."""
+        try:
+            rec_name = self.pointer(s).get("lineage_file")
+        except FileNotFoundError:
+            rec_name = None
+        if rec_name is not None:
+            p = os.path.join(self._lineage_dir, rec_name)
+            if os.path.exists(p):
+                with open(p) as f:
+                    return json.load(f)
+            return None
         cands = sorted(
             glob.glob(os.path.join(self._lineage_dir, f"lineage-{s:08d}*.json"))
         )
@@ -1771,12 +1837,27 @@ class IceliteTable:
                     and now - os.path.getmtime(p) > grace_sec
                 ):
                     _rm(p)
-        # lineage records for sequences beyond the current snapshot can
-        # only be aborted attempts (committed seqs are ≤ current)
+        # lineage records beyond the current snapshot can only be aborted
+        # attempts; at committed seqs, a lineage file that is NOT the one
+        # the pointer recorded (v3 ``lineage_file``) is a losing attempt's
+        # debris — both are removable after the grace window
         cur = self.current_seq()
+        live_lineage: set[str] = set()
+        v3_lineage_seqs: set[int] = set()
+        for sp in glob.glob(os.path.join(self._manifest_dir, "snap-*.json")):
+            try:
+                p2 = self.pointer(int(os.path.basename(sp)[5:13]))
+            except FileNotFoundError:
+                continue
+            if p2.get("lineage_file") is not None:
+                live_lineage.add(p2["lineage_file"])
+                v3_lineage_seqs.add(int(p2["seq"]))
         for p in glob.glob(os.path.join(self._lineage_dir, "lineage-*.json")):
             s = int(os.path.basename(p)[8:16])
-            if s > cur and now - os.path.getmtime(p) > grace_sec:
+            stale = s > cur or (
+                s in v3_lineage_seqs and os.path.basename(p) not in live_lineage
+            )
+            if stale and now - os.path.getmtime(p) > grace_sec:
                 _rm(p)
         # drop data dirs left empty (grace-aged, so never an in-flight
         # writer's dir — its mtime refreshes as files land)

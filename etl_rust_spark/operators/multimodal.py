@@ -146,13 +146,18 @@ def repartition_by_blob_size(
 
     Scalable prefix-sum, no global sort: (1) per-input-partition byte
     totals collect to the driver (bounded metadata — one row per input
-    partition) and prefix-sum into offsets; (2) a window per input
-    partition computes the local running total; (3) global cumulative =
-    offset + local, binned by target bytes, range-partitioned 1:1 onto
-    output partitions. Costs one extra shuffle over a plain repartition —
-    the price of deterministic packing; use it for final layout writes
-    where one Arrow batch of blobs must fit executor memory (pairs with
-    spark.sql.files.maxPartitionBytes)."""
+    partition) and prefix-sum into offsets, shipped back as a BROADCAST
+    (pid, offset) join — O(1) expression depth at any partition count (a
+    per-pid CASE chain would nest thousands deep in Catalyst); (2) a
+    window per input partition computes the local running total; (3)
+    global cumulative = offset + local, binned by target bytes,
+    range-partitioned onto output partitions (range sampling may place
+    two adjacent bins in one partition, so the worst-case partition
+    carries ~2× target + one boundary-crossing blob — still bounded,
+    never several giant blobs). Costs one extra shuffle over a plain
+    repartition — the price of deterministic packing; use it for final
+    layout writes where one Arrow batch of blobs must fit executor
+    memory (pairs with spark.sql.files.maxPartitionBytes)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -170,9 +175,10 @@ def repartition_by_blob_size(
     if acc <= 0:
         return df.coalesce(1)
     n_parts = max(1, -(-acc // target_partition_bytes))  # ceil
-    off_expr = F.lit(0).cast("long")
-    for pid, off in offsets.items():
-        off_expr = F.when(F.col("__pid") == pid, F.lit(off)).otherwise(off_expr)
+    off_df = df.sparkSession.createDataFrame(
+        [(int(pid), int(off)) for pid, off in offsets.items()],
+        "__pid int, __off long",
+    )
     w = (
         Window.partitionBy("__pid")
         .orderBy(F.monotonically_increasing_id())
@@ -180,12 +186,15 @@ def repartition_by_blob_size(
     )
     packed = (
         df.withColumn("__pid", F.spark_partition_id())
-        .withColumn("__cum", F.sum(F.octet_length(blob_col)).over(w) + off_expr)
+        .join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            "__cum", F.sum(F.octet_length(blob_col)).over(w) + F.col("__off")
+        )
         .withColumn(
             "__part",
             F.floor((F.col("__cum") - 1) / F.lit(target_partition_bytes)).cast("int"),
         )
     )
     return packed.repartitionByRange(n_parts, F.col("__part")).drop(
-        "__pid", "__cum", "__part"
+        "__pid", "__off", "__cum", "__part"
     )

@@ -123,6 +123,12 @@ class ChangelogIngest:
             stage = (
                 f"{self.name}.{run_id}.{epoch_id}" if self.audit is not None else None
             )
+            if stage is not None and stage in table.list_staged():
+                # crash between staging and publish/drop on a previous run
+                # of THIS epoch (the name is run-id + epoch scoped, so it
+                # can only be our own half-finished attempt): discard and
+                # re-stage deterministically instead of wedging forever
+                table.drop_staged(stage)
             rec = apply_changes(
                 table,
                 df,

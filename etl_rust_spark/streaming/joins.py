@@ -15,22 +15,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def interval_join(
+def _interval_join(
     left: DataFrame,
     right: DataFrame,
     key: str,
-    left_ts: str = "ts",
-    right_ts: str = "ts",
-    lower_sec: int = 0,
-    upper_sec: int = 3600,
-    watermark: str = "10 minutes",
+    left_ts: str,
+    right_ts: str,
+    lower_sec: int,
+    upper_sec: int,
+    watermark: str,
+    how: str,
 ) -> DataFrame:
-    """Event-time INTERVAL join: pair each left row with same-key right
-    rows whose timestamp lies in ``[left.ts - lower, left.ts + upper]``
-    (attribution joins: click → purchase within the hour). On streams
-    both sides carry a watermark and the time bound lets Spark EXPIRE
-    join state — without it stream-stream join state grows forever.
-    Returns left.* prefixed ``l_`` and right.* prefixed ``r_``."""
     lcols = [F.col(f"l.{c}").alias(f"l_{c}") for c in left.columns]
     rcols = [F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns]
     # watermarks require TIMESTAMP (parquet hands NTZ; session is UTC-pinned)
@@ -49,7 +44,29 @@ def interval_join(
             <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper_sec} SECONDS")
         )
     )
-    return lf.join(rf, cond).select(*lcols, *rcols)
+    return lf.join(rf, cond, how).select(*lcols, *rcols)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_sec: int = 0,
+    upper_sec: int = 3600,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time INTERVAL join: pair each left row with same-key right
+    rows whose timestamp lies in ``[left.ts - lower, left.ts + upper]``
+    (attribution joins: click → purchase within the hour). On streams
+    both sides carry a watermark and the time bound lets Spark EXPIRE
+    join state — without it stream-stream join state grows forever.
+    Returns left.* prefixed ``l_`` and right.* prefixed ``r_``."""
+    return _interval_join(
+        left, right, key, left_ts, right_ts, lower_sec, upper_sec,
+        watermark, "inner",
+    )
 
 
 def interval_join_outer(
@@ -70,24 +87,10 @@ def interval_join_outer(
     outer results trail the watermark — the correctness/latency trade
     every streaming outer join makes. Same single code path for the
     batch twin."""
-    lcols = [F.col(f"l.{c}").alias(f"l_{c}") for c in left.columns]
-    rcols = [F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns]
-    left = left.withColumn(left_ts, F.col(left_ts).cast("timestamp"))
-    right = right.withColumn(right_ts, F.col(right_ts).cast("timestamp"))
-    lf = left.withWatermark(left_ts, watermark).alias("l")
-    rf = right.withWatermark(right_ts, watermark).alias("r")
-    cond = (
-        (F.col(f"l.{key}") == F.col(f"r.{key}"))
-        & (
-            F.col(f"r.{right_ts}")
-            >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lower_sec} SECONDS")
-        )
-        & (
-            F.col(f"r.{right_ts}")
-            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper_sec} SECONDS")
-        )
+    return _interval_join(
+        left, right, key, left_ts, right_ts, lower_sec, upper_sec,
+        watermark, "left_outer",
     )
-    return lf.join(rf, cond, "left_outer").select(*lcols, *rcols)
 
 
 def dedup_within_watermark(

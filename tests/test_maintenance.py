@@ -181,3 +181,50 @@ def test_snapshot_tags_pin_and_survive_expiry(spark, tmp_path):
     import os
     assert not os.path.exists(t._pointer_path(2))  # released pin expired
     assert t.read().count() == 5
+
+
+def test_crash_debris_at_committed_seq_cannot_corrupt_change_feed(spark, tmp_path):
+    """SIGKILL debris from a LOSING commit attempt at an already-committed
+    sequence (same glob pattern, different uuid token) must be invisible:
+    the pointer records its own lineage/manifest names, so read_changes
+    reads the winner's record, and remove_orphans GCs the debris."""
+    import json
+    import os
+
+    from etl_rust_spark.lake.format import IceliteTable
+    from etl_rust_spark.operators.apply import apply_changes, create_transcript_table
+
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=2)
+    sch = ("lsn long, op string, conv_id string, turn_idx int, role string,"
+           " text string, tool string, ts timestamp")
+    for i in range(3):
+        apply_changes(
+            t, spark.createDataFrame(
+                [(i + 1, "I", f"c{i}", 0, "user", f"v{i}", "", None)], sch),
+            batch_key=f"b{i}", mode="mor",
+        )
+    s = t.current_seq()
+    feed_before = sorted(
+        r["conv_id"] for r in t.read_changes(since_seq=0).collect()
+    )
+    # plant a losing attempt's debris AT the committed seq: a lineage
+    # record claiming the commit was a compaction, plus an orphan manifest
+    with open(os.path.join(t._lineage_dir, f"lineage-{s:08d}-deadbeef.json"), "w") as f:
+        json.dump({"commit_seq": s, "source": "compact", "files_removed": 0,
+                   "files_added": 0, "batch_key": None}, f)
+    with open(os.path.join(t._manifest_dir, f"manifest-{s:08d}-deadbeef.json"), "w") as f:
+        json.dump([{"path": "/nonexistent.parquet", "bucket": 0, "rows": 1}], f)
+
+    # the feed is unchanged: pointer-recorded names win over the glob
+    assert sorted(
+        r["conv_id"] for r in t.read_changes(since_seq=0).collect()
+    ) == feed_before
+    rec = t._lineage_record(s)
+    assert rec["source"].startswith("stream") or rec["source"] == "batch"
+
+    removed = t.remove_orphans(grace_sec=0.0)
+    names = {os.path.basename(p) for p in removed}
+    assert f"lineage-{s:08d}-deadbeef.json" in names
+    assert f"manifest-{s:08d}-deadbeef.json" in names
+    # and the table itself is untouched
+    assert t.read().count() == 3

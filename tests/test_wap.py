@@ -261,3 +261,52 @@ def test_stage_name_collision_is_refused(spark, tmp_path):
     apply_changes(t, _batch(spark, [(2, "I", "c2", 0, "user", "second", None)]),
                   batch_key="b1", mode="mor", stage_as="qa")
     assert t.read_staged("qa").count() == 1
+
+
+def test_audited_ingest_recovers_from_crash_between_stage_and_publish(spark, tmp_path):
+    """Crash INSIDE the audit (after staging, before publish/drop): the
+    replayed epoch must not wedge on 'staged commit already exists' — the
+    run-id+epoch-scoped name can only be our own half-finished attempt,
+    so the driver discards it and re-stages."""
+    from pyspark.sql import functions as SF
+
+    from etl_rust_spark.changelog import (
+        CHANGELOG_SCHEMA,
+        ChangelogConfig,
+        generate_changelog_pandas,
+        write_wal_segments,
+    )
+    from etl_rust_spark.lake.format import IceliteTable
+    from etl_rust_spark.streaming.driver import ChangelogIngest, PipelineError
+
+    log = generate_changelog_pandas(
+        ChangelogConfig(n_events=120, n_conversations=4, turns_per_conv=8, seed=9)
+    )
+    wal = str(tmp_path / "wal")
+    write_wal_segments(log, wal, 2, spark)
+    create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+
+    calls = {"n": 0}
+
+    def flaky_audit(view):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash mid-audit")
+        return True
+
+    mk = lambda: ChangelogIngest(  # noqa: E731
+        spark=spark, wal_dir=wal, table_path=str(tmp_path / "t"),
+        checkpoint_dir=str(tmp_path / "ck"), schema=CHANGELOG_SCHEMA,
+        name="flaky", mode="mor", audit=flaky_audit,
+    )
+    with pytest.raises(PipelineError):
+        mk().run_available()
+    table = IceliteTable.load(spark, str(tmp_path / "t"))
+    assert len(table.list_staged()) == 1  # the crashed attempt's leftover
+
+    mk().run_available()  # restart: replayed epoch re-stages and publishes
+    assert table.list_staged() == []
+    got = read_transcripts(table).toPandas()
+    from etl_rust_spark.changelog import replay_oracle_pandas
+    from tests.conftest import assert_pdf_equal
+    assert_pdf_equal(got, replay_oracle_pandas(log))

@@ -3251,3 +3251,46 @@ def tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("source", "word", F.col("n").cast("long").alias("n"), "tfidf")
     )
+
+
+@query(
+    "session_window_agg",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+    SELECT user_id,
+           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+           CAST(floor(epoch(MAX(ts))) AS BIGINT) + 1800 AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_window_agg(spark, sf_dir):
+    """Spark's BUILT-IN session_window aggregate (the dedicated
+    SessionWindow plan node — dynamic-gap session windows in ONE
+    aggregation, no lag/cumsum window chain, and the same operator runs
+    on streams with state eviction). The `sessionize` query keeps the
+    gaps-and-islands formulation; this entry proves the native operator
+    against the same island semantics. session_window's end = last event
+    + gap, mirrored in the oracle. 30-minute gap."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").cast("long").alias("session_start"),
+            F.col("sw.end").cast("long").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -70,6 +70,7 @@ CHECKS = {
     # bounded 25x25 dim pair space: the nested-loop join is the disclosed design
     "name_edit_distances": (["BroadcastNestedLoopJoin"], ["BatchEvalPython"]),
     "tfidf_top_terms": (["Window", "partial_count"], ["CartesianProduct", "BatchEvalPython"]),
+    "session_window_agg": (["session_window"], ["CartesianProduct", "BatchEvalPython"]),
 }
 
 

@@ -652,14 +652,19 @@ class IceliteTable:
         ptr = self.pointer(seq)
         n_buckets = ptr["n_buckets"]
         vals = list(values)
-        # bucket ids computed the same way the writer laid files out
+        schema = T.StructType.fromJson(ptr["schema"])
+        by_name = {f.name: f.dataType for f in schema.fields}
+        # bucket ids computed the same way the writer laid files out —
+        # with the key's REAL type (xxhash64 of a stringified value would
+        # hash into the wrong buckets for non-string keys)
+        key_field = T.StructType(
+            [T.StructField(ptr["bucket_key"], by_name[ptr["bucket_key"]])]
+        )
         one = self.spark.createDataFrame(
-            [(v,) for v in vals], f"{ptr['bucket_key']} string"
+            [(v,) for v in vals], key_field
         ).select(_bucket_expr(ptr["bucket_key"], n_buckets).alias("b"))
         buckets = {int(r["b"]) for r in one.collect()}
         files = [f for f in self._files(ptr) if f["bucket"] in buckets]
-        schema = T.StructType.fromJson(ptr["schema"])
-        by_name = {f.name: f.dataType for f in schema.fields}
         # a file survives when ANY requested value may fall in its key
         # range (OR over values, so ANDed _file_may_match can't express
         # it): one _prune_files pass per value — each pass translates the
@@ -693,6 +698,24 @@ class IceliteTable:
         pointer link) are filtered by commit_seq."""
         cur = self.current_seq()
         paths = sorted(glob.glob(os.path.join(self._lineage_dir, "lineage-*.json")))
+        # at seqs whose pointer records its own lineage file (v3), admit
+        # ONLY that file — a losing attempt's debris at the same seq would
+        # otherwise appear as a duplicate lineage row until orphan GC runs.
+        # Expired seqs (pointer gone) keep every candidate (legacy view).
+        recorded: dict[int, str] = {}
+        for sp in glob.glob(os.path.join(self._manifest_dir, "snap-*.json")):
+            try:
+                p2 = self.pointer(int(os.path.basename(sp)[5:13]))
+            except FileNotFoundError:
+                continue
+            if p2.get("lineage_file") is not None:
+                recorded[int(p2["seq"])] = p2["lineage_file"]
+        paths = [
+            p
+            for p in paths
+            if (s := int(os.path.basename(p)[8:16])) not in recorded
+            or os.path.basename(p) == recorded[s]
+        ]
         if not paths:
             return self.spark.createDataFrame([], LINEAGE_SCHEMA)
         return (
@@ -782,6 +805,18 @@ class IceliteTable:
         is_delete = F.col(op_col) == "D"
         if has_tombstones:  # tombstone-style deletes count too
             is_delete = is_delete | F.coalesce(F.col("__deleted"), F.lit(False))
+            # a raw op='D' row ALONGSIDE a tombstone column folds into the
+            # tombstone form (apply_changes' convention) — the upsert
+            # filter below would otherwise silently drop it, losing the
+            # delete while lineage still counted it
+            ch = ch.withColumn(
+                "__deleted",
+                F.coalesce(F.col("__deleted"), F.lit(False))
+                | (F.col(op_col) == "D"),
+            ).withColumn(
+                op_col,
+                F.when(F.col(op_col) == "D", F.lit("U")).otherwise(F.col(op_col)),
+            )
 
         old_manifests = ptr["manifests"]
         observation = None
@@ -833,8 +868,12 @@ class IceliteTable:
             n_changes = sum(r["rows"] for r in stats)
             n_deletes = sum(r["dels"] for r in stats)
             if seq_col is not None and stats:
-                lsn_min = min(r["lmin"] for r in stats)
-                lsn_max = max(r["lmax"] for r in stats)
+                # a bucket whose rows all carry null seq contributes None —
+                # unorderable against ints, so fold over non-null only
+                los = [r["lmin"] for r in stats if r["lmin"] is not None]
+                his = [r["lmax"] for r in stats if r["lmax"] is not None]
+                lsn_min = min(los) if los else None
+                lsn_max = max(his) if his else None
             else:
                 lsn_min = lsn_max = None
             if seq_col is not None and n_deletes > 0 and not has_tombstones:
@@ -971,7 +1010,29 @@ class IceliteTable:
                 "commit_dir": commit_dir,
                 "staged_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
-            _write_json(self._staged_path(stage_as), staged)
+            # EXCLUSIVE create (hard-link, like the pointer commit): the
+            # earlier exists() check is only the fast path — two writers
+            # racing the same stage name both pass it, and os.replace
+            # would silently clobber the first batch (CLAUDE.md in-flight
+            # naming invariant). The loser cleans up its own data dir.
+            sp = self._staged_path(stage_as)
+            tmp = sp + f".{uuid.uuid4().hex}.tmp"
+            with open(tmp, "w") as fh:
+                json.dump(staged, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            try:
+                os.link(tmp, sp)
+            except FileExistsError:
+                import shutil
+
+                shutil.rmtree(commit_dir, ignore_errors=True)
+                raise ValueError(
+                    f"a staged commit named {stage_as!r} already exists — "
+                    "publish_staged or drop_staged it first"
+                )
+            finally:
+                os.unlink(tmp)
             return lineage_rec
         return self._commit_rebasing(
             ptr, merged_schema, keep_manifests, new_files,
@@ -989,7 +1050,25 @@ class IceliteTable:
         if not os.path.exists(p):
             raise FileNotFoundError(f"no staged commit named {name!r}")
         with open(p) as f:
-            return json.load(f)
+            st = json.load(f)
+        prev = st.get("prev_commit_dir")
+        if (
+            prev
+            and st.get("commit_dir")
+            and not os.path.isdir(st["commit_dir"])
+            and os.path.isdir(prev)
+        ):
+            # crash between the re-home intent and the rename: the data
+            # still lives in the previous dir — resolve against it
+            st = {
+                **st,
+                "files": [
+                    dict(f, path=f["path"].replace(st["commit_dir"], prev, 1))
+                    for f in st["files"]
+                ],
+                "commit_dir": prev,
+            }
+        return st
 
     def list_staged(self) -> list[str]:
         return sorted(
@@ -1036,6 +1115,18 @@ class IceliteTable:
         )
         files = st["files"]
         commit_dir = st["commit_dir"]
+
+        def _persist_rehome(new_dir: str, new_files: list, prev_dir: str) -> None:
+            # called BEFORE each rename: record the new paths AND the
+            # previous dir, so a crash on either side of the rename
+            # leaves a resolvable staged commit (_load_staged falls back
+            # to prev_commit_dir when the recorded dir doesn't exist yet)
+            _write_json(
+                self._staged_path(name),
+                {**st, "files": new_files, "commit_dir": new_dir,
+                 "prev_commit_dir": prev_dir},
+            )
+
         if ptr["seq"] != st["parent_seq"] and commit_dir and files:
             # data-dir name encodes the commit seq (read_changes recovers
             # _commit_seq from it) — re-home to the publish-time target
@@ -1043,28 +1134,16 @@ class IceliteTable:
                 self.path, _DATA_DIR,
                 f"commit-{ptr['seq'] + 1:08d}-{uuid.uuid4().hex[:8]}",
             )
+            moved = [
+                dict(f, path=f["path"].replace(commit_dir, new_dir, 1))
+                for f in files
+            ]
+            _persist_rehome(new_dir, moved, commit_dir)
             os.rename(commit_dir, new_dir)
-            for f in files:
-                f["path"] = f["path"].replace(commit_dir, new_dir, 1)
-            commit_dir = new_dir
-            # persist the re-homed paths BEFORE attempting the commit: a
-            # crash past this point leaves a staged commit that still
-            # resolves (read_staged works, publish can retry, orphan GC
-            # keeps protecting the files) instead of dangling paths
+            files, commit_dir = moved, new_dir
             st = {**st, "files": files, "commit_dir": commit_dir,
                   "parent_seq": ptr["seq"]}
-            _write_json(self._staged_path(name), st)
         rec = {**st["lineage"], "source": st["lineage"]["source"] + "+published"}
-
-        def _persist_rehome(new_dir: str, new_files: list) -> None:
-            # the rebase loop may re-home the data dir again (another
-            # racing commit); keep the staged metadata pointing at live
-            # paths so a crash at ANY point leaves a publishable state
-            _write_json(
-                self._staged_path(name),
-                {**st, "files": new_files, "commit_dir": new_dir},
-            )
-
         out = self._commit_rebasing(
             ptr, schema, list(ptr["manifests"]), files,
             st["batch_key"], rec, commit_dir, on_rehome=_persist_rehome,
@@ -1259,26 +1338,64 @@ class IceliteTable:
                             "dedup), so interleaving is unsafe"
                         )
                     )
+                if (
+                    new_ptr["n_buckets"] != parent_ptr["n_buckets"]
+                    or new_ptr["bucket_key"] != parent_ptr["bucket_key"]
+                ):
+                    raise ConcurrentCommitError(
+                        "winner changed the bucket layout (rebucket) mid-race"
+                        " — this commit's files were bucketed under the old "
+                        "layout and would corrupt bucket pruning; re-read the"
+                        " table and recompute the batch"
+                    )
+                old_fids = parent_ptr.get("field_ids")
+                win_fids = new_ptr.get("field_ids")
+                if old_fids is not None and win_fids is not None:
+                    inv_win = {v: k for k, v in win_fids.items()}
+                    if any(
+                        fid not in inv_win or inv_win[fid] != n
+                        for n, fid in old_fids.items()
+                    ):
+                        raise ConcurrentCommitError(
+                            "winner renamed or dropped columns mid-race — a "
+                            "by-name schema re-merge would resurrect the old "
+                            "names; re-read the table and recompute the batch"
+                        )
                 schema = _merge_schema(
                     T.StructType.fromJson(new_ptr["schema"]), schema
                 )
+                if new_files and new_ptr["manifests"]:
+                    # interleaving relies on reader-side max-seq dedup:
+                    # once a winner's files exist, OUR files must be
+                    # deltas (two racing FIRST commits would otherwise
+                    # both land as 'base' and readers would skip dedup)
+                    for f in new_files:
+                        f["kind"] = "delta"
                 if new_files and commit_dir:
                     # the dir name encodes the commit seq (read_changes
-                    # recovers _commit_seq from it) — re-home it
+                    # recovers _commit_seq from it) — re-home it. The
+                    # caller's intent persists BEFORE the rename (WAP):
+                    # a crash at any instant leaves either the old dir +
+                    # recorded prev, or the new dir + recorded paths —
+                    # _load_staged recovers both.
                     new_dir = os.path.join(
                         self.path,
                         _DATA_DIR,
                         f"commit-{new_ptr['seq'] + 1:08d}-{uuid.uuid4().hex[:8]}",
                     )
+                    if on_rehome is not None:
+                        on_rehome(
+                            new_dir,
+                            [
+                                dict(f, path=f["path"].replace(commit_dir, new_dir, 1))
+                                for f in new_files
+                            ],
+                            commit_dir,
+                        )
                     os.rename(commit_dir, new_dir)
                     for f in new_files:
                         f["path"] = f["path"].replace(commit_dir, new_dir, 1)
                     commit_dir = new_dir
-                    if on_rehome is not None:
-                        # the caller tracks these files outside any
-                        # snapshot (WAP): let it persist the new paths so
-                        # a crash here never strands them
-                        on_rehome(commit_dir, new_files)
                 ptr = new_ptr
 
     def _stat_fields(self, df_schema: T.StructType) -> list[T.StructField]:
@@ -1811,11 +1928,16 @@ class IceliteTable:
             live_meta |= {m["name"] for m in ptr["manifests"]}
             live_meta |= set(ptr["applied_archives"])
         # staged (write-audit-publish) commits are live roots too: their
-        # files are referenced by no snapshot until publish
+        # files are referenced by no snapshot until publish. Protect BOTH
+        # path variants of an in-flight re-home (recorded dir + prev).
         for p in glob.glob(os.path.join(self._manifest_dir, "staged-*.json")):
             with open(p) as f:
                 st = json.load(f)
-            live_data |= {e["path"] for e in st.get("files", [])}
+            prev, cur_dir = st.get("prev_commit_dir"), st.get("commit_dir")
+            for e in st.get("files", []):
+                live_data.add(e["path"])
+                if prev and cur_dir:
+                    live_data.add(e["path"].replace(cur_dir, prev, 1))
             live_meta.add(os.path.basename(p))
         removed: list[str] = []
 
@@ -2013,8 +2135,9 @@ def _commit_pointer(manifest_dir: str, seq: int, pointer: dict) -> None:
     try:
         os.link(tmp, final)
     except FileExistsError:
+        # ONLY the race maps to ConcurrentCommitError; a real I/O failure
+        # (ENOSPC, EIO, EPERM) must surface as itself — retrying it 5
+        # times as a phantom writer conflict would bury the actual cause
         raise ConcurrentCommitError(f"snapshot {seq} already committed")
-    except OSError as e:  # pragma: no cover
-        raise ConcurrentCommitError(str(e))
     finally:
         os.unlink(tmp)

@@ -231,3 +231,37 @@ def test_renumber_engines_agree(spark, tiny_log, tmp_path):
         b = renumber_turns(base, engine=eng).toPandas().sort_values(
             ["conv_id", "turn_idx"]).reset_index(drop=True)
         assert_pdf_equal(a, b)
+
+
+def test_raw_delete_with_tombstone_column_folds_not_drops(spark, tmp_path):
+    """merge() called directly with a __deleted column AND raw op='D'
+    rows: the D rows fold into tombstones (the apply_changes convention)
+    instead of being silently discarded — the delete must take effect."""
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.lake.format import IceliteTable
+    import pandas as pd
+
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=2)
+    sch = ("__lsn long, op string, conv_id string, turn_idx int, role string,"
+           " text string, tool string, ts timestamp, __deleted boolean")
+    t.merge(
+        spark.createDataFrame(
+            [(1, "I", "c1", 0, "u", "keep", "", None, False),
+             (2, "I", "c2", 0, "u", "kill me", "", None, False)], sch),
+        batch_key="b0", seq_col="__lsn", mode="mor",
+    )
+    # mixed batch: one tombstone-style delete, one RAW op='D' delete
+    rec = t.merge(
+        spark.createDataFrame(
+            [(3, "U", "c1", 0, "u", None, "", None, True),
+             (4, "D", "c2", 0, "u", None, "", None, None)], sch),
+        batch_key="b1", seq_col="__lsn", mode="mor",
+    )
+    assert rec["n_deletes"] == 2
+    live = read_transcripts(t)
+    assert live.count() == 0  # both keys deleted
+    # the tombstones exist with the deleting lsn (late smaller-lsn events lose)
+    raw = {r["conv_id"]: (r["__lsn"], r["__deleted"])
+           for r in t.read().collect()}
+    assert raw == {"c1": (3, True), "c2": (4, True)}

@@ -154,3 +154,49 @@ def test_no_seq_col_table_stays_fail_fast(spark, tmp_path, monkeypatch):
     _race_once(monkeypatch, lambda: rival.merge(mk("r"), batch_key="br"))
     with pytest.raises(ConcurrentCommitError, match="no seq_col"):
         table.merge(mk("v"), batch_key="bv")
+
+
+def test_append_raises_over_concurrent_rebucket(spark, tmp_path, monkeypatch):
+    """An append whose files were bucketed under the OLD layout must NOT
+    rebase over a rebucket winner — its bucket ids would corrupt pruning."""
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(table, _batch(spark, "c0", 0), batch_key="b0", mode="mor")
+    rival = IceliteTable.load(spark, str(tmp_path / "t"))
+    _race_once(monkeypatch, lambda: rival.rebucket(16))
+    with pytest.raises(ConcurrentCommitError, match="bucket layout"):
+        apply_changes(table, _batch(spark, "c1", 100), batch_key="b1", mode="mor")
+    # the table itself is healthy under the new layout
+    assert table.pointer()["n_buckets"] == 16
+    assert table.read().count() == 5
+
+
+def test_append_raises_over_concurrent_rename(spark, tmp_path, monkeypatch):
+    """A rename winner changes what the loser's column NAMES mean; a
+    by-name schema re-merge would resurrect the old name — true conflict."""
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(table, _batch(spark, "c0", 0), batch_key="b0", mode="mor")
+    rival = IceliteTable.load(spark, str(tmp_path / "t"))
+    _race_once(monkeypatch, lambda: rival.rename_column("text", "body"))
+    with pytest.raises(ConcurrentCommitError, match="renamed or dropped"):
+        apply_changes(table, _batch(spark, "c1", 100), batch_key="b1", mode="mor")
+    cols = [f.name for f in table.schema.fields]
+    assert "body" in cols and "text" not in cols
+
+
+def test_racing_first_commits_still_dedup(spark, tmp_path, monkeypatch):
+    """Two FIRST commits race on an empty table with overlapping keys:
+    the rebasing loser's files must be re-marked delta so readers apply
+    max-seq dedup (both landing as 'base' would return duplicate keys)."""
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    rival = IceliteTable.load(spark, str(tmp_path / "t"))
+    # same conversation, rival writes lsn 100.., victim writes lsn 0..
+    _race_once(
+        monkeypatch,
+        lambda: apply_changes(rival, _batch(spark, "c0", 100),
+                              batch_key="b-rival", mode="mor"),
+    )
+    apply_changes(table, _batch(spark, "c0", 0), batch_key="b0", mode="mor")
+    rows = table.read().collect()
+    assert len(rows) == 5  # one version per key, not two
+    # the rival's larger lsn won every key
+    assert all(r["__lsn"] >= 100 for r in rows)

@@ -302,3 +302,31 @@ def test_in_predicate_prunes_and_is_exact(spark, tmp_path):
     )
     # empty IN list: no file is skippable by it, filter yields no rows
     assert table.read(where=[("conv_id", "in", [])]).count() == 0
+
+
+def test_read_keys_on_long_bucket_key(spark, tmp_path):
+    """Non-string bucket keys: the lookup frame must carry the key's REAL
+    type (a stringified probe would hash into the wrong buckets)."""
+    from etl_rust_spark.lake.format import IceliteTable
+
+    schema = (
+        "user_id long, seq long, v string"
+    )
+    import pyspark.sql.types as T
+    t = IceliteTable.create(
+        spark, str(tmp_path / "t"),
+        T.StructType([
+            T.StructField("user_id", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]),
+        key_cols=["user_id"], bucket_key="user_id", n_buckets=8,
+        order_cols=["user_id"], seq_col="seq",
+    )
+    rows = [(i, i, f"v{i}") for i in range(64)]
+    t.merge(
+        spark.createDataFrame(rows, schema).withColumn("op", F.lit("U")),
+        batch_key="b0", seq_col="seq",
+    )
+    got = t.read_keys([7, 33])
+    assert {r["user_id"] for r in got.collect()} == {7, 33}

@@ -3294,3 +3294,41 @@ def session_window_agg(spark, sf_dir):
             "n_events",
         )
     )
+
+
+@query(
+    "date_arithmetic",
+    """
+    SELECT o_orderkey,
+           CAST(floor(epoch(o_orderdate + INTERVAL 30 DAY)) AS BIGINT) AS due_epoch,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS INTEGER) AS days_to_y2k,
+           CAST(floor(epoch(CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP))) AS BIGINT) AS month_end_epoch,
+           CAST(floor(epoch(date_trunc('week', o_orderdate))) AS BIGINT) AS week_start_epoch,
+           CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INTEGER) AS dow
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+    """,
+)
+def date_arithmetic(spark, sf_dir):
+    """Date/interval scalar functions (§2.4): interval add, day diff,
+    month end, ISO week truncation, day-of-week — each normalized to
+    epoch/int so both engines compare exactly (the cross-engine traps:
+    DuckDB's dayofweek is 0=Sunday vs Spark's 1=Sunday — bridged via
+    pmod; both week-truncate to Monday)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-06-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    d = F.col("o_orderdate").cast("timestamp")
+    return o.select(
+        "o_orderkey",
+        (d + F.expr("INTERVAL 30 DAYS")).cast("long").alias("due_epoch"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date"))
+        .cast("int")
+        .alias("days_to_y2k"),
+        F.last_day(d.cast("date")).cast("timestamp").cast("long").alias(
+            "month_end_epoch"
+        ),
+        F.date_trunc("week", d).cast("long").alias("week_start_epoch"),
+        (F.dayofweek(d.cast("date")) - F.lit(1)).cast("int").alias("dow"),
+    )

@@ -71,6 +71,7 @@ CHECKS = {
     "name_edit_distances": (["BroadcastNestedLoopJoin"], ["BatchEvalPython"]),
     "tfidf_top_terms": (["Window", "partial_count"], ["CartesianProduct", "BatchEvalPython"]),
     "session_window_agg": (["session_window"], ["CartesianProduct", "BatchEvalPython"]),
+    "date_arithmetic": (["DataFilters: [isnotnull(o_orderdate"], ["Exchange", "BatchEvalPython"]),
 }
 
 

@@ -3332,3 +3332,33 @@ def date_arithmetic(spark, sf_dir):
         F.date_trunc("week", d).cast("long").alias("week_start_epoch"),
         (F.dayofweek(d.cast("date")) - F.lit(1)).cast("int").alias("dow"),
     )
+
+
+@query(
+    "rank_distribution",
+    """
+    SELECT user_id, event_id,
+           CAST(rank() OVER w AS INTEGER) AS rnk,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+    """,
+)
+def rank_distribution(spark, sf_dir):
+    """The remaining ranking window functions in one pass: rank, ntile,
+    percent_rank, cume_dist over a fully deterministic order (value DESC
+    with event_id tie-break — without the tie-break ntile boundaries
+    would be engine-dependent). percent_rank/cume_dist derive from
+    integer rank/count so the doubles are exact; round(,6) belts it."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return e.select(
+        "user_id", "event_id",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

@@ -72,6 +72,7 @@ CHECKS = {
     "tfidf_top_terms": (["Window", "partial_count"], ["CartesianProduct", "BatchEvalPython"]),
     "session_window_agg": (["session_window"], ["CartesianProduct", "BatchEvalPython"]),
     "date_arithmetic": (["DataFilters: [isnotnull(o_orderdate"], ["Exchange", "BatchEvalPython"]),
+    "rank_distribution": (["Window", "ntile"], ["CartesianProduct", "BatchEvalPython"]),
 }
 
 

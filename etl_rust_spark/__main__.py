@@ -91,6 +91,39 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_rollup(args) -> int:
+    """Deployable materialized view: windowed per-key aggregates
+    continuously upserted into an Icelite rollup table."""
+    from pyspark.sql import types as T
+
+    from etl_rust_spark.lake.format import IceliteTable
+    from etl_rust_spark.streaming.driver import WindowedRollupIngest
+
+    spark = _spark(args)
+    schema = T.StructType.fromDDL(args.schema_ddl)
+    key_field = next(f for f in schema.fields if f.name == args.key_col)
+    try:
+        WindowedRollupIngest.create_table(
+            spark, args.table, key_field, n_buckets=args.n_buckets
+        )
+    except FileExistsError:
+        IceliteTable.load(spark, args.table)  # resume into the existing table
+    pipe = WindowedRollupIngest(
+        spark=spark, wal_dir=args.wal_dir, table_path=args.table,
+        checkpoint_dir=args.checkpoint, schema=schema, name=args.name,
+        window=args.window, ts_col=args.ts_col, key_col=args.key_col,
+        value_col=args.value_col, watermark=args.watermark,
+    )
+    if args.follow:
+        q = pipe.start()
+        q.awaitTermination()
+    else:
+        pipe.run_available()
+        t = IceliteTable.load(spark, args.table)
+        print(f"rollup at seq {t.current_seq()}: {t.read().count()} window rows")
+    return 0
+
+
 def cmd_compact(args) -> int:
     from etl_rust_spark.lake.format import IceliteTable
 
@@ -196,6 +229,25 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--follow", action="store_true",
                    help="keep tailing (default: drain available and exit)")
     i.set_defaults(fn=cmd_ingest)
+
+    ru = sub.add_parser(
+        "rollup", help="windowed aggregate table continuously upserted (mat. view)"
+    )
+    ru.add_argument("--wal-dir", required=True)
+    ru.add_argument("--table", required=True)
+    ru.add_argument("--checkpoint", required=True)
+    ru.add_argument("--schema-ddl", required=True,
+                    help='input schema DDL, e.g. "event_id long, ts timestamp,'
+                         ' user_id long, value double"')
+    ru.add_argument("--name", default="rollup")
+    ru.add_argument("--window", default="1 hour")
+    ru.add_argument("--ts-col", default="ts")
+    ru.add_argument("--key-col", default="user_id")
+    ru.add_argument("--value-col", default="value")
+    ru.add_argument("--watermark", default="2 hours")
+    ru.add_argument("--n-buckets", type=int, default=8)
+    ru.add_argument("--follow", action="store_true")
+    ru.set_defaults(fn=cmd_rollup)
 
     k = sub.add_parser("compact", help="fold delta files")
     k.add_argument("--table", required=True)

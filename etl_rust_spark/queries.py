@@ -3362,3 +3362,43 @@ def rank_distribution(spark, sf_dir):
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "set_ops_intersect_union",
+    """
+    WITH a AS (SELECT DISTINCT l_partkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+         b AS (SELECT DISTINCT l_partkey AS k FROM lineitem WHERE l_returnflag = 'A')
+    SELECT 'intersect' AS op, COUNT(*) AS n FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+    UNION ALL
+    SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT k FROM a UNION SELECT k FROM b)
+    UNION ALL
+    SELECT 'union_all' AS op, COUNT(*) AS n FROM (SELECT k FROM a UNION ALL SELECT k FROM b)
+    """,
+)
+def set_ops_intersect_union(spark, sf_dir):
+    """The remaining set operators (EXCEPT lives in `set_ops_except`):
+    INTERSECT, UNION DISTINCT, UNION ALL over two derived key sets, each
+    reduced to a count — dedup semantics are exactly what's under test."""
+    l = _t(spark, sf_dir, "lineitem")
+    a = l.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_partkey").alias("k")
+    ).distinct()
+    b = l.filter(F.col("l_returnflag") == "A").select(
+        F.col("l_partkey").alias("k")
+    ).distinct()
+    rows = [
+        a.intersect(b).agg(F.count("*").alias("n")).select(
+            F.lit("intersect").alias("op"), "n"
+        ),
+        a.union(b).distinct().agg(F.count("*").alias("n")).select(
+            F.lit("union").alias("op"), "n"
+        ),
+        a.unionAll(b).agg(F.count("*").alias("n")).select(
+            F.lit("union_all").alias("op"), "n"
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

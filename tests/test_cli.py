@@ -77,3 +77,44 @@ def test_cli_audited_ingest_end_to_end(spark, tmp_path, capsys):
     table = IceliteTable.load(spark, str(tmp_path / "t"))
     got = read_transcripts(table).toPandas()
     assert len(got) > 0 and not got.text.str.startswith("POISON").any()
+
+
+def test_cli_rollup_end_to_end(spark, tmp_path, capsys):
+    """Drive the rollup job through the CLI: the materialized view equals
+    the batch aggregate of the WAL's events."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.__main__ import main
+    from etl_rust_spark.lake.format import IceliteTable
+
+    rows = [(i, pd.Timestamp("2025-04-01") + pd.Timedelta(minutes=7 * i),
+             i % 5, float(i)) for i in range(200)]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "value"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    wal = tmp_path / "wal"
+    wal.mkdir()
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[:120], preserve_index=False),
+                   wal / "seg-0.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[120:], preserve_index=False),
+                   wal / "seg-1.parquet")
+    assert main([
+        "rollup", "--wal-dir", str(wal), "--table", str(tmp_path / "r"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--schema-ddl", "event_id long, ts timestamp, user_id long, value double",
+        "--window", "1 hour", "--watermark", "6 hours",
+    ]) == 0
+    assert "rollup at seq" in capsys.readouterr().out
+    t = IceliteTable.load(spark, str(tmp_path / "r"))
+    got = t.read().drop("__lsn")
+    want = (
+        spark.createDataFrame(pdf)
+        .groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(24,6)")).cast("double").alias("value_sum"))
+        .select("user_id", F.col("w.start").cast("long").alias("window_start"),
+                "n_events", "value_sum")
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0

@@ -40,7 +40,16 @@ from etl_rust_spark.operators.apply import (
     read_transcripts,
     renumber_turns,
 )
-from etl_rust_spark.streaming.driver import ChangelogIngest, PipelineManager
+from etl_rust_spark.streaming.driver import (
+    ChangelogIngest,
+    PipelineManager,
+    WindowedRollupIngest,
+)
+from etl_rust_spark.streaming.joins import (
+    dedup_within_watermark,
+    interval_join,
+    interval_join_outer,
+)
 
 __all__ = [
     "get_spark",
@@ -60,6 +69,10 @@ __all__ = [
     "renumber_turns",
     "ChangelogIngest",
     "PipelineManager",
+    "WindowedRollupIngest",
+    "interval_join",
+    "interval_join_outer",
+    "dedup_within_watermark",
 ]
 
 __version__ = "0.1.0"

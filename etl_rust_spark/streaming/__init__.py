@@ -1,3 +1,19 @@
-from etl_rust_spark.streaming.driver import ChangelogIngest, PipelineManager
+from etl_rust_spark.streaming.driver import (
+    ChangelogIngest,
+    PipelineManager,
+    WindowedRollupIngest,
+)
+from etl_rust_spark.streaming.joins import (
+    dedup_within_watermark,
+    interval_join,
+    interval_join_outer,
+)
 
-__all__ = ["ChangelogIngest", "PipelineManager"]
+__all__ = [
+    "ChangelogIngest",
+    "PipelineManager",
+    "WindowedRollupIngest",
+    "interval_join",
+    "interval_join_outer",
+    "dedup_within_watermark",
+]

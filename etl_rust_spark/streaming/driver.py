@@ -126,9 +126,18 @@ class ChangelogIngest:
             if stage is not None and stage in table.list_staged():
                 # crash between staging and publish/drop on a previous run
                 # of THIS epoch (the name is run-id + epoch scoped, so it
-                # can only be our own half-finished attempt): discard and
-                # re-stage deterministically instead of wedging forever
-                table.drop_staged(stage)
+                # can only be our own half-finished attempt). Two cases:
+                # the batch key already in the ledger means the publish's
+                # pointer link LANDED and the crash hit before the marker
+                # removal — the staged dir is live table data, clear only
+                # the marker (deleting it would destroy committed data,
+                # ADVICE r03 #1). Otherwise the publish never happened:
+                # discard and re-stage deterministically instead of
+                # wedging forever.
+                if table.is_applied(f"{self.name}:{run_id}:{epoch_id}"):
+                    table.clear_staged_marker(stage)
+                else:
+                    table.drop_staged(stage)
             rec = apply_changes(
                 table,
                 df,

@@ -58,11 +58,15 @@ CHECKS = {
     "q2_min_price_supplier": (["BroadcastHashJoin", "partial_min"], ["CartesianProduct"]),
     # curation round 3b
     "line_dedup_stats": (["Generate explode", "partial_count(distinct"], ["CartesianProduct", "Window"]),
-    "sequence_packing": (["Window", "Exchange hashpartitioning(source"], ["CartesianProduct"]),
+    # two-phase prefix sum (VERDICT r03 #3): the data-side window must be
+    # partitioned by (source/shard, __chunk) — "__chunk" in the partition
+    # spec proves no single-task-per-group global window — with the
+    # offsets shipped back as a broadcast join
+    "sequence_packing": (["Window", "Exchange hashpartitioning(source", "__chunk", "BroadcastHashJoin"], ["CartesianProduct"]),
     "stratified_sample": ([], ["Exchange", "BatchEvalPython"]),
     "funnel_unconverted": (["LeftOuter"], ["CartesianProduct"]),
     "udtf_passages": (["UDTF"], []),  # the deliberate Python-UDTF surface entry
-    "training_shards": (["Window", "Exchange hashpartitioning(shard"], ["CartesianProduct"]),
+    "training_shards": (["Window", "Exchange hashpartitioning(shard", "__chunk", "BroadcastHashJoin"], ["CartesianProduct"]),
     "dedup_canonical": (["Window"], ["CartesianProduct"]),
     "map_event_histogram": (["partial_count"], ["CartesianProduct", "BatchEvalPython"]),
     "gapfill_daily": (["Generate explode"], ["CartesianProduct", "BatchEvalPython"]),

@@ -86,3 +86,32 @@ def test_reference_migration_end_to_end(spark, tmp_path):
     assert r_heal["posts"] is not None           # missing table applied
     assert all(v is None for k, v in r_heal.items() if k != "posts")
     assert posts.read().count() == 4
+
+
+def test_generated_users_flatten_to_reference_shape(spark):
+    """The bench generator (distributed, id-derived) must produce docs
+    that flatten to the reference's exact per-user row multiset: 21 child
+    rows across all 15 tables (2 education, 1 experience, 2 settings,
+    1 activity, 3 transactions, 2 messages, 2 attachments, 1 post,
+    1 group, 6 singletons)."""
+    from etl_rust_spark.operators.flatten import normalize_nested_users
+    from etl_rust_spark.operators.migrate import generate_nested_users_spark
+
+    n = 64
+    docs = generate_nested_users_spark(spark, n, start=5)
+    tables = normalize_nested_users(docs)
+    assert set(tables) == set(MIGRATION_TABLES)
+    counts = {k: v.count() for k, v in tables.items()}
+    per_user = {
+        "users": 1, "addresses": 1, "profiles": 1, "education": 2,
+        "experience": 1, "preferences": 1, "settings": 2, "activity_log": 1,
+        "transactions": 3, "messages": 2, "attachments": 2,
+        "social_media": 1, "posts": 1, "groups": 1, "large_data": 1,
+    }
+    assert counts == {k: n * v for k, v in per_user.items()}
+    # deterministic across invocations (id-derived, no RNG)
+    a = sorted(map(tuple, generate_nested_users_spark(spark, 8).select(
+        "user_id", "email").collect()))
+    b = sorted(map(tuple, generate_nested_users_spark(spark, 8).select(
+        "user_id", "email").collect()))
+    assert a == b

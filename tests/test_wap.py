@@ -263,6 +263,111 @@ def test_stage_name_collision_is_refused(spark, tmp_path):
     assert t.read_staged("qa").count() == 1
 
 
+def test_stale_marker_after_published_crash_never_deletes_live_data(spark, tmp_path):
+    """Crash injected between the publish's pointer hard-link and the
+    staged-marker removal (ADVICE r03 #1): the marker then points at a
+    LIVE, manifest-referenced data dir. Every cleanup path — drop_staged,
+    a replayed publish_staged, and the streaming driver's is_applied →
+    clear_staged_marker recovery — must remove only the marker, never the
+    committed data."""
+    import os
+    import shutil
+
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(t, _batch(spark, [(1, "I", "c1", 0, "user", "base", None)]),
+                  batch_key="b0", mode="mor")
+    apply_changes(t, _batch(spark, [(2, "I", "c2", 0, "user", "audited", None)]),
+                  batch_key="bk", mode="mor", stage_as="qa")
+    marker = t._staged_path("qa")
+    saved = marker + ".saved"
+    shutil.copy(marker, saved)
+    assert t.publish_staged("qa") is not None
+    # resurrect the marker exactly as the crash would leave it
+    shutil.copy(saved, marker)
+    os.remove(saved)
+    assert t.is_applied("bk")
+    st = t._load_staged("qa")
+    assert t._dir_is_live(st["commit_dir"])
+
+    # path 1: drop_staged refuses the rmtree, clears only the marker
+    t.drop_staged("qa")
+    assert t.list_staged() == []
+    assert all(os.path.exists(f["path"]) for f in st["files"])
+    got = {r["conv_id"] for r in read_transcripts(t).collect()}
+    assert got == {"c1", "c2"}
+
+    # path 2: a replayed publish on a resurrected marker is a safe no-op
+    with open(marker, "w") as fh:
+        import json
+        json.dump(st, fh)
+    assert t.publish_staged("qa") is None
+    assert all(os.path.exists(f["path"]) for f in st["files"])
+    assert {r["conv_id"] for r in read_transcripts(t).collect()} == {"c1", "c2"}
+
+    # path 3: the driver's recovery branch (is_applied → marker only)
+    with open(marker, "w") as fh:
+        json.dump(st, fh)
+    t.clear_staged_marker("qa")
+    assert t.list_staged() == []
+    assert {r["conv_id"] for r in read_transcripts(t).collect()} == {"c1", "c2"}
+
+
+def test_layout_change_during_audit_refuses_publish(spark, tmp_path):
+    """A rebucket or column rename landing during the audit window makes
+    the staged files' bucket ids / field-id stamps stale — read_staged
+    and publish_staged must raise instead of silently corrupting pruning
+    or column resolution (ADVICE r03 #3)."""
+    from etl_rust_spark.lake.format import ConcurrentCommitError
+
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(t, _batch(spark, [(1, "I", "c1", 0, "user", "a", None)]),
+                  batch_key="b0", mode="mor")
+    apply_changes(t, _batch(spark, [(2, "I", "c2", 0, "user", "staged", None)]),
+                  batch_key="st", mode="mor", stage_as="qa")
+    t.rebucket(8)
+    with pytest.raises(ConcurrentCommitError, match="bucket layout"):
+        t.read_staged("qa")
+    with pytest.raises(ConcurrentCommitError, match="bucket layout"):
+        t.publish_staged("qa")
+    t.drop_staged("qa")
+
+    # rename during the audit: field-id stamps no longer match
+    apply_changes(t, _batch(spark, [(3, "I", "c3", 0, "user", "staged2", None)]),
+                  batch_key="st2", mode="mor", stage_as="qa")
+    t.rename_column("tool", "tool_name")
+    with pytest.raises(ConcurrentCommitError, match="rename/drop"):
+        t.publish_staged("qa")
+    t.drop_staged("qa")
+    # redelivery under the same key still works (key never entered ledger)
+    assert apply_changes(
+        t,
+        _batch(spark, [(3, "I", "c3", 0, "user", "redelivered", None)]).withColumnRenamed(
+            "tool", "tool_name"
+        ),
+        batch_key="st2",
+        mode="mor",
+    ) is not None
+
+
+def test_read_staged_shows_new_column_values_not_null(spark, tmp_path):
+    """A staged batch that ADDS a column must show that column's VALUES in
+    the audit view — the whole point of WAP is validating them before
+    publish (ADVICE r03 #2: the bare live pointer lacks the new column's
+    field id, which silently null-backfilled it)."""
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(t, _batch(spark, [(1, "I", "c1", 0, "user", "base", None)]),
+                  batch_key="b0", mode="mor")
+    wide = _batch(spark, [(2, "I", "c2", 0, "user", "tagged", None)]).withColumn(
+        "lang", F.lit("en")
+    )
+    apply_changes(t, wide, batch_key="b1", mode="mor", stage_as="qa")
+    audit = {r["conv_id"]: r["lang"] for r in t.read_staged("qa").collect()}
+    assert audit == {"c1": None, "c2": "en"}
+    assert t.publish_staged("qa") is not None
+    live = {r["conv_id"]: r["lang"] for r in t.read().collect()}
+    assert live == audit
+
+
 def test_audited_ingest_recovers_from_crash_between_stage_and_publish(spark, tmp_path):
     """Crash INSIDE the audit (after staging, before publish/drop): the
     replayed epoch must not wedge on 'staged commit already exists' — the

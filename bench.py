@@ -87,6 +87,14 @@ def calibration_probe(spark, cores: int) -> int:
     normalize suite times for host noise."""
     from pyspark.sql import functions as F
 
+    # JIT/codegen warmup pass — without it the FIRST probe of a fresh JVM
+    # measures interpreter ramp-up (observed 10x low), not the machine
+    (
+        spark.range(cores * 1_000_000, numPartitions=cores)
+        .select(F.xxhash64(F.xxhash64(F.xxhash64("id"))).alias("h"))
+        .agg(F.bit_xor("h"))
+        .collect()
+    )
     n = cores * 10_000_000
     t0 = time.monotonic()
     (

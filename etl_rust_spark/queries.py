@@ -3465,6 +3465,247 @@ def set_ops_intersect_union(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round 4: cohort analytics, consistent sampling, corpus rarity, centroid
+# similarity, BPE pair counting
+# ---------------------------------------------------------------------------
+
+@query(
+    "retention_cohorts",
+    """
+    WITH w AS (
+      SELECT user_id, CAST(floor(epoch(date_trunc('week', ts))) AS BIGINT) AS w
+      FROM events),
+    f AS (SELECT user_id, MIN(w) AS cohort_week FROM w GROUP BY 1)
+    SELECT f.cohort_week,
+           CAST((w.w - f.cohort_week) / 604800 AS INTEGER) AS week_offset,
+           COUNT(DISTINCT w.user_id) AS n_users
+    FROM w JOIN f USING (user_id) GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark, sf_dir):
+    """Classic cohort-retention matrix: users bucketed by first-activity
+    week, counted in each later week they return. Week offsets are pure
+    epoch arithmetic (both engines truncate weeks to Monday; the diff is
+    an exact multiple of 604800), never engine week-diff functions whose
+    boundary rules differ.
+
+    Scale shape: one groupBy(user) for the cohort assignment, one join
+    back on user_id (both sides hash-partitioned on the same key — AQE
+    co-locates them), one keyed count-distinct with partial aggregation.
+    No window, no broadcast of the full user set."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("week", F.col("ts").cast("timestamp"))
+        .cast("timestamp")
+        .cast("long")
+        .alias("w"),
+    )
+    f = e.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    return (
+        e.join(f, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            ((F.col("w") - F.col("cohort_week")) / 604800).cast("int").alias(
+                "week_offset"
+            ),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+_SAMPLE_K = 5
+
+
+@query(
+    "consistent_sample_per_source",
+    f"""
+    WITH h AS (
+      SELECT source, doc_id,
+             {md5_long_sql("CAST(doc_id AS VARCHAR)")} AS hkey
+      FROM documents)
+    SELECT source, doc_id, hkey,
+           CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY hkey, doc_id)
+                AS INTEGER) AS rk
+    FROM h QUALIFY rk <= {_SAMPLE_K}
+    """,
+)
+def consistent_sample_per_source(spark, sf_dir):
+    """Consistent per-source sample: the {_SAMPLE_K} docs with the lowest
+    deterministic hash per source — the audit/eval sample that stays
+    IDENTICAL across runs, engines, and corpus growth for surviving docs
+    (a property random sampling lacks; same idea as consistent hashing
+    for sample selection).
+
+    Two-phase top-k, never one window task per source: phase 1 takes the
+    per-(source, hash-chunk) top {_SAMPLE_K} (chunk = top bits of the
+    60-bit hash, so each task holds one chunk of one source); the global
+    per-source top {_SAMPLE_K} is a window over the ≤ {_SAMPLE_K}×1024
+    surviving metadata rows per source. Exact: every global winner is a
+    winner of its own chunk."""
+    d = _t(spark, sf_dir, "documents")
+    h = md5_long(F.col("doc_id").cast("string"))
+    base = d.select("source", "doc_id", h.alias("hkey")).withColumn(
+        "__chunk", F.shiftright("hkey", 50)
+    )
+    w1 = Window.partitionBy("source", "__chunk").orderBy("hkey", "doc_id")
+    cand = (
+        base.withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") <= _SAMPLE_K)
+        .drop("rk", "__chunk")
+    )
+    w2 = Window.partitionBy("source").orderBy("hkey", "doc_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rk") <= _SAMPLE_K)
+    )
+
+
+@query(
+    "unigram_rarity_profile",
+    f"""
+    WITH t AS (
+      SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents),
+    v AS (SELECT w, COUNT(*) AS n FROM t GROUP BY 1)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(MIN(v.n) AS BIGINT) AS rarest_count,
+           CAST(SUM(v.n) AS BIGINT) AS freq_mass
+    FROM t JOIN v USING (w) GROUP BY 1
+    """,
+)
+def unigram_rarity_profile(spark, sf_dir):
+    """Per-document unigram rarity profile against the corpus-wide
+    vocabulary: token count, hapax-legomena count (tokens whose CORPUS
+    frequency is 1 — the classic rare/noisy-text signal), the rarest
+    token's corpus count, and total frequency mass. The integer-exact
+    core of unigram-LM quality scoring — deliberately no ln(): engine
+    libm implementations differ in the last ulp, while these integer
+    aggregates are bit-identical by construction.
+
+    Scale shape: vocabulary via explode + keyed count (map-side combine
+    collapses repeats), then a hash join of the token stream against the
+    vocab on the word key — both sides partitioned by word, no broadcast
+    of an unbounded vocab — and one groupBy(doc)."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(tx.words_lower("text")).alias("w"))
+    v = t.groupBy("w").agg(F.count("*").alias("n"))
+    return (
+        t.join(v, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum((F.col("n") == 1).cast("int")).cast("long").alias("n_hapax"),
+            F.min("n").cast("long").alias("rarest_count"),
+            F.sum("n").cast("long").alias("freq_mass"),
+        )
+    )
+
+
+@query(
+    "embedding_centroid_similarity",
+    """
+    WITH x AS (
+      SELECT label, i AS pos, embedding[i]::DOUBLE AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+    c AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(v AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*) AS c
+      FROM x GROUP BY 1, 2)
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(CAST(SUM(CAST(a.c * b.c AS DECIMAL(30,15))) AS DOUBLE)
+                 / (sqrt(CAST(SUM(CAST(a.c * a.c AS DECIMAL(30,15))) AS DOUBLE))
+                    * sqrt(CAST(SUM(CAST(b.c * b.c AS DECIMAL(30,15))) AS DOUBLE))), 6)
+             AS cosine
+    FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+    GROUP BY 1, 2
+    """,
+)
+def embedding_centroid_similarity(spark, sf_dir):
+    """Inter-class centroid cosine matrix: mean vector per label, then
+    pairwise cosine between the 10 centroids — the corpus-structure /
+    label-leakage diagnostic run before training on labeled embeddings.
+
+    Cross-engine exactness: per-dimension centroid sums run in DECIMAL
+    (order-free), the pairwise dot/norm sums run in DECIMAL over
+    identical double products, and sqrt is IEEE-exact — no
+    fold-order-dependent double accumulation anywhere. Scale shape: one
+    keyed agg over (label, pos) — posexplode's 64× fan-out collapses
+    map-side — then a self-join on pos over label×dim METADATA rows
+    (10×64 here; broadcast), never over the data."""
+    e = _t(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label", F.posexplode("embedding").alias("pos0", "v0")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("v0").cast("double").alias("v"),
+    )
+    c = x.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("v").cast("decimal(20,8)")).cast("double") / F.count("*")
+        ).alias("c")
+    )
+    a, b = c.alias("a"), c.alias("b")
+    dec = lambda col: col.cast("decimal(30,15)")  # noqa: E731
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.pos") == F.col("b.pos")) & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(
+            F.round(
+                F.sum(dec(F.col("a.c") * F.col("b.c"))).cast("double")
+                / (
+                    F.sqrt(F.sum(dec(F.col("a.c") * F.col("a.c"))).cast("double"))
+                    * F.sqrt(F.sum(dec(F.col("b.c") * F.col("b.c"))).cast("double"))
+                ),
+                6,
+            ).alias("cosine")
+        )
+    )
+
+
+from etl_rust_spark.functions.hashing import shingles, shingles_sql  # noqa: E402
+
+
+@query(
+    "bpe_pair_counts",
+    f"""
+    WITH p AS (
+      SELECT unnest({shingles_sql("lower(text)", 2)}) AS pair FROM documents)
+    SELECT pair, COUNT(*) AS n
+    FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def bpe_pair_counts(spark, sf_dir):
+    """One round of BPE-style merge-candidate counting: adjacent token
+    pairs over the whole corpus, top 20 by frequency (deterministic
+    tie-break on the pair text) — the inner loop of tokenizer training,
+    as a corpus-scale aggregation. Reuses the verified-bit-identical
+    shingle kernel (n=2) from the MinHash path.
+
+    Scale shape: explode → keyed count with map-side combine → global
+    top-k as TakeOrderedAndProject (per-partition top-20, k rows to the
+    driver — never a global sort)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.explode(shingles("lower(text)", 2)).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-correctness window ordering
 # ---------------------------------------------------------------------------
 # The driver's oracle gate checks only the FIRST 50 ``queries()`` entries

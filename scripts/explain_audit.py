@@ -77,6 +77,12 @@ CHECKS = {
     "session_window_agg": (["session_window"], ["CartesianProduct", "BatchEvalPython"]),
     "date_arithmetic": (["DataFilters: [isnotnull(o_orderdate"], ["Exchange", "BatchEvalPython"]),
     "rank_distribution": (["Window", "ntile"], ["CartesianProduct", "BatchEvalPython"]),
+    # round 4
+    "retention_cohorts": (["Exchange hashpartitioning(user_id", "partial_min"], ["CartesianProduct", "Window", "BatchEvalPython"]),
+    "consistent_sample_per_source": (["Window", "__chunk"], ["CartesianProduct", "BatchEvalPython"]),
+    "unigram_rarity_profile": (["Generate explode", "partial_count"], ["CartesianProduct", "BatchEvalPython"]),
+    "embedding_centroid_similarity": (["partial_sum", "BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython"]),
+    "bpe_pair_counts": (["TakeOrderedAndProject", "partial_count"], ["CartesianProduct", "BatchEvalPython"]),
 }
 
 

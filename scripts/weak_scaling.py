@@ -42,6 +42,9 @@ PER_CORE = int(os.environ.get("WEAK_PER_CORE", "500000"))
 BATCHES = 4
 REPEATS = int(os.environ.get("WEAK_REPEATS", "2"))
 CORES = [int(c) for c in os.environ.get("WEAK_CORES", "8,32").split(",")]
+# knob experiments (VERDICT r03 #6): extra Spark conf as a JSON object,
+# e.g. WEAK_EXTRA_CONF='{"spark.io.compression.codec": "zstd"}'
+EXTRA_CONF = json.loads(os.environ.get("WEAK_EXTRA_CONF", "{}"))
 
 
 def _stage_list(ui_url: str, app_id: str) -> list[dict]:
@@ -89,7 +92,7 @@ def worker(cores: int, workdir: str) -> None:
     events = cores * PER_CORE
     spark = get_spark(
         f"weak-{cores}", master=f"local[{cores}]", shuffle_partitions=cores,
-        extra_conf={"spark.ui.enabled": "true"},
+        extra_conf={"spark.ui.enabled": "true", **EXTRA_CONF},
     )
     sc = spark.sparkContext
     per = events // BATCHES

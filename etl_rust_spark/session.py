@@ -58,6 +58,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # zstd shuffle compression: measured on this workload (BENCH.md §2,
+        # round 4) it HALVES shuffle bytes/event vs lz4 (111→61 B at 8
+        # cores) at zero wall-clock cost on the small level, and lifts
+        # N→4N weak-scaling efficiency 0.678→0.888 in the same session —
+        # the map phase is DRAM-bandwidth-bound, so trading CPU for bytes
+        # is the right side of the bargain on any modern node
+        .config("spark.io.compression.codec", "zstd")
         # INT64 micros, not legacy INT96: parquet writes real footer
         # statistics for INT64 timestamps, which the lake's commit path
         # harvests for data-skipping stats (format._footer_stats_entry)

@@ -1,0 +1,289 @@
+"""Icelite as a first-class Spark STREAMING SOURCE — the downstream half
+of the CDC story: after the WAL→table ingest lands commits, any number of
+consumers (feature pipelines, index builders, rollup jobs) tail the table
+itself as a structured stream:
+
+    spark.dataSource.register(IceliteDataSource)
+    spark.readStream.format("icelite").option("path", table_path).load()
+
+Built on Spark 4's Python Data Source API (public:
+pyspark.sql.datasource.DataSourceStreamReader). Offsets are COMMIT
+SEQUENCES — the table's own atomic history — so the stream is
+exactly-once resumable from any checkpoint: offset {"seq": N} means
+"everything through commit N has been delivered"; a restart replays
+nothing and misses nothing (the same contract the reference's consumers
+get from Postgres LSNs, re-expressed over the lake's commit log;
+reference analog: the change-consuming side of src/etl/processor.rs).
+
+Semantics match ``IceliteTable.read_changes``: rows are the batch WINNERS
+each merge-on-read commit appended (upserts + ``__deleted`` tombstones +
+``__lsn``), annotated with ``_commit_seq``. Compaction/rebucket commits
+are invisible (rewrites, not changes); a copy-on-write commit in range
+fails the stream fast, exactly like the batch API.
+
+Data-plane note (disclosed): partitions are read by pyarrow in Python
+workers — the Python Data Source API's execution model — with one
+partition per data file for parallelism. That is the right trade for a
+TAIL consumer (incremental, small batches); bulk historical catch-up
+should use the JVM-side ``read_changes`` batch API. Column resolution is
+field-id aware: files written before a rename/drop are remapped through
+their manifest-recorded id→name stamps, columns that postdate a file are
+null-backfilled — same rules as the JVM reader (`format._read_file_groups`).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_MANIFEST_DIR = "_manifests"  # keep in sync with lake.format
+_LINEAGE_DIR = "_lineage"
+
+# lineage sources that rewrite or touch only metadata — never changes
+_NON_CHANGE_SOURCES = ("compact", "rebucket", "rename", "drop")
+
+
+# --------------------------------------------------------------------------
+# driver-side metadata (pure filesystem reads — no SparkSession available
+# inside a DataSource, and none needed: the Icelite pointer/manifest/
+# lineage files are small JSON)
+# --------------------------------------------------------------------------
+
+
+class _TableMeta:
+    def __init__(self, path: str):
+        self.path = os.path.abspath(path)
+        self.mdir = os.path.join(self.path, _MANIFEST_DIR)
+        if not os.path.isdir(self.mdir):
+            raise FileNotFoundError(f"not an Icelite table: {path}")
+
+    def current_seq(self) -> int:
+        snaps = glob.glob(os.path.join(self.mdir, "snap-*.json"))
+        if not snaps:
+            raise FileNotFoundError(f"no snapshots in {self.path}")
+        return max(int(os.path.basename(p)[5:13]) for p in snaps)
+
+    def pointer(self, seq: int) -> dict:
+        with open(os.path.join(self.mdir, f"snap-{seq:08d}.json")) as f:
+            return json.load(f)
+
+    def manifest(self, name: str) -> list:
+        with open(os.path.join(self.mdir, name)) as f:
+            return json.load(f)
+
+    def lineage_record(self, seq: int) -> dict | None:
+        ptr = self.pointer(seq)
+        name = ptr.get("lineage_file")
+        cands = (
+            [os.path.join(self.path, _LINEAGE_DIR, name)]
+            if name
+            else sorted(
+                glob.glob(
+                    os.path.join(self.path, _LINEAGE_DIR, f"lineage-{seq:08d}*.json")
+                )
+            )
+        )
+        for p in cands:
+            if os.path.exists(p):
+                with open(p) as f:
+                    return json.load(f)
+        return None
+
+    def added_manifests(self, seq: int) -> list[str]:
+        ptr = self.pointer(seq)
+        recorded = ptr.get("added_manifests")
+        if recorded is not None:
+            return list(recorded)
+        # pre-v3 pointers: diff against the parent's manifest set
+        parent = ptr.get("parent_seq")
+        prev = (
+            {m["name"] for m in self.pointer(parent)["manifests"]}
+            if parent is not None
+            else set()
+        )
+        return [m["name"] for m in ptr["manifests"] if m["name"] not in prev]
+
+    def change_files(self, since_seq: int, until_seq: int):
+        """[(path, cols_map_or_None, commit_seq)] for commits in
+        (since, until] — the same selection and failure rules as
+        ``IceliteTable.read_changes``."""
+        out = []
+        for s in range(since_seq + 1, until_seq + 1):
+            rec = self.lineage_record(s)
+            if rec is None:
+                raise FileNotFoundError(f"no lineage record for commit {s}")
+            if rec["source"] in _NON_CHANGE_SOURCES:
+                continue
+            if rec["files_removed"] > 0:
+                raise ValueError(
+                    f"commit {s} is copy-on-write (rewrote files) — "
+                    "streaming change reads require merge-on-read commits"
+                )
+            names = self.added_manifests(s)
+            if not names and rec["files_added"] > 0:
+                raise ValueError(
+                    f"changes for commit {s} have been expired — streaming "
+                    "consumers must resume within the retention window"
+                )
+            for name in names:
+                for e in self.manifest(name):
+                    out.append((e["path"], e.get("cols"), s))
+        return out
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    path: str = ""
+    cols: dict | None = None  # write-time id→name stamp (field-id evolution)
+    commit_seq: int = 0
+    # current schema as (name, field_id_or_None) in output order, plus the
+    # Spark DDL so the worker can build the arrow target schema
+    schema_json: str = ""
+    field_ids: dict = field(default_factory=dict)
+    legacy_cols: dict | None = None
+
+
+def _read_partition_arrow(p: _FilePartition):
+    """Executor-side: one parquet file → arrow batches in the CURRENT
+    schema (+ _commit_seq). Field-id resolution mirrors the JVM reader:
+    the file's write-time id→name stamp maps its physical columns to
+    current names; columns the file predates become nulls."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    schema = T.StructType.fromJson(json.loads(p.schema_json))
+    target = to_arrow_schema(schema)
+    target = target.append(pa.field("_commit_seq", pa.int64()))
+    cmap = p.cols or p.legacy_cols  # id→name at write time (None: current)
+    tbl = pq.read_table(p.path)
+    arrays = []
+    n = tbl.num_rows
+    for fld in schema.fields:
+        if cmap and p.field_ids:
+            src = cmap.get(str(p.field_ids.get(fld.name)))
+        else:
+            src = fld.name
+        at = target.field(fld.name).type
+        if src is not None and src in tbl.column_names:
+            arrays.append(tbl[src].cast(at))
+        else:
+            arrays.append(pa.nulls(n, type=at))
+    arrays.append(pa.array([p.commit_seq] * n, type=pa.int64()))
+    out = pa.table(arrays, schema=target)
+    yield from out.to_batches(max_chunksize=1 << 16)
+
+
+def _stream_schema(meta: _TableMeta) -> T.StructType:
+    ptr = meta.pointer(meta.current_seq())
+    schema = T.StructType.fromJson(ptr["schema"])
+    return schema.add("_commit_seq", T.LongType(), True)
+
+
+def _partitions_for(meta: _TableMeta, start: int, end: int) -> list[_FilePartition]:
+    ptr = meta.pointer(end)
+    schema_json = json.dumps(ptr["schema"])
+    fids = ptr.get("field_ids") or {}
+    legacy = ptr.get("legacy_cols")
+    return [
+        _FilePartition(
+            path=path, cols=cols, commit_seq=seq, schema_json=schema_json,
+            field_ids=fids, legacy_cols=legacy,
+        )
+        for path, cols, seq in meta.change_files(start, end)
+    ]
+
+
+class _IceliteStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("icelite source requires .option('path', <table>)")
+        self.meta = _TableMeta(path)
+        self.start_seq = int(options.get("sinceseq", options.get("sinceSeq", 0)))
+
+    def initialOffset(self) -> dict:
+        return {"seq": self.start_seq}
+
+    def latestOffset(self) -> dict:
+        return {"seq": self.meta.current_seq()}
+
+    def partitions(self, start: dict, end: dict):
+        parts = _partitions_for(self.meta, int(start["seq"]), int(end["seq"]))
+        # Spark requires at least the ability to plan an empty batch
+        return parts or [
+            _FilePartition(path="", commit_seq=-1,
+                           schema_json=json.dumps(
+                               self.meta.pointer(self.meta.current_seq())["schema"]))
+        ]
+
+    def read(self, partition: _FilePartition):
+        if partition.commit_seq < 0 or not partition.path:
+            return iter(())  # planned-empty batch
+        return _read_partition_arrow(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # checkpoint offsets are the durable state
+
+
+class _IceliteBatchReader(DataSourceReader):
+    """Batch twin: ``spark.read.format("icelite")`` is the SAME change
+    feed over a fixed range (options sinceSeq/untilSeq, defaults 0→
+    current) — consistent semantics with the stream. Full live-state
+    reads belong to the JVM-side ``IceliteTable.read()``."""
+
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("icelite source requires .option('path', <table>)")
+        self.meta = _TableMeta(path)
+        self.since = int(options.get("sinceseq", options.get("sinceSeq", 0)))
+        until = options.get("untilseq", options.get("untilSeq"))
+        self.until = int(until) if until is not None else self.meta.current_seq()
+
+    def partitions(self):
+        parts = _partitions_for(self.meta, self.since, self.until)
+        return parts or [
+            _FilePartition(path="", commit_seq=-1,
+                           schema_json=json.dumps(
+                               self.meta.pointer(self.meta.current_seq())["schema"]))
+        ]
+
+    def read(self, partition: _FilePartition):
+        if partition.commit_seq < 0 or not partition.path:
+            return iter(())
+        return _read_partition_arrow(partition)
+
+
+class IceliteDataSource(DataSource):
+    """``format("icelite")`` — change-feed source over an Icelite table,
+    batch and streaming."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "icelite"
+
+    def schema(self):
+        return _stream_schema(_TableMeta(self.options.get("path", "")))
+
+    def reader(self, schema) -> DataSourceReader:
+        return _IceliteBatchReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _IceliteStreamReader(self.options)
+
+
+def register_icelite_source(spark) -> None:
+    """Register ``format("icelite")`` on this session (idempotent)."""
+    spark.dataSource.register(IceliteDataSource)

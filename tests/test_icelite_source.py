@@ -1,0 +1,221 @@
+"""Icelite as a Spark streaming source (Python Data Source API):
+``readStream.format("icelite")`` tails the table's commit log with
+commit-seq offsets — exactly-once resumable from the checkpoint, same
+row semantics as the JVM batch API ``read_changes``.
+
+Reference analog: the change-consuming side of the reference's pipeline
+(src/etl/processor.rs) — there a Postgres consumer tails LSNs; here any
+number of Spark streams tail the lake table itself.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from etl_rust_spark.changelog import CHANGELOG_SCHEMA
+from etl_rust_spark.operators.apply import apply_changes, create_transcript_table
+from etl_rust_spark.sources import register_icelite_source
+
+
+def _batch(spark, rows):
+    pdf = pd.DataFrame(
+        rows, columns=["lsn", "op", "conv_id", "turn_idx", "role", "text", "ts"]
+    )
+    pdf["tool"] = ""
+    pdf = pdf[["lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+    pdf["ts"] = pd.Timestamp("2025-01-01")
+    return spark.createDataFrame(pdf, schema=CHANGELOG_SCHEMA)
+
+
+def _drain(spark, tpath, ck, since=None):
+    """Run the stream to exhaustion against a (possibly pre-existing)
+    checkpoint; return the rows THIS run delivered (foreachBatch — the
+    memory sink cannot recover from a checkpoint)."""
+    rows = []
+    reader = spark.readStream.format("icelite").option("path", tpath)
+    if since is not None:
+        reader = reader.option("sinceSeq", str(since))
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(lambda df, _eid: rows.extend(df.collect()))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return rows
+
+
+def _key_rows(rows):
+    if hasattr(rows, "collect"):
+        rows = rows.collect()
+    return {
+        (r["conv_id"], r["turn_idx"], r["__lsn"], r["text"], r["_commit_seq"])
+        for r in rows
+    }
+
+
+def test_stream_tails_commits_and_resumes_exactly_once(spark, tmp_path):
+    register_icelite_source(spark)
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(t, _batch(spark, [
+        (1, "I", "c1", 0, "user", "a", None),
+        (2, "I", "c2", 0, "user", "b", None),
+    ]), batch_key="b0", mode="mor")
+    apply_changes(t, _batch(spark, [
+        (3, "U", "c1", 0, "user", "a2", None),
+    ]), batch_key="b1", mode="mor")
+
+    ck = str(tmp_path / "ck")
+    got = _key_rows(_drain(spark, str(tmp_path / "t"), ck))
+    want = _key_rows(
+        t.read_changes(since_seq=0).select(
+            "conv_id", "turn_idx", "__lsn", "text", "_commit_seq"
+        )
+    )
+    assert got == want and len(got) == 3
+
+    # new commit; SAME checkpoint → only the delta arrives (offset resume)
+    apply_changes(t, _batch(spark, [
+        (4, "I", "c3", 0, "user", "late", None),
+    ]), batch_key="b2", mode="mor")
+    got2 = _key_rows(_drain(spark, str(tmp_path / "t"), ck))
+    assert len(got2) == 1
+    (new_row,) = got2
+    assert new_row[0] == "c3" and new_row[4] == t.current_seq()
+
+    # re-drain with nothing new: no duplicates (exactly-once)
+    assert _drain(spark, str(tmp_path / "t"), ck) == []
+
+
+def test_batch_reader_matches_read_changes(spark, tmp_path):
+    register_icelite_source(spark)
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(t, _batch(spark, [
+        (1, "I", "c1", 0, "user", "x", None),
+        (2, "I", "c1", 1, "assistant", "y", None),
+    ]), batch_key="b0", mode="mor")
+    apply_changes(t, _batch(spark, [
+        (5, "U", "c1", 1, "assistant", "y2", None),
+    ]), batch_key="b1", mode="mor")
+    via_source = spark.read.format("icelite").option(
+        "path", str(tmp_path / "t")
+    ).load()
+    via_jvm = t.read_changes(since_seq=0)
+    cols = ["conv_id", "turn_idx", "__lsn", "text", "_commit_seq"]
+    assert _key_rows(via_source.select(*cols[:4], "_commit_seq")) == _key_rows(
+        via_jvm.select(*cols[:4], "_commit_seq")
+    )
+    # ranged read: only the second commit
+    ranged = spark.read.format("icelite").option("path", str(tmp_path / "t")) \
+        .option("sinceSeq", str(t.current_seq() - 1)).load()
+    assert ranged.count() == 1 and ranged.first()["text"] == "y2"
+
+
+def test_stream_skips_compaction_and_rejects_cow(spark, tmp_path):
+    register_icelite_source(spark)
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(t, _batch(spark, [(1, "I", "c1", 0, "user", "a", None)]),
+                  batch_key="b0", mode="mor")
+    ck = str(tmp_path / "ck")
+    assert len(_drain(spark, str(tmp_path / "t"), ck)) == 1
+    t.compact()
+    # compaction commit is a rewrite, not a change: nothing new arrives
+    assert _drain(spark, str(tmp_path / "t"), ck) == []
+
+    # a copy-on-write commit breaks per-file change semantics: fail fast
+    apply_changes(t, _batch(spark, [(9, "U", "c1", 0, "user", "rewrite", None)]),
+                  batch_key="b1", mode="cow")
+    with pytest.raises(Exception, match="copy-on-write"):
+        _drain(spark, str(tmp_path / "t"), ck)
+
+
+def test_stream_resolves_renamed_columns_by_field_id(spark, tmp_path):
+    """Files written before a rename must surface under the NEW name —
+    the Python reader applies the same manifest id→name stamps as the
+    JVM reader."""
+    register_icelite_source(spark)
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(t, _batch(spark, [(1, "I", "c1", 0, "user", "old-file", None)]),
+                  batch_key="b0", mode="mor")
+    t.rename_column("text", "body")
+    apply_changes(
+        t,
+        _batch(spark, [(2, "I", "c2", 0, "user", "new-file", None)])
+        .withColumnRenamed("text", "body"),
+        batch_key="b1", mode="mor",
+    )
+    df = spark.read.format("icelite").option("path", str(tmp_path / "t")).load()
+    got = {r["conv_id"]: r["body"] for r in df.collect()}
+    assert got == {"c1": "old-file", "c2": "new-file"}
+
+
+def test_chained_pipelines_lake_as_source_and_sink(spark, tmp_path):
+    """The composition the source exists for: pipeline 1 ingests the WAL
+    into table A; pipeline 2 tails A AS A STREAM and maintains a rollup
+    table B (turn counts per conversation) — a materialized view over
+    the lake, exactly-once on both hops, no re-scan of A."""
+    from etl_rust_spark.changelog import (
+        ChangelogConfig,
+        generate_changelog_pandas,
+        replay_oracle_pandas,
+        write_wal_segments,
+    )
+    from etl_rust_spark.lake.format import IceliteTable
+    from etl_rust_spark.streaming.driver import ChangelogIngest
+    import pyspark.sql.types as T
+
+    register_icelite_source(spark)
+    log = generate_changelog_pandas(
+        ChangelogConfig(n_events=600, n_conversations=12, turns_per_conv=10, seed=7)
+    )
+    wal = str(tmp_path / "wal")
+    write_wal_segments(log, wal, 3, spark)
+    create_transcript_table(spark, str(tmp_path / "a"), n_buckets=4)
+    ChangelogIngest(
+        spark=spark, wal_dir=wal, table_path=str(tmp_path / "a"),
+        checkpoint_dir=str(tmp_path / "ck_a"), schema=CHANGELOG_SCHEMA,
+        name="hop1", mode="mor",
+    ).run_available()
+
+    b = IceliteTable.create(
+        spark, str(tmp_path / "b"),
+        T.StructType()
+        .add("conv_id", T.StringType())
+        .add("n_changes", T.LongType())
+        .add("max_lsn", T.LongType()),
+        key_cols=["conv_id"], bucket_key="conv_id", n_buckets=4,
+        order_cols=["conv_id"], seq_col="max_lsn",
+    )
+
+    def upsert_rollup(df, epoch_id):
+        roll = df.groupBy("conv_id").agg(
+            F.count("*").alias("n_changes"), F.max("__lsn").alias("max_lsn")
+        )
+        b.merge(
+            roll.withColumn("op", F.lit("U")),
+            batch_key=f"hop2:{epoch_id}", source="rollup", seq_col="max_lsn",
+        )
+
+    q = (
+        spark.readStream.format("icelite")
+        .option("path", str(tmp_path / "a"))
+        .load()
+        .writeStream.foreachBatch(upsert_rollup)
+        .option("checkpointLocation", str(tmp_path / "ck_b"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    want = replay_oracle_pandas(log).groupby("conv_id").size().to_dict()
+    got_rows = {r["conv_id"]: r for r in b.read().collect()}
+    # change-feed rows include superseded versions and tombstones; the
+    # rollup's max_lsn must match the feed's per-conv max exactly
+    feed = IceliteTable.load(spark, str(tmp_path / "a")).read_changes(0)
+    want_lsn = {
+        r["conv_id"]: r["m"]
+        for r in feed.groupBy("conv_id").agg(F.max("__lsn").alias("m")).collect()
+    }
+    assert set(got_rows) >= set(want)
+    assert {c: r["max_lsn"] for c, r in got_rows.items()} == want_lsn

@@ -200,6 +200,40 @@ def cmd_changes(args) -> int:
     return 0
 
 
+def cmd_tail(args) -> int:
+    """Continuously tail the table's commit log as a STREAM (the
+    format('icelite') source) and emit each micro-batch of changes as
+    JSON lines — the deployable change-consumer (an index builder or
+    feature job replaces the print with its own sink). --once drains
+    what exists and exits; the checkpoint makes either mode resume
+    exactly-once."""
+    from etl_rust_spark.sources import register_icelite_source
+
+    spark = _spark(args)
+    register_icelite_source(spark)
+
+    def emit(df, epoch_id):
+        for row in df.toJSON().collect():
+            print(row, flush=True)
+
+    w = (
+        spark.readStream.format("icelite")
+        .option("path", args.table)
+        .option("sinceSeq", str(args.since))
+        .load()
+        .writeStream.foreachBatch(emit)
+        .option("checkpointLocation", args.checkpoint)
+    )
+    if args.once:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        q = w.trigger(processingTime=args.interval).start()
+        q.awaitTermination(args.timeout_sec)
+        q.stop()
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="etl_rust_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -293,6 +327,21 @@ def build_parser() -> argparse.ArgumentParser:
     ln.add_argument("--table", required=True)
     ln.add_argument("--limit", type=int, default=50)
     ln.set_defaults(fn=cmd_lineage)
+
+    tl = sub.add_parser(
+        "tail",
+        help="stream the table's change feed (format('icelite') source) "
+             "as JSON lines, exactly-once resumable via --checkpoint",
+    )
+    tl.add_argument("--table", required=True)
+    tl.add_argument("--checkpoint", required=True)
+    tl.add_argument("--since", type=int, default=0)
+    tl.add_argument("--once", action="store_true",
+                    help="drain available commits and exit")
+    tl.add_argument("--interval", default="5 seconds")
+    tl.add_argument("--timeout-sec", type=int, default=None,
+                    help="stop the continuous tail after N seconds")
+    tl.set_defaults(fn=cmd_tail)
 
     ch = sub.add_parser("changes", help="show the incremental change feed")
     ch.add_argument("--table", required=True)

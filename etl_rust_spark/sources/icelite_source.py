@@ -82,8 +82,13 @@ class _TableMeta:
             return json.load(f)
 
     def lineage_record(self, seq: int) -> dict | None:
-        ptr = self.pointer(seq)
-        name = ptr.get("lineage_file")
+        # mirror IceliteTable._lineage_record: the pointer names its own
+        # lineage file (v3), but an EXPIRED snapshot's pointer is gone —
+        # lineage records outlive expiry, so fall back to the glob
+        try:
+            name = self.pointer(seq).get("lineage_file")
+        except FileNotFoundError:
+            name = None
         cands = (
             [os.path.join(self.path, _LINEAGE_DIR, name)]
             if name
@@ -100,18 +105,35 @@ class _TableMeta:
         return None
 
     def added_manifests(self, seq: int) -> list[str]:
-        ptr = self.pointer(seq)
-        recorded = ptr.get("added_manifests")
-        if recorded is not None:
-            return list(recorded)
-        # pre-v3 pointers: diff against the parent's manifest set
-        parent = ptr.get("parent_seq")
-        prev = (
-            {m["name"] for m in self.pointer(parent)["manifests"]}
-            if parent is not None
-            else set()
+        # mirror IceliteTable._added_manifests incl. the expired-pointer
+        # glob fallback (uuid-token-strict so a losing attempt's crash
+        # debris at the same seq never matches)
+        try:
+            ptr = self.pointer(seq)
+        except FileNotFoundError:
+            ptr = None
+        if ptr is not None and ptr.get("added_manifests") is not None:
+            return list(ptr["added_manifests"])
+        if ptr is not None:
+            # pre-v3 pointer: diff against the parent's manifest set
+            parent = ptr.get("parent_seq")
+            try:
+                prev = (
+                    {m["name"] for m in self.pointer(parent)["manifests"]}
+                    if parent is not None
+                    else set()
+                )
+                return [m["name"] for m in ptr["manifests"] if m["name"] not in prev]
+            except FileNotFoundError:
+                pass
+        import re as _re
+
+        pat = _re.compile(rf"manifest-{seq:08d}(-[0-9a-f]{{8}})?\.json")
+        return sorted(
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(self.mdir, f"manifest-{seq:08d}*.json"))
+            if pat.fullmatch(os.path.basename(p))
         )
-        return [m["name"] for m in ptr["manifests"] if m["name"] not in prev]
 
     def change_files(self, since_seq: int, until_seq: int):
         """[(path, cols_map_or_None, commit_seq)] for commits in

@@ -118,3 +118,51 @@ def test_cli_rollup_end_to_end(spark, tmp_path, capsys):
                 "n_events", "value_sum")
     )
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_parser_tail_subcommand():
+    p = build_parser()
+    a = p.parse_args(["tail", "--table", "/t", "--checkpoint", "/c",
+                      "--since", "3", "--once"])
+    assert (a.cmd, a.since, a.once) == ("tail", 3, True)
+    a = p.parse_args(["tail", "--table", "/t", "--checkpoint", "/c",
+                      "--interval", "2 seconds", "--timeout-sec", "30"])
+    assert (a.interval, a.timeout_sec, a.once) == ("2 seconds", 30, False)
+
+
+def test_cli_tail_emits_change_feed_json(spark, tmp_path, capsys):
+    """Drive cmd_tail --once through the real arg path: it drains the
+    table's commit log via the icelite streaming source and prints each
+    change row as a JSON line; a second --once run on the same
+    checkpoint emits nothing (exactly-once resume)."""
+    import json
+
+    import pandas as pd
+
+    from etl_rust_spark.__main__ import main
+    from etl_rust_spark.changelog import CHANGELOG_SCHEMA
+    from etl_rust_spark.operators.apply import apply_changes, create_transcript_table
+
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    pdf = pd.DataFrame(
+        [[1, "I", "c1", 0, "user", "hello", "", pd.Timestamp("2025-01-01")],
+         [2, "I", "c2", 0, "user", "world", "", pd.Timestamp("2025-01-01")]],
+        columns=["lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+    apply_changes(t, spark.createDataFrame(pdf, schema=CHANGELOG_SCHEMA),
+                  batch_key="b0", mode="mor")
+    assert main([
+        "tail", "--table", str(tmp_path / "t"),
+        "--checkpoint", str(tmp_path / "ck"), "--once",
+    ]) == 0
+    lines = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()
+             if ln.startswith("{")]
+    assert {r["conv_id"] for r in lines} == {"c1", "c2"}
+    assert all(r["_commit_seq"] == t.current_seq() for r in lines)
+    # resume: nothing new
+    assert main([
+        "tail", "--table", str(tmp_path / "t"),
+        "--checkpoint", str(tmp_path / "ck"), "--once",
+    ]) == 0
+    assert not [ln for ln in capsys.readouterr().out.splitlines()
+                if ln.startswith("{")]

@@ -219,3 +219,36 @@ def test_chained_pipelines_lake_as_source_and_sink(spark, tmp_path):
     }
     assert set(got_rows) >= set(want)
     assert {c: r["max_lsn"] for c, r in got_rows.items()} == want_lsn
+
+
+def test_source_survives_snapshot_expiry(spark, tmp_path):
+    """Expired snapshots delete old POINTERS but lineage is append-only:
+    the source must resolve commits whose pointers are gone (glob
+    fallbacks, like the JVM reader) and fail with the same clear
+    'expired' contract when the data itself was folded away."""
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    register_icelite_source(spark)
+    apply_changes(t, _batch(spark, [(1, "I", "c1", 0, "user", "a", None)]),
+                  batch_key="b0", mode="mor")
+    apply_changes(t, _batch(spark, [(2, "I", "c2", 0, "user", "b", None)]),
+                  batch_key="b1", mode="mor")
+    t.expire_snapshots(keep_last=1)
+    # pointers for seq 1 are gone, but manifests/lineage resolve by glob:
+    # the full-range read still returns both commits' rows
+    df = spark.read.format("icelite").option("path", str(tmp_path / "t")).load()
+    assert {r["conv_id"] for r in df.collect()} == {"c1", "c2"}
+
+    t.compact()
+    t.expire_snapshots(keep_last=1)
+    t.remove_orphans(grace_sec=0.0)
+    # now the pre-compaction deltas are truly gone: same contract as
+    # read_changes — a consumer resuming from before the fold fails fast
+    with pytest.raises(Exception, match="expired"):
+        spark.read.format("icelite").option(
+            "path", str(tmp_path / "t")
+        ).load().collect()
+    # resuming at the fold point is clean (nothing after it yet)
+    ok = spark.read.format("icelite").option(
+        "path", str(tmp_path / "t")
+    ).option("sinceSeq", str(t.current_seq())).load()
+    assert ok.count() == 0

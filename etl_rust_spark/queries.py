@@ -3705,6 +3705,126 @@ def bpe_pair_counts(spark, sf_dir):
     )
 
 
+def _splits_oracle():
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    walk(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+    comp AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node),
+    lab AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c USING (doc_id)),
+    g AS (
+      SELECT doc_id, cluster_id,
+             {md5_long_sql("concat('split:', CAST(cluster_id AS VARCHAR))")} % 100 AS gate
+      FROM lab)
+    SELECT doc_id, cluster_id,
+           CASE WHEN gate < 90 THEN 'train'
+                WHEN gate < 95 THEN 'val' ELSE 'test' END AS split
+    FROM g
+    """
+
+
+@query("leakage_safe_splits", _splits_oracle())
+def leakage_safe_splits(spark, sf_dir):
+    """Train/val/test assignment that can never leak near-duplicates
+    across splits: the split gate hashes the near-dup CLUSTER id, not
+    the document id, so every member of a cluster lands in the same
+    split (the eval-contamination failure mode of naive per-doc random
+    splits). 90/5/5 by a deterministic 60-bit hash — reproducible across
+    runs, engines, and corpus growth.
+
+    Scale shape: LSH pairs (banded, never all-pairs) → min-label
+    components (iterative, plan-bounded via localCheckpoint) → one left
+    join back onto the corpus keyed by doc_id → pure-codegen gate. Docs
+    untouched by any pair skip the iteration entirely."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(
+        docs, n_hashes=8, bands=4, shingle_n=3, jaccard_threshold=0.35
+    )
+    comp = dd.connected_components(pairs)
+    lab = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+    )
+    gate = F.pmod(
+        md5_long(F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))),
+        F.lit(100),
+    )
+    return lab.select(
+        "doc_id",
+        "cluster_id",
+        F.when(gate < 90, "train").when(gate < 95, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+
+
+@query(
+    "dataset_mixture_order",
+    f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             {md5_long_sql("concat('mix:', CAST(doc_id AS VARCHAR))")} AS hkey,
+             CASE WHEN source IN ('src0', 'src1', 'src2') THEN 4
+                  WHEN source IN ('src3', 'src4') THEN 2 ELSE 1 END AS w
+      FROM documents),
+    p AS (SELECT doc_id, source, hkey // w AS pri, hkey FROM h)
+    SELECT doc_id, source,
+           CAST(ROW_NUMBER() OVER (ORDER BY pri, hkey, doc_id) - 1 AS BIGINT) AS pos
+    FROM p
+    """,
+)
+def dataset_mixture_order(spark, sf_dir):
+    """Temperature-weighted deterministic training order: every document
+    gets a global position such that, in any prefix of the order, a
+    source with weight w contributes ~w× its uniform share — the data-
+    mixture interleave a pretraining run consumes. Mechanism: priority =
+    hash ÷ weight (INTEGER division — float division of 60-bit hashes
+    loses exactness); dividing compresses a heavy source's priorities so
+    its docs densify every prefix proportionally. Same corpus → same
+    order, on any engine or cluster size.
+
+    Global rank without a global sort task: the same two-phase chunked
+    row_number as `training_shards` — `__chunk` = top bits of the
+    priority (order-preserving), phase 1 counts per chunk, phase 2
+    prefix-sums the ≤1024 chunk counts (metadata window) and broadcasts
+    exclusive offsets; the data-side window runs per chunk."""
+    d = _t(spark, sf_dir, "documents")
+    h = md5_long(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    wgt = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), 4)
+        .when(F.col("source").isin("src3", "src4"), 2)
+        .otherwise(1)
+    )
+    base = (
+        d.select("doc_id", "source", h.alias("hkey"))
+        .withColumn("w", wgt)
+        .withColumn("pri", F.expr("hkey DIV w"))
+        .withColumn("__chunk", F.shiftright("pri", 50))
+    )
+    sub = base.groupBy("__chunk").agg(F.count("*").alias("__ct"))
+    woff = Window.orderBy("__chunk").rowsBetween(Window.unboundedPreceding, -1)
+    off = sub.select(
+        "__chunk", F.coalesce(F.sum("__ct").over(woff), F.lit(0)).alias("__off")
+    )
+    wloc = Window.partitionBy("__chunk").orderBy("pri", "hkey", "doc_id")
+    return (
+        base.join(F.broadcast(off), "__chunk")
+        .select(
+            "doc_id",
+            "source",
+            (F.row_number().over(wloc) - 1 + F.col("__off")).cast("long").alias("pos"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-correctness window ordering
 # ---------------------------------------------------------------------------

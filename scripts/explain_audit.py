@@ -83,6 +83,8 @@ CHECKS = {
     "unigram_rarity_profile": (["Generate explode", "partial_count"], ["CartesianProduct", "BatchEvalPython"]),
     "embedding_centroid_similarity": (["partial_sum", "BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython"]),
     "bpe_pair_counts": (["TakeOrderedAndProject", "partial_count"], ["CartesianProduct", "BatchEvalPython"]),
+    "dataset_mixture_order": (["Window", "__chunk", "BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython"]),
+    "leakage_safe_splits": ([], ["CartesianProduct"]),  # LSH pairs + components, never all-pairs
 }
 
 

@@ -213,9 +213,18 @@ def _stream_schema(meta: _TableMeta) -> T.StructType:
     return schema.add("_commit_seq", T.LongType(), True)
 
 
-def _partitions_for(meta: _TableMeta, start: int, end: int) -> list[_FilePartition]:
+def _partitions_for(
+    meta: _TableMeta, start: int, end: int, decl: T.StructType
+) -> list[_FilePartition]:
+    """Partitions carry the schema the STREAM DECLARED at start (minus
+    _commit_seq), not the end pointer's — Spark requires every batch to
+    match the analyzed schema, and a commit that evolves the table
+    mid-stream must not change the stream's shape (columns added after
+    start are simply not selected; a restart picks them up). Field-id
+    stamps still come from the current pointer so old files resolve."""
     ptr = meta.pointer(end)
-    schema_json = json.dumps(ptr["schema"])
+    data_fields = [f for f in decl.fields if f.name != "_commit_seq"]
+    schema_json = json.dumps(T.StructType(data_fields).jsonValue())
     fids = ptr.get("field_ids") or {}
     legacy = ptr.get("legacy_cols")
     return [
@@ -228,11 +237,12 @@ def _partitions_for(meta: _TableMeta, start: int, end: int) -> list[_FilePartiti
 
 
 class _IceliteStreamReader(DataSourceStreamReader):
-    def __init__(self, options):
+    def __init__(self, options, decl: T.StructType):
         path = options.get("path")
         if not path:
             raise ValueError("icelite source requires .option('path', <table>)")
         self.meta = _TableMeta(path)
+        self.decl = decl
         self.start_seq = int(options.get("sinceseq", options.get("sinceSeq", 0)))
 
     def initialOffset(self) -> dict:
@@ -242,13 +252,11 @@ class _IceliteStreamReader(DataSourceStreamReader):
         return {"seq": self.meta.current_seq()}
 
     def partitions(self, start: dict, end: dict):
-        parts = _partitions_for(self.meta, int(start["seq"]), int(end["seq"]))
+        parts = _partitions_for(
+            self.meta, int(start["seq"]), int(end["seq"]), self.decl
+        )
         # Spark requires at least the ability to plan an empty batch
-        return parts or [
-            _FilePartition(path="", commit_seq=-1,
-                           schema_json=json.dumps(
-                               self.meta.pointer(self.meta.current_seq())["schema"]))
-        ]
+        return parts or [_FilePartition(path="", commit_seq=-1)]
 
     def read(self, partition: _FilePartition):
         if partition.commit_seq < 0 or not partition.path:
@@ -265,22 +273,19 @@ class _IceliteBatchReader(DataSourceReader):
     current) — consistent semantics with the stream. Full live-state
     reads belong to the JVM-side ``IceliteTable.read()``."""
 
-    def __init__(self, options):
+    def __init__(self, options, decl: T.StructType):
         path = options.get("path")
         if not path:
             raise ValueError("icelite source requires .option('path', <table>)")
         self.meta = _TableMeta(path)
+        self.decl = decl
         self.since = int(options.get("sinceseq", options.get("sinceSeq", 0)))
         until = options.get("untilseq", options.get("untilSeq"))
         self.until = int(until) if until is not None else self.meta.current_seq()
 
     def partitions(self):
-        parts = _partitions_for(self.meta, self.since, self.until)
-        return parts or [
-            _FilePartition(path="", commit_seq=-1,
-                           schema_json=json.dumps(
-                               self.meta.pointer(self.meta.current_seq())["schema"]))
-        ]
+        parts = _partitions_for(self.meta, self.since, self.until, self.decl)
+        return parts or [_FilePartition(path="", commit_seq=-1)]
 
     def read(self, partition: _FilePartition):
         if partition.commit_seq < 0 or not partition.path:
@@ -300,10 +305,10 @@ class IceliteDataSource(DataSource):
         return _stream_schema(_TableMeta(self.options.get("path", "")))
 
     def reader(self, schema) -> DataSourceReader:
-        return _IceliteBatchReader(self.options)
+        return _IceliteBatchReader(self.options, schema)
 
     def streamReader(self, schema) -> DataSourceStreamReader:
-        return _IceliteStreamReader(self.options)
+        return _IceliteStreamReader(self.options, schema)
 
 
 def register_icelite_source(spark) -> None:

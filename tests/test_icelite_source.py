@@ -252,3 +252,54 @@ def test_source_survives_snapshot_expiry(spark, tmp_path):
         "path", str(tmp_path / "t")
     ).option("sinceSeq", str(t.current_seq())).load()
     assert ok.count() == 0
+
+
+def test_mid_stream_schema_evolution_keeps_declared_shape(spark, tmp_path):
+    """A commit that ADDS a column while a query is RUNNING must not
+    change the stream's shape mid-flight — Spark pins the analyzed
+    schema at query start, so the reader must keep emitting the declared
+    columns (new ones are simply not selected until a restart, which
+    re-infers). Without the declared-schema threading this crashed the
+    micro-batch with an arrow/schema mismatch."""
+    import time
+
+    register_icelite_source(spark)
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(t, _batch(spark, [(1, "I", "c1", 0, "user", "plain", None)]),
+                  batch_key="b0", mode="mor")
+    rows = []
+    q = (
+        spark.readStream.format("icelite")
+        .option("path", str(tmp_path / "t"))
+        .load()
+        .writeStream.foreachBatch(lambda df, _e: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 60
+        while not rows and time.monotonic() < deadline:
+            time.sleep(0.5)
+        assert rows and "lang" not in rows[0].asDict()
+
+        # schema evolves WHILE the query runs
+        wide = _batch(
+            spark, [(2, "I", "c2", 0, "user", "tagged", None)]
+        ).withColumn("lang", F.lit("en"))
+        apply_changes(t, wide, batch_key="b1", mode="mor")
+        while len(rows) < 2 and time.monotonic() < deadline:
+            time.sleep(0.5)
+        assert q.exception() is None  # the evolved commit didn't kill it
+        assert len(rows) == 2
+        c2 = next(r for r in rows if r["conv_id"] == "c2")
+        assert "lang" not in c2.asDict()  # declared shape preserved
+    finally:
+        q.stop()
+
+    # a restart (same checkpoint, fresh query) re-infers and sees lang
+    nxt = _drain(spark, str(tmp_path / "t"), str(tmp_path / "ck"))
+    assert nxt == []  # nothing new — exactly-once held across the stop
+    fresh = _drain(spark, str(tmp_path / "t"), str(tmp_path / "ck2"))
+    got = {r["conv_id"]: r.asDict().get("lang") for r in fresh}
+    assert got == {"c1": None, "c2": "en"}

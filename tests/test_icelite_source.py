@@ -303,3 +303,38 @@ def test_mid_stream_schema_evolution_keeps_declared_shape(spark, tmp_path):
     fresh = _drain(spark, str(tmp_path / "t"), str(tmp_path / "ck2"))
     got = {r["conv_id"]: r.asDict().get("lang") for r in fresh}
     assert got == {"c1": None, "c2": "en"}
+
+
+def test_source_differential_vs_jvm_across_interleavings(spark, tmp_path):
+    """Differential check: after EVERY step of a mixed workload (append
+    batches, an update, a compaction), the source's batch reader over the
+    full range returns exactly the JVM read_changes rows — same rows,
+    same _commit_seq stamps."""
+    register_icelite_source(spark)
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+
+    def diff_check():
+        cols = ["conv_id", "turn_idx", "__lsn", "text", "_commit_seq"]
+        src = spark.read.format("icelite").option(
+            "path", str(tmp_path / "t")
+        ).load().select(*cols)
+        jvm = t.read_changes(since_seq=0).select(*cols)
+        assert _key_rows(src) == _key_rows(jvm)
+
+    steps = [
+        ("append", [(1, "I", "a", 0, "user", "one", None),
+                    (2, "I", "b", 0, "user", "two", None)]),
+        ("append", [(3, "I", "c", 0, "user", "three", None)]),
+        ("update", [(4, "U", "a", 0, "user", "one-v2", None)]),
+        ("compact", None),
+        ("append", [(5, "I", "d", 0, "user", "four", None)]),
+        ("delete", [(6, "D", "b", 0, "user", "", None)]),
+        ("compact", None),
+        ("append", [(7, "I", "e", 0, "user", "five", None)]),
+    ]
+    for i, (kind, rows) in enumerate(steps):
+        if kind == "compact":
+            t.compact()
+        else:
+            apply_changes(t, _batch(spark, rows), batch_key=f"s{i}", mode="mor")
+        diff_check()

@@ -229,8 +229,11 @@ def _exact_bin_routes(packed: DataFrame, bin_col: str):
     one spark.range job over ~64·m small ints, metadata scale — yields,
     for every residue k, an int routing key that hashes exactly to k.
     Distinct bins are collected (bounded: one per target-bytes of input),
-    dense-ranked, and mapped to their residue's key. Everything here is
-    metadata-sized work; the data itself shuffles once."""
+    dense-ranked, and mapped to their residue's key. The distinct-bin
+    pass re-reads the checkpointed input once (cheap: frozen partitions,
+    no upstream recompute); the collected set, the preimage job, and the
+    routing broadcast are metadata-sized, and the data itself shuffles
+    once."""
     from pyspark.sql import functions as F
 
     spark = packed.sparkSession

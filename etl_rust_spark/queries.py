@@ -3705,6 +3705,160 @@ def bpe_pair_counts(spark, sf_dir):
     )
 
 
+@query(
+    "event_value_histogram",
+    """
+    SELECT CAST(floor(value / 25.0) AS INTEGER) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY 1
+    """,
+)
+def event_value_histogram(spark, sf_dir):
+    """Fixed-width value histogram (25-unit buckets) with exact per-bucket
+    mass — the metric-distribution profile op. Bucket ids come from one
+    double division + floor (identical IEEE ops both engines); the mass
+    sums run in DECIMAL so partial-aggregation order can't perturb the
+    double result. One keyed agg, map-side combined, zero shuffle beyond
+    it."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.floor(F.col("value") / F.lit(25.0)).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+                "value_sum"
+            ),
+        )
+    )
+
+
+@query(
+    "weekday_hour_heatmap",
+    """
+    SELECT CAST(dayofweek(ts) AS INTEGER) AS dow,
+           CAST(hour(ts) AS INTEGER) AS hr,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def weekday_hour_heatmap(spark, sf_dir):
+    """Weekday × hour activity heatmap — the load-profile aggregate every
+    event pipeline ships. Cross-engine calendar bridge: DuckDB's
+    dayofweek is 0=Sunday while Spark's is 1=Sunday, so the Spark side
+    shifts by one (UTC-pinned session keeps the wall clocks identical).
+    Single keyed agg with partial count-distinct."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return (
+        e.groupBy(
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hr"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@query(
+    "top_users_activity",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events GROUP BY 1
+    ORDER BY n_events DESC, user_id LIMIT 20
+    """,
+)
+def top_users_activity(spark, sf_dir):
+    """Top-20 most active users with their event-type breadth —
+    the leaderboard shape. groupBy(user) with map-side combine, then
+    TakeOrderedAndProject (per-partition top-20, k rows to the driver;
+    never a global sort). Deterministic tie-break on user_id."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "funnel_conversion_rates",
+    """
+    WITH f AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY 1)
+    SELECT 'view->click' AS step,
+           CAST(COUNT(t_view) AS BIGINT) AS n_eligible,
+           CAST(COALESCE(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_converted
+    FROM f
+    UNION ALL
+    SELECT 'click->signup',
+           CAST(COUNT(t_click) AS BIGINT),
+           CAST(COALESCE(SUM(CASE WHEN t_signup > t_click THEN 1 ELSE 0 END), 0) AS BIGINT)
+    FROM f
+    UNION ALL
+    SELECT 'signup->purchase',
+           CAST(COUNT(t_signup) AS BIGINT),
+           CAST(COALESCE(SUM(CASE WHEN t_purchase > t_signup THEN 1 ELSE 0 END), 0) AS BIGINT)
+    FROM f
+    """,
+)
+def funnel_conversion_rates(spark, sf_dir):
+    """Ordered-funnel conversion counts (view→click→signup→purchase):
+    per step, how many users were eligible (reached the previous step)
+    and how many converted (first occurrence of the next step strictly
+    AFTER the first occurrence of the previous). First-touch timestamps
+    via one conditional-MIN aggregation per user — no window, no
+    self-join; the three funnel rows then reduce from the per-user
+    frame."""
+    e = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    f = e.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("signup").alias("t_signup"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    agg = f.agg(
+        F.count("t_view").alias("e1"),
+        F.sum((F.col("t_click") > F.col("t_view")).cast("int")).alias("c1"),
+        F.count("t_click").alias("e2"),
+        F.sum((F.col("t_signup") > F.col("t_click")).cast("int")).alias("c2"),
+        F.count("t_signup").alias("e3"),
+        F.sum((F.col("t_purchase") > F.col("t_signup")).cast("int")).alias("c3"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3,"
+            " 'view->click', e1, c1,"
+            " 'click->signup', e2, c2,"
+            " 'signup->purchase', e3, c3)"
+        ).alias("step", "n_eligible", "n_converted")
+    ).select(
+        "step",
+        F.col("n_eligible").cast("long").alias("n_eligible"),
+        F.coalesce(F.col("n_converted"), F.lit(0)).cast("long").alias("n_converted"),
+    )
+
+
 def _splits_oracle():
     return f"""
     WITH RECURSIVE pairs AS ({_minhash_oracle()}),

@@ -3859,6 +3859,36 @@ def funnel_conversion_rates(spark, sf_dir):
     )
 
 
+@query(
+    "event_transition_matrix",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events)
+    SELECT prev, event_type AS next, COUNT(*) AS n
+    FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+    """,
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition counts over each user's event
+    sequence (prev → next) — the behavioral-model input. One lag window
+    per user: a per-user partition is the RIGHT granularity at scale
+    (millions of small partitions, each a bounded per-user history —
+    unlike a per-source window, no partition grows with the corpus);
+    event_id breaks timestamp ties deterministically. Then one keyed
+    count with map-side combine."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.withColumn("prev", F.lag("event_type").over(w))
+    return (
+        s.filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def _splits_oracle():
     return f"""
     WITH RECURSIVE pairs AS ({_minhash_oracle()}),

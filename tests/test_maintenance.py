@@ -228,3 +228,31 @@ def test_crash_debris_at_committed_seq_cannot_corrupt_change_feed(spark, tmp_pat
     assert f"manifest-{s:08d}-deadbeef.json" in names
     # and the table itself is untouched
     assert t.read().count() == 3
+
+
+def test_reader_snapshot_isolation_across_concurrent_commits(spark, tmp_path):
+    """A DataFrame obtained from read() is pinned to the snapshot current
+    at call time: commits (and even a compaction) landing afterwards do
+    not change what it returns when finally collected — snapshot
+    isolation within the retention window (files are only deleted by
+    expire/remove_orphans, never by the commits themselves)."""
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(t, _batch(spark, "c1", 10), batch_key="b0", mode="mor")
+    pinned = t.read()  # file list resolved NOW
+
+    apply_changes(t, _batch(spark, "c2", 20), batch_key="b1", mode="mor")
+    apply_changes(
+        t,
+        spark.createDataFrame(
+            [(99, "U", "c1", 0, "user", "OVERWRITTEN", "", TS)], CHANGE_SCHEMA
+        ),
+        batch_key="b2",
+        mode="mor",
+    )
+    t.compact()
+
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in pinned.collect()}
+    assert set(c for c, _ in got) == {"c1"}          # c2 invisible
+    assert got[("c1", 0)] == "c1 t0"                 # pre-update text
+    live = {(r["conv_id"], r["turn_idx"]): r["text"] for r in t.read().collect()}
+    assert live[("c1", 0)] == "OVERWRITTEN" and ("c2", 0) in live

@@ -3889,6 +3889,81 @@ def event_transition_matrix(spark, sf_dir):
     )
 
 
+@query(
+    "ngram_repetition_stats",
+    f"""
+    WITH s AS (
+      SELECT doc_id, unnest({shingles_sql("lower(text)", 3)}) AS g FROM documents),
+    c AS (SELECT doc_id, g, COUNT(*) AS n FROM s GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_3grams,
+           CAST(COUNT(*) AS BIGINT) AS distinct_3grams,
+           round(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(n), 6) AS dup_fraction,
+           round(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_mass
+    FROM c GROUP BY 1
+    """,
+)
+def ngram_repetition_stats(spark, sf_dir):
+    """Gopher-style duplicate-n-gram repetition signals at the 3-gram
+    level: per document, the fraction of 3-gram occurrences that are
+    repeats and the mass of the single most-repeated 3-gram — the
+    repetition family the word-level `repetition_stats` doesn't cover
+    (public: Rae et al. 2021 §A1.1 dup-n-gram filters). Docs shorter
+    than 3 words have no 3-grams and drop out on both engines.
+
+    Scale shape: explode → (doc, gram) keyed count with map-side combine
+    → one groupBy(doc); integer counts plus exactly one double division
+    per output column (identical IEEE op both engines)."""
+    d = _t(spark, sf_dir, "documents")
+    s = d.select("doc_id", F.explode(shingles("lower(text)", 3)).alias("g"))
+    c = s.groupBy("doc_id", "g").agg(F.count("*").alias("n"))
+    return c.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_3grams"),
+        F.count("*").cast("long").alias("distinct_3grams"),
+        F.round(
+            1.0 - F.count("*").cast("double") / F.sum("n"), 6
+        ).alias("dup_fraction"),
+        F.round(F.max("n").cast("double") / F.sum("n"), 6).alias("top_mass"),
+    )
+
+
+@query(
+    "cross_source_overlap",
+    f"""
+    WITH raw AS (
+      SELECT source, unnest({shingles_sql("lower(text)", 3)}) AS g FROM documents),
+    s AS (SELECT DISTINCT source, g FROM raw)
+    SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+    FROM s a JOIN s b ON a.g = b.g AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def cross_source_overlap(spark, sf_dir):
+    """Pairwise source-overlap matrix on 3-gram shingles: how much
+    phrasing two corpus slices share — the governance view that catches
+    a source mirroring another (or shared boilerplate) before training
+    double-counts it. Distinct (source, shingle) pairs, then a self-join
+    keyed ON THE SHINGLE: per-key fanout is bounded by sources² (every
+    shingle contributes at most one row per source after the distinct),
+    so the join never approaches all-pairs of documents."""
+    d = _t(spark, sf_dir, "documents")
+    s = d.select(
+        "source", F.explode(shingles("lower(text)", 3)).alias("g")
+    ).distinct()
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 def _splits_oracle():
     return f"""
     WITH RECURSIVE pairs AS ({_minhash_oracle()}),

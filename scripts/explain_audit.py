@@ -85,6 +85,8 @@ CHECKS = {
     "bpe_pair_counts": (["TakeOrderedAndProject", "partial_count"], ["CartesianProduct", "BatchEvalPython"]),
     "dataset_mixture_order": (["Window", "__chunk", "BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython"]),
     "leakage_safe_splits": ([], ["CartesianProduct"]),  # LSH pairs + components, never all-pairs
+    "ngram_repetition_stats": (["Generate explode", "partial_count"], ["CartesianProduct", "BatchEvalPython", "Window"]),
+    "cross_source_overlap": (["Generate explode", "partial_count"], ["CartesianProduct", "BatchEvalPython", "Window"]),
     "event_transition_matrix": (["Window", "partial_count"], ["CartesianProduct", "BatchEvalPython"]),
     "event_value_histogram": (["partial_count", "partial_sum"], ["CartesianProduct", "BatchEvalPython", "Window"]),
     "weekday_hour_heatmap": (["partial_count"], ["CartesianProduct", "BatchEvalPython", "Window"]),

@@ -338,3 +338,45 @@ def test_source_differential_vs_jvm_across_interleavings(spark, tmp_path):
         else:
             apply_changes(t, _batch(spark, rows), batch_key=f"s{i}", mode="mor")
         diff_check()
+
+
+def test_live_tail_consumes_writer_commits_exactly_once(spark, tmp_path):
+    """Liveness under concurrency: a CONTINUOUS tail query runs while a
+    writer lands commits one by one; every committed row arrives exactly
+    once, in commit order per key, without stopping the stream."""
+    import time
+
+    register_icelite_source(spark)
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(t, _batch(spark, [(0, "I", "seed", 0, "user", "s", None)]),
+                  batch_key="seed", mode="mor")
+    rows = []
+    q = (
+        spark.readStream.format("icelite")
+        .option("path", str(tmp_path / "t"))
+        .load()
+        .writeStream.foreachBatch(lambda df, _e: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        n_commits = 5
+        for b in range(n_commits):
+            apply_changes(
+                t,
+                _batch(spark, [(10 + b, "I", f"c{b}", 0, "user", f"live {b}", None)]),
+                batch_key=f"b{b}",
+                mode="mor",
+            )
+            time.sleep(0.4)
+        deadline = time.monotonic() + 90
+        while len(rows) < 1 + n_commits and time.monotonic() < deadline:
+            time.sleep(0.5)
+        assert q.exception() is None
+    finally:
+        q.stop()
+    got = [(r["conv_id"], r["_commit_seq"]) for r in rows]
+    assert len(got) == len(set(got)) == 1 + n_commits  # exactly once
+    seqs = {c: s for c, s in got}
+    assert all(seqs[f"c{b}"] < seqs[f"c{b + 1}"] for b in range(n_commits - 1))

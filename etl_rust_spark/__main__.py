@@ -194,9 +194,12 @@ def cmd_changes(args) -> int:
     from etl_rust_spark.lake.format import IceliteTable
 
     t = IceliteTable.load(_spark(args), args.table)
-    t.read_changes(args.since).orderBy("_commit_seq").show(
-        args.limit, truncate=False
+    feed = (
+        t.read_changes_with_preimage(args.since)
+        if args.preimage
+        else t.read_changes(args.since)
     )
+    feed.orderBy("_commit_seq").show(args.limit, truncate=False)
     return 0
 
 
@@ -344,6 +347,8 @@ def build_parser() -> argparse.ArgumentParser:
     tl.set_defaults(fn=cmd_tail)
 
     ch = sub.add_parser("changes", help="show the incremental change feed")
+    ch.add_argument("--preimage", action="store_true",
+                    help="attach Debezium-style _before images to each change")
     ch.add_argument("--table", required=True)
     ch.add_argument("--since", type=int, default=0)
     ch.add_argument("--limit", type=int, default=50)

@@ -82,7 +82,7 @@ import time
 import uuid
 from urllib.parse import unquote, urlparse
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1727,6 +1727,54 @@ class IceliteTable:
         return df.withColumn(
             "_commit_seq",
             F.regexp_extract(F.input_file_name(), r"commit-(\d{8})", 1).cast("long"),
+        )
+
+    def read_changes_with_preimage(
+        self, since_seq: int, until_seq: int | None = None
+    ) -> DataFrame:
+        """The change feed with BEFORE-images (Debezium's ``before`` /
+        Delta CDF's ``update_preimage``, public semantics): every change
+        row additionally carries ``_before`` — a struct of the key's
+        winning state BEFORE this commit applied (NULL on first
+        appearance; a tombstone state appears as ``__deleted=true``).
+        Downstream diff/audit consumers read old and new in one row
+        instead of self-joining the feed.
+
+        Before-state is exact under late data: the previous winner is
+        max-by-``seq_col`` over everything delivered at EARLIER commits
+        (base snapshot at ``since_seq`` ∪ feed), so a late lower-LSN
+        change correctly shows the state that beat it. One lag-style
+        window per KEY ordered by commit seq (feeds deliver one winner
+        per key per commit, so the frame is well-defined); per-key
+        histories are bounded, partitions scale with key count — the
+        same granularity argument as the transition-matrix op. Requires
+        ``seq_col`` (as the feed itself does under MoR)."""
+        until = self.current_seq() if until_seq is None else until_seq
+        ptr = self.pointer(until)
+        if not ptr.get("seq_col"):
+            raise ValueError("read_changes_with_preimage requires a seq_col table")
+        keys, seq_col = ptr["key_cols"], ptr["seq_col"]
+        schema = T.StructType.fromJson(ptr["schema"])
+        payload = [f.name for f in schema.fields if f.name not in keys]
+        feed = self.read_changes(since_seq, until)
+        base = self.read(seq=since_seq).withColumn(
+            "_commit_seq", F.lit(since_seq).cast("long")
+        )
+        both = base.unionByName(feed)
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("_commit_seq")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        # running winner over earlier commits: struct max is ordered by
+        # its FIRST field, so seq_col leads — the same max-by trick as
+        # the merge dedup
+        prev = F.max(
+            F.struct(F.col(seq_col).alias(seq_col), *[F.col(c) for c in payload if c != seq_col])
+        ).over(w)
+        return (
+            both.withColumn("_before", prev)
+            .filter(F.col("_commit_seq") > F.lit(since_seq))
         )
 
     def _added_manifests(self, s: int) -> list[str]:

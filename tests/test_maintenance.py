@@ -256,3 +256,46 @@ def test_reader_snapshot_isolation_across_concurrent_commits(spark, tmp_path):
     assert got[("c1", 0)] == "c1 t0"                 # pre-update text
     live = {(r["conv_id"], r["turn_idx"]): r["text"] for r in t.read().collect()}
     assert live[("c1", 0)] == "OVERWRITTEN" and ("c2", 0) in live
+
+
+def test_change_feed_with_preimages(spark, tmp_path):
+    """Debezium/Delta-CDF-style before-images on the change feed: every
+    change row carries the key's previous winning state (NULL on first
+    appearance), exact even when a LATE lower-LSN change arrives after
+    the state that beats it."""
+    from pyspark.sql import functions as F
+
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    mk = lambda lsn, op, text: spark.createDataFrame(  # noqa: E731
+        [(lsn, op, "c1", 0, "user", text, "", TS)], CHANGE_SCHEMA
+    )
+    apply_changes(t, mk(10, "I", "v1"), batch_key="b0", mode="mor")       # seq 1
+    apply_changes(t, mk(30, "U", "v3"), batch_key="b1", mode="mor")       # seq 2
+    apply_changes(t, mk(20, "U", "late-loser"), batch_key="b2", mode="mor")  # seq 3
+    apply_changes(t, mk(40, "D", ""), batch_key="b3", mode="mor")         # seq 4
+
+    feed = t.read_changes_with_preimage(0).orderBy("_commit_seq")
+    rows = feed.select(
+        "_commit_seq", "text", "__lsn",
+        F.col("_before.__lsn").alias("prev_lsn"),
+        F.col("_before.text").alias("prev_text"),
+        F.col("_before.__deleted").alias("prev_deleted"),
+    ).collect()
+    got = [(r["_commit_seq"], r["__lsn"], r["prev_lsn"], r["prev_text"]) for r in rows]
+    assert got == [
+        (1, 10, None, None),        # insert: no before-image
+        (2, 30, 10, "v1"),          # update sees v1
+        (3, 20, 30, "v3"),          # LATE loser: before = the state that beat it
+        (4, 40, 30, "v3"),          # delete sees the still-winning v3
+    ]
+    assert rows[3]["prev_deleted"] is False
+
+    # incremental window: preimage of the delete alone, resuming at seq 3
+    inc = t.read_changes_with_preimage(3).collect()
+    assert len(inc) == 1 and inc[0]["_before"]["text"] == "v3"
+
+    # tombstone states surface as before-images on re-insert
+    apply_changes(t, mk(50, "I", "reborn"), batch_key="b4", mode="mor")
+    last = t.read_changes_with_preimage(4).collect()
+    assert len(last) == 1
+    assert last[0]["_before"]["__deleted"] is True and last[0]["_before"]["__lsn"] == 40

@@ -3964,6 +3964,109 @@ def cross_source_overlap(spark, sf_dir):
     )
 
 
+def _curated_oracle():
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    walk(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+    comp AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node),
+    lab AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+      FROM documents d LEFT JOIN comp c USING (doc_id)),
+    r AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM lab),
+    m AS (
+      SELECT doc_id, lang,
+        (len({_WORDS_RAW_SQL}) BETWEEN 50 AND 100000)
+          AND ({_MWL_SQL} BETWEEN 3 AND 10)
+          AND (CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+               / greatest(len({_WORDS_RAW_SQL}), 1) < 0.1)
+          AND (CAST(len(list_filter({_WORDS_RAW_SQL}, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+               / greatest(len({_WORDS_RAW_SQL}), 1) >= 0.8)
+          AND (len(list_filter({_WORDS_SQL}, w -> list_contains([{_STOPLIST_SQL}], w))) >= 2)
+          AS quality_pass,
+        {_lang_id_sql()} = lang AS lang_ok
+      FROM documents)
+    SELECT m.doc_id, m.quality_pass, (r.rk = 1) AS is_canonical, m.lang_ok,
+           m.quality_pass AND (r.rk = 1) AND m.lang_ok AS selected
+    FROM m JOIN r USING (doc_id)
+    """
+
+
+@query("curated_corpus", _curated_oracle())
+def curated_corpus(spark, sf_dir):
+    """The curation pipeline's END PRODUCT in one pass: every document
+    with its gate decisions — Gopher quality gates, near-dup canonical
+    status (one keeper per LSH cluster), language confirmation
+    (heuristic ID agrees with the declared tag) — and the final
+    ``selected`` bit a training run filters on. Reason codes stay
+    per-gate so curation reports can attribute every rejection.
+
+    Scale shape: the gates are pure codegen per row; canonical status
+    reuses the LSH-pair → component machinery (banded, never all-pairs;
+    untouched docs skip the iteration via the left join) and joins back
+    keyed on doc_id. Nothing here adds a shuffle the standalone gate
+    queries didn't already have."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(
+        docs, n_hashes=8, bands=4, shingle_n=3, jaccard_threshold=0.35
+    )
+    comp = dd.connected_components(pairs)
+    lab = (
+        docs.select("doc_id", "n_chars")
+        .join(comp, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    canon = lab.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id", (F.col("rk") == 1).alias("is_canonical")
+    )
+
+    words_raw = "filter(split(text, ' '), w -> length(w) > 0)"
+    n_words = F.expr(f"size({words_raw})")
+    mwl = tx.mean_word_len("text")
+    symr = F.regexp_count("text", F.lit(r"#|\.\.\.")).cast("double") / F.greatest(
+        n_words, F.lit(1)
+    )
+    alphar = F.expr(
+        f"CAST(size(filter({words_raw}, w -> w rlike '[A-Za-z]')) AS DOUBLE)"
+        f" / greatest(size({words_raw}), 1)"
+    )
+    n_stop = F.expr(
+        "size(filter(filter(split(lower(text), ' '), w -> length(w) > 0),"
+        f" w -> array_contains(array({', '.join(repr(w) for w in tx.EN_STOPWORDS)}), w)))"
+    )
+    quality = (
+        n_words.between(50, 100000)
+        & mwl.between(3, 10)
+        & (symr < 0.1)
+        & (alphar >= 0.8)
+        & (n_stop >= 2)
+    )
+    m = docs.select(
+        "doc_id",
+        quality.alias("quality_pass"),
+        (tx.language_id("text") == F.col("lang")).alias("lang_ok"),
+    )
+    return m.join(canon, "doc_id").select(
+        "doc_id",
+        "quality_pass",
+        "is_canonical",
+        "lang_ok",
+        (F.col("quality_pass") & F.col("is_canonical") & F.col("lang_ok")).alias(
+            "selected"
+        ),
+    )
+
+
 def _splits_oracle():
     return f"""
     WITH RECURSIVE pairs AS ({_minhash_oracle()}),

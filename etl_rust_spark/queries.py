@@ -3964,6 +3964,36 @@ def cross_source_overlap(spark, sf_dir):
     )
 
 
+@query(
+    "length_percentiles_by_source",
+    """
+    SELECT source,
+      quantile_cont(n_chars, 0.1) AS p10,
+      quantile_cont(n_chars, 0.5) AS p50,
+      quantile_cont(n_chars, 0.9) AS p90,
+      CAST(MIN(n_chars) AS BIGINT) AS cmin,
+      CAST(MAX(n_chars) AS BIGINT) AS cmax,
+      COUNT(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def length_percentiles_by_source(spark, sf_dir):
+    """Per-source document-length distribution (p10/p50/p90 + range) —
+    the sizing profile packing and truncation policies are tuned from.
+    Exact linear-interpolated quantiles over integer lengths (both
+    engines share the definition, so interpolation is bit-identical);
+    one keyed aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.1)").alias("p10"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50"),
+        F.expr("percentile(n_chars, 0.9)").alias("p90"),
+        F.min("n_chars").cast("long").alias("cmin"),
+        F.max("n_chars").cast("long").alias("cmax"),
+        F.count("*").alias("n_docs"),
+    )
+
+
 def _curated_oracle():
     return f"""
     WITH RECURSIVE pairs AS ({_minhash_oracle()}),

@@ -45,6 +45,8 @@ CORES = [int(c) for c in os.environ.get("WEAK_CORES", "8,32").split(",")]
 # knob experiments (VERDICT r03 #6): extra Spark conf as a JSON object,
 # e.g. WEAK_EXTRA_CONF='{"spark.io.compression.codec": "zstd"}'
 EXTRA_CONF = json.loads(os.environ.get("WEAK_EXTRA_CONF", "{}"))
+# shuffle partitions per level = cores * WEAK_SHUFFLE_MULT (default 1)
+SHUFFLE_MULT = int(os.environ.get("WEAK_SHUFFLE_MULT", "1"))
 
 
 def _stage_list(ui_url: str, app_id: str) -> list[dict]:
@@ -91,7 +93,8 @@ def worker(cores: int, workdir: str) -> None:
 
     events = cores * PER_CORE
     spark = get_spark(
-        f"weak-{cores}", master=f"local[{cores}]", shuffle_partitions=cores,
+        f"weak-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=cores * SHUFFLE_MULT,
         extra_conf={"spark.ui.enabled": "true", **EXTRA_CONF},
     )
     sc = spark.sparkContext

@@ -1,0 +1,92 @@
+"""IceliteCatalog — named tables over a root directory, and the SQL
+surface that hangs off it.
+
+A deployment rarely has one table: the migration workload creates 15,
+rollups create more, and jobs want to reference them by NAME, not path.
+The catalog is deliberately thin — a root directory where every child
+holding Icelite metadata IS a table — because the table format already
+owns atomicity (pointer hard-links); the catalog adds no second
+metadata store to keep consistent (the same reasoning as Hadoop
+path-based catalogs / Delta's path tables; Iceberg's HadoopCatalog is
+the public analog).
+
+``register_views`` projects every table (or a chosen subset) into the
+session as temp views of its CURRENT snapshot, so plain ``spark.sql``
+works across lake tables — joins, aggregates, anything Catalyst can
+plan — with each view carrying the table's full read semantics
+(max-seq dedup over MoR deltas, field-id column resolution, tombstone
+filtering left to the query). Views are snapshot-pinned at registration
+(re-register to see new commits), which is exactly the isolation
+contract ``read()`` gives.
+
+Reference analog: the reference addresses its 15 sinks by table name
+through one Postgres connection (example/src/main.rs:489-510); here the
+lake root plays the database and Spark SQL plays the query engine.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from etl_rust_spark.lake.format import _MANIFEST_DIR, IceliteTable
+
+
+class IceliteCatalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = os.path.abspath(root)
+        os.makedirs(self.root, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"invalid table name: {name!r}")
+        return os.path.join(self.root, name)
+
+    def list_tables(self) -> list[str]:
+        """Every child dir holding Icelite metadata, sorted."""
+        out = []
+        for n in sorted(os.listdir(self.root)):
+            if os.path.isdir(os.path.join(self.root, n, _MANIFEST_DIR)):
+                out.append(n)
+        return out
+
+    def create_table(self, name: str, schema: T.StructType, **kwargs) -> IceliteTable:
+        """Create ``name`` under the root (kwargs = IceliteTable.create's:
+        key_cols, bucket_key, n_buckets, order_cols, seq_col, ...)."""
+        return IceliteTable.create(self.spark, self._path(name), schema, **kwargs)
+
+    def load(self, name: str) -> IceliteTable:
+        p = self._path(name)
+        if not os.path.isdir(os.path.join(p, _MANIFEST_DIR)):
+            raise FileNotFoundError(f"no table {name!r} in catalog {self.root}")
+        return IceliteTable.load(self.spark, p)
+
+    def drop_table(self, name: str) -> None:
+        """Remove the table's directory entirely (data + metadata)."""
+        import shutil
+
+        self.load(name)  # existence check with the clear error
+        shutil.rmtree(self._path(name))
+
+    def register_views(
+        self, names: list[str] | None = None, prefix: str = ""
+    ) -> list[str]:
+        """Expose tables as session temp views (``prefix + name``) of
+        their CURRENT snapshot, enabling plain ``spark.sql`` across the
+        lake. Returns the registered view names; re-register after new
+        commits to advance the snapshot."""
+        registered = []
+        for n in names if names is not None else self.list_tables():
+            view = f"{prefix}{n}"
+            self.load(n).read().createOrReplaceTempView(view)
+            registered.append(view)
+        return registered
+
+    def sql(self, query: str, **register_kwargs) -> DataFrame:
+        """Convenience: register all views at their current snapshots,
+        then run ``spark.sql(query)``."""
+        self.register_views(**register_kwargs)
+        return self.spark.sql(query)

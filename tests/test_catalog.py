@@ -1,0 +1,96 @@
+"""IceliteCatalog: named tables over a root dir + the spark.sql surface
+(temp views of current snapshots) — multi-table deployments address the
+lake like a database."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_rust_spark.lake.catalog import IceliteCatalog
+from etl_rust_spark.operators.apply import apply_changes
+
+CHANGE_SCHEMA = (
+    "lsn long, op string, conv_id string, turn_idx int, role string, "
+    "text string, tool string, ts timestamp"
+)
+TS = dt.datetime(2025, 1, 1)
+
+TRANSCRIPT_SCHEMA = (
+    T.StructType()
+    .add("conv_id", T.StringType())
+    .add("turn_idx", T.IntegerType())
+    .add("role", T.StringType())
+    .add("text", T.StringType())
+    .add("tool", T.StringType())
+    .add("ts", T.TimestampType())
+)
+
+
+def _mk(cat, name):
+    return cat.create_table(
+        name, TRANSCRIPT_SCHEMA, key_cols=["conv_id", "turn_idx"],
+        bucket_key="conv_id", n_buckets=4, seq_col="__lsn",
+    )
+
+
+def _apply(spark, t, rows, key):
+    apply_changes(
+        t, spark.createDataFrame(rows, CHANGE_SCHEMA), batch_key=key, mode="mor"
+    )
+
+
+def test_catalog_lifecycle_and_sql_join(spark, tmp_path):
+    cat = IceliteCatalog(spark, str(tmp_path / "lake"))
+    assert cat.list_tables() == []
+    a, b = _mk(cat, "convs"), _mk(cat, "labels")
+    assert cat.list_tables() == ["convs", "labels"]
+
+    _apply(spark, a, [
+        (1, "I", "c1", 0, "user", "hello", "", TS),
+        (2, "I", "c2", 0, "user", "world", "", TS),
+    ], "b0")
+    _apply(spark, b, [
+        (1, "I", "c1", 0, "sys", "GOOD", "", TS),
+    ], "b0")
+
+    # plain spark.sql across two lake tables, by name
+    out = cat.sql(
+        """
+        SELECT t.conv_id, t.text, l.text AS label
+        FROM convs t LEFT JOIN labels l
+          ON t.conv_id = l.conv_id AND t.turn_idx = l.turn_idx
+        WHERE NOT t.__deleted
+        ORDER BY t.conv_id
+        """
+    )
+    got = [(r["conv_id"], r["text"], r["label"]) for r in out.collect()]
+    assert got == [("c1", "hello", "GOOD"), ("c2", "world", None)]
+
+    # views are snapshot-pinned at registration; re-register advances
+    cat.register_views()
+    _apply(spark, a, [(3, "I", "c3", 0, "user", "late", "", TS)], "b1")
+    stale = spark.sql("SELECT count(*) AS n FROM convs").first()["n"]
+    assert stale == 2
+    cat.register_views()
+    assert spark.sql("SELECT count(*) AS n FROM convs").first()["n"] == 3
+
+    # load-by-name round-trips to the same table
+    assert cat.load("convs").current_seq() == a.current_seq()
+    with pytest.raises(FileNotFoundError):
+        cat.load("nope")
+    with pytest.raises(ValueError):
+        cat.load("../escape")
+
+    cat.drop_table("labels")
+    assert cat.list_tables() == ["convs"]
+
+
+def test_catalog_prefix_and_subset_registration(spark, tmp_path):
+    cat = IceliteCatalog(spark, str(tmp_path / "lake"))
+    t = _mk(cat, "convs")
+    _apply(spark, t, [(1, "I", "c1", 0, "user", "x", "", TS)], "b0")
+    views = cat.register_views(names=["convs"], prefix="lake_")
+    assert views == ["lake_convs"]
+    assert spark.sql("SELECT count(*) AS n FROM lake_convs").first()["n"] == 1

@@ -3994,6 +3994,48 @@ def length_percentiles_by_source(spark, sf_dir):
     )
 
 
+@query(
+    "cube_source_lang",
+    """
+    SELECT CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
+           CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY CUBE (source, lang)
+    """,
+)
+def cube_source_lang(spark, sf_dir):
+    """Full CUBE over (source, lang) — every grouping-set combination
+    incl. grand total in one aggregation pass (the OLAP shape `rollup_
+    orders` and `pivot_event_counts` don't cover). Subtotal rows are
+    labeled via GROUPING() indicators rather than raw NULLs, which
+    sidesteps the engines' differing grouping-id bit conventions AND
+    disambiguates a genuine NULL dimension value from a subtotal.
+    Spark expands the cube map-side (partial aggregation per grouping
+    set), one shuffle total."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.cube("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            # grouping() is an aggregate-context function: evaluate the
+            # subtotal indicators here, label after
+            F.grouping("source").alias("__gs"),
+            F.grouping("lang").alias("__gl"),
+        )
+        .select(
+            F.when(F.col("__gs") == 1, "ALL").otherwise(F.col("source")).alias(
+                "source"
+            ),
+            F.when(F.col("__gl") == 1, "ALL").otherwise(F.col("lang")).alias("lang"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
 def _curated_oracle():
     return f"""
     WITH RECURSIVE pairs AS ({_minhash_oracle()}),

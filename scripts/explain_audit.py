@@ -86,6 +86,7 @@ CHECKS = {
     "dataset_mixture_order": (["Window", "__chunk", "BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython"]),
     "leakage_safe_splits": ([], ["CartesianProduct"]),  # LSH pairs + components, never all-pairs
     "length_percentiles_by_source": (["partial_percentile"], ["CartesianProduct", "BatchEvalPython", "Window"]),
+    "cube_source_lang": (["Expand", "partial_count"], ["CartesianProduct", "BatchEvalPython", "Window"]),
     "curated_corpus": (["Window"], ["CartesianProduct"]),  # gates codegen; canonical via LSH components
     "ngram_repetition_stats": (["Generate explode", "partial_count"], ["CartesianProduct", "BatchEvalPython", "Window"]),
     "cross_source_overlap": (["Generate explode", "partial_count"], ["CartesianProduct", "BatchEvalPython", "Window"]),

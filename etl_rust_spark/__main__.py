@@ -203,6 +203,16 @@ def cmd_changes(args) -> int:
     return 0
 
 
+def cmd_describe(args) -> int:
+    import json as _json
+
+    from etl_rust_spark.lake.format import IceliteTable
+
+    t = IceliteTable.load(_spark(args), args.table)
+    print(_json.dumps(t.describe(), indent=2))
+    return 0
+
+
 def cmd_tail(args) -> int:
     """Continuously tail the table's commit log as a STREAM (the
     format('icelite') source) and emit each micro-batch of changes as
@@ -330,6 +340,12 @@ def build_parser() -> argparse.ArgumentParser:
     ln.add_argument("--table", required=True)
     ln.add_argument("--limit", type=int, default=50)
     ln.set_defaults(fn=cmd_lineage)
+
+    de = sub.add_parser(
+        "describe", help="metadata-only table health report (JSON)"
+    )
+    de.add_argument("--table", required=True)
+    de.set_defaults(fn=cmd_describe)
 
     tl = sub.add_parser(
         "tail",

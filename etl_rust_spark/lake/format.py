@@ -188,6 +188,7 @@ def _footer_stats_entry(path: str, stat_names: tuple) -> dict:
     return {
         "path": path,
         "rows": md.num_rows,
+        "bytes": os.path.getsize(path),
         "stats": {
             n: [None, None] if n in bad or n not in lo_all else [lo_all[n], hi_all[n]]
             for n in stat_names
@@ -435,6 +436,45 @@ class IceliteTable:
     @property
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(self.pointer()["schema"])
+
+    def describe(self) -> dict:
+        """Table health report from METADATA only (no data read): file/
+        row/byte totals, file-size distribution, per-bucket balance,
+        delta backlog, snapshot and ledger counts — the numbers a
+        compaction/rebucket/expiry decision needs. O(files) driver-side;
+        file bytes come from the manifests (recorded at commit from the
+        footer pass; pre-r4 manifests fall back to a stat() call).
+        ``n_file_rows`` counts physical rows (pre max-seq dedup under
+        merge-on-read)."""
+        ptr = self.pointer()
+        files = self._files(ptr)
+        sizes = [
+            f.get("bytes")
+            or (os.path.getsize(f["path"]) if os.path.exists(f["path"]) else 0)
+            for f in files
+        ]
+        per_bucket: dict = {}
+        n_delta = 0
+        for f in files:
+            per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+            if f.get("kind", "base") == "delta":
+                n_delta += 1
+        snaps = len(glob.glob(os.path.join(self._manifest_dir, "snap-*.json")))
+        return {
+            "seq": ptr["seq"],
+            "n_files": len(files),
+            "n_delta_files": n_delta,
+            "n_file_rows": sum(f["rows"] for f in files),
+            "total_bytes": sum(sizes),
+            "max_file_bytes": max(sizes, default=0),
+            "avg_file_bytes": int(sum(sizes) / len(sizes)) if sizes else 0,
+            "n_buckets": ptr["n_buckets"],
+            "buckets_with_files": len(per_bucket),
+            "max_files_per_bucket": max(per_bucket.values(), default=0),
+            "n_snapshots": snaps,
+            "applied_batches": ptr.get("applied_count", 0),
+            "n_manifests": len(ptr["manifests"]),
+        }
 
     # ------------------------------------------------- field-id resolution
     @staticmethod
@@ -1665,6 +1705,7 @@ class IceliteTable:
                     "path": e["path"],
                     "bucket": b,
                     "rows": n,
+                    "bytes": e["bytes"],
                     # kmin/kmax kept for pointer-format back-compat
                     "kmin": stats.get(bucket_key, [None, None])[0],
                     "kmax": stats.get(bucket_key, [None, None])[1],

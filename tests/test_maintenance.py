@@ -299,3 +299,27 @@ def test_change_feed_with_preimages(spark, tmp_path):
     last = t.read_changes_with_preimage(4).collect()
     assert len(last) == 1
     assert last[0]["_before"]["__deleted"] is True and last[0]["_before"]["__lsn"] == 40
+
+
+def test_describe_reports_metadata_only_health(spark, tmp_path, capsys):
+    """describe(): file/row/byte totals, bucket balance, and delta
+    backlog from metadata alone — and compaction visibly shrinks the
+    delta backlog it reports. Driven through the CLI too."""
+    from etl_rust_spark.__main__ import main
+
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(t, _batch(spark, "c1", 10), batch_key="b0", mode="mor")
+    apply_changes(t, _batch(spark, "c2", 20), batch_key="b1", mode="mor")
+    d = t.describe()
+    assert d["n_file_rows"] == 8 and d["n_files"] > 0
+    assert d["n_delta_files"] > 0  # second commit appended deltas
+    assert d["total_bytes"] > 0 and d["max_file_bytes"] >= d["avg_file_bytes"]
+    assert d["applied_batches"] == 2 and d["n_buckets"] == 4
+    t.compact()
+    d2 = t.describe()
+    assert d2["n_delta_files"] == 0 and d2["n_file_rows"] == 8
+
+    assert main(["describe", "--table", str(tmp_path / "t")]) == 0
+    import json
+    out = json.loads(capsys.readouterr().out)
+    assert out["seq"] == t.current_seq() and out["n_delta_files"] == 0

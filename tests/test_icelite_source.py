@@ -278,7 +278,10 @@ def test_mid_stream_schema_evolution_keeps_declared_shape(spark, tmp_path):
         .start()
     )
     try:
-        deadline = time.monotonic() + 60
+        # generous deadlines: under a loaded box (parallel suites) the
+        # 1-second trigger can crawl — timing out here would misreport a
+        # host-contention stall as an engine bug
+        deadline = time.monotonic() + 180
         while not rows and time.monotonic() < deadline:
             time.sleep(0.5)
         assert rows and "lang" not in rows[0].asDict()
@@ -288,6 +291,7 @@ def test_mid_stream_schema_evolution_keeps_declared_shape(spark, tmp_path):
             spark, [(2, "I", "c2", 0, "user", "tagged", None)]
         ).withColumn("lang", F.lit("en"))
         apply_changes(t, wide, batch_key="b1", mode="mor")
+        deadline = time.monotonic() + 180
         while len(rows) < 2 and time.monotonic() < deadline:
             time.sleep(0.5)
         assert q.exception() is None  # the evolved commit didn't kill it
@@ -370,7 +374,7 @@ def test_live_tail_consumes_writer_commits_exactly_once(spark, tmp_path):
                 mode="mor",
             )
             time.sleep(0.4)
-        deadline = time.monotonic() + 90
+        deadline = time.monotonic() + 180  # loaded-box tolerance
         while len(rows) < 1 + n_commits and time.monotonic() < deadline:
             time.sleep(0.5)
         assert q.exception() is None

@@ -4036,6 +4036,97 @@ def cube_source_lang(spark, sf_dir):
     )
 
 
+@query(
+    "moving_avg_daily_events",
+    """
+    WITH d AS (
+      SELECT CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1)
+    SELECT day, n,
+           CAST(SUM(n) OVER w AS BIGINT) AS n_7d,
+           round(CAST(SUM(n) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w, 6) AS avg_7d
+    FROM d
+    WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def moving_avg_daily_events(spark, sf_dir):
+    """7-day moving window over daily event counts — the RANGE-frame
+    window shape (value-based frame, skips missing days correctly,
+    unlike a ROWS frame) the rest of the window family doesn't cover.
+    Runs over the pre-aggregated DAILY rows, so the unpartitioned window
+    is metadata-sized (one row per day — bounded by the calendar, not
+    the corpus); the heavy lifting is the keyed daily count beneath it.
+    The average divides the frame's exact integer sum by its exact row
+    count — one double division, identical both engines."""
+    e = _t(spark, sf_dir, "events")
+    d = (
+        e.groupBy(
+            F.floor(
+                F.date_trunc("day", F.col("ts").cast("timestamp")).cast("long")
+                / 86400
+            )
+            .cast("long")
+            .alias("day")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy("day").rangeBetween(-6, 0)
+    return d.select(
+        "day",
+        "n",
+        F.sum("n").over(w).cast("long").alias("n_7d"),
+        F.round(
+            F.sum("n").over(w).cast("double") / F.count("*").over(w), 6
+        ).alias("avg_7d"),
+    )
+
+
+@query(
+    "first_last_events_per_user",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             FIRST_VALUE(event_type) OVER w AS first_type,
+             LAST_VALUE(event_type) OVER w AS last_type,
+             NTH_VALUE(event_type, 2) OVER w AS second_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+    SELECT user_id, first_type, last_type, second_type
+    FROM o WHERE rk = 1
+    """,
+)
+def first_last_events_per_user(spark, sf_dir):
+    """first_value / last_value / nth_value over each user's full event
+    history — the value-extraction window family (rank/lag are covered
+    elsewhere). The frame is explicitly UNBOUNDED-to-UNBOUNDED: the
+    default frame stops at CURRENT ROW, which silently turns last_value
+    into 'current value' — the classic window-frame bug, pinned
+    identically on both engines. One per-user window (bounded
+    histories), one row kept per user."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wr = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(w).alias("last_type"),
+            F.nth_value("event_type", 2).over(w).alias("second_type"),
+            F.row_number().over(wr).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
 def _curated_oracle():
     return f"""
     WITH RECURSIVE pairs AS ({_minhash_oracle()}),

@@ -86,6 +86,8 @@ CHECKS = {
     "dataset_mixture_order": (["Window", "__chunk", "BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython"]),
     "leakage_safe_splits": ([], ["CartesianProduct"]),  # LSH pairs + components, never all-pairs
     "length_percentiles_by_source": (["partial_percentile"], ["CartesianProduct", "BatchEvalPython", "Window"]),
+    "moving_avg_daily_events": (["Window", "partial_count"], ["CartesianProduct", "BatchEvalPython"]),
+    "first_last_events_per_user": (["Window"], ["CartesianProduct", "BatchEvalPython"]),
     "cube_source_lang": (["Expand", "partial_count"], ["CartesianProduct", "BatchEvalPython", "Window"]),
     "curated_corpus": (["Window"], ["CartesianProduct"]),  # gates codegen; canonical via LSH components
     "ngram_repetition_stats": (["Generate explode", "partial_count"], ["CartesianProduct", "BatchEvalPython", "Window"]),

@@ -4381,8 +4381,21 @@ _WITNESSED_R3 = [
     "not_exists_antijoin", "embedding_neardup_pairs",
 ]
 
+# Within the never-witnessed front, the round-4 FLAGSHIPS jump ahead of
+# the simpler analytics entries: with 60 unwitnessed queries and a
+# 50-entry driver cap, whatever overflows gets judge-rerun treatment —
+# better that be a leaderboard query than the curation capstones.
+_R4_FLAGSHIPS = [
+    "curated_corpus", "leakage_safe_splits", "dataset_mixture_order",
+    "retention_cohorts", "consistent_sample_per_source",
+    "unigram_rarity_profile", "embedding_centroid_similarity",
+    "ngram_repetition_stats", "cross_source_overlap",
+]
+
 _seen = set(_WITNESSED_R3)
 _front = [n for n in QUERIES if n not in _seen]
+_flag = [n for n in _R4_FLAGSHIPS if n in _front]
+_front = _flag + [n for n in _front if n not in set(_flag)]
 _order = _front + [n for n in _WITNESSED_R3 if n in QUERIES]
 QUERIES = {n: QUERIES[n] for n in _order}
 ORACLES = {n: ORACLES[n] for n in _order if n in ORACLES}

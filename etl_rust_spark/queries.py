@@ -4127,6 +4127,33 @@ def first_last_events_per_user(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_rate_by_source",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_distinct,
+           round(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 6)
+             AS dup_fraction
+    FROM documents GROUP BY source
+    """,
+)
+def dedup_rate_by_source(spark, sf_dir):
+    """Exact-duplication rate per source — the governance number that
+    decides which sources need aggressive dedup before mixing. Texts
+    compare as md5 hashes (the comparison never ships full text through
+    the count-distinct shuffle); integer counts plus one double
+    division, map-side partial aggregation throughout."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        F.round(
+            1.0 - F.countDistinct(F.md5("text")).cast("double") / F.count("*"), 6
+        ).alias("dup_fraction"),
+    )
+
+
 def _curated_oracle():
     return f"""
     WITH RECURSIVE pairs AS ({_minhash_oracle()}),

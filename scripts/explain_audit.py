@@ -89,6 +89,7 @@ CHECKS = {
     "moving_avg_daily_events": (["Window", "partial_count"], ["CartesianProduct", "BatchEvalPython"]),
     "first_last_events_per_user": (["Window"], ["CartesianProduct", "BatchEvalPython"]),
     "cube_source_lang": (["Expand", "partial_count"], ["CartesianProduct", "BatchEvalPython", "Window"]),
+    "dedup_rate_by_source": (["partial_count"], ["CartesianProduct", "BatchEvalPython", "Window"]),
     "curated_corpus": (["Window"], ["CartesianProduct"]),  # gates codegen; canonical via LSH components
     "ngram_repetition_stats": (["Generate explode", "partial_count"], ["CartesianProduct", "BatchEvalPython", "Window"]),
     "cross_source_overlap": (["Generate explode", "partial_count"], ["CartesianProduct", "BatchEvalPython", "Window"]),

@@ -226,14 +226,22 @@ def cmd_tail(args) -> int:
     register_icelite_source(spark)
 
     def emit(df, epoch_id):
-        for row in df.toJSON().collect():
+        # toLocalIterator streams one partition at a time to the driver,
+        # so a catch-up over a large backlog never materializes a whole
+        # micro-batch driver-side (each partition is one change file)
+        for row in df.toJSON().toLocalIterator(prefetchPartitions=True):
             print(row, flush=True)
 
-    w = (
+    src = (
         spark.readStream.format("icelite")
         .option("path", args.table)
         .option("sinceSeq", str(args.since))
-        .load()
+    )
+    if args.max_commits_per_batch:
+        # source-side bound: a backlog drains in ceil(N/k) micro-batches
+        src = src.option("maxCommitsPerBatch", str(args.max_commits_per_batch))
+    w = (
+        src.load()
         .writeStream.foreachBatch(emit)
         .option("checkpointLocation", args.checkpoint)
     )
@@ -360,6 +368,9 @@ def build_parser() -> argparse.ArgumentParser:
     tl.add_argument("--interval", default="5 seconds")
     tl.add_argument("--timeout-sec", type=int, default=None,
                     help="stop the continuous tail after N seconds")
+    tl.add_argument("--max-commits-per-batch", type=int, default=None,
+                    help="bound each micro-batch to at most N table "
+                         "commits (backpressure for backlog catch-up)")
     tl.set_defaults(fn=cmd_tail)
 
     ch = sub.add_parser("changes", help="show the incremental change feed")

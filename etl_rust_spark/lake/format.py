@@ -1660,8 +1660,13 @@ class IceliteTable:
         are written sorted by the order columns, so key ranges per file
         are tight). Small commits read footers serially on the driver
         (sub-ms per footer, no job overhead); large commits fan the file
-        list out as an RDD so a 1000-executor cluster harvests thousands
-        of footers in parallel.
+        list out as an RDD — valid ONLY when executors share the
+        driver's filesystem (local[*], or a shared mount declared via
+        ``spark.etl_rust_spark.sharedFs=true``), because the tasks open
+        driver-visible paths. On a real multi-node cluster over
+        node-local paths the harvest stays serial driver-side (footers
+        are metadata-sized; a genuine object-store deployment would read
+        them through the store's client instead).
 
         A commit dir with no part files (statically-empty batch) is
         genuinely empty; any OTHER footer-read failure propagates and
@@ -1675,7 +1680,13 @@ class IceliteTable:
         if not part_files:
             return [], 0, {}
         stat_names = self._footer_stat_names(part_files[0])
-        if len(part_files) > 64:
+        shared_fs = self.spark.conf.get("spark.master", "").startswith(
+            "local"
+        ) or (
+            self.spark.conf.get("spark.etl_rust_spark.sharedFs", "false").lower()
+            == "true"
+        )
+        if shared_fs and len(part_files) > 64:
             n_slices = min(
                 len(part_files),
                 int(self.spark.conf.get("spark.sql.shuffle.partitions")),
@@ -1801,6 +1812,35 @@ class IceliteTable:
         base = self.read(seq=since_seq).withColumn(
             "_commit_seq", F.lit(since_seq).cast("long")
         )
+        # Align the base snapshot (schema at since_seq) to the feed's
+        # schema (at until): a column ADDED inside the window is
+        # null-filled in the base (mirroring merge's upsert column
+        # alignment), one RENAMED inside it is resolved through its
+        # field id so before-state survives the rename, and one DROPPED
+        # inside it is projected away. A bare unionByName would throw
+        # AnalysisException on any of these (ADVICE r04).
+        ids_until = ptr.get("field_ids") or {}
+        try:
+            ids_since = (
+                self.pointer(since_seq).get("field_ids") or {}
+                if since_seq > 0
+                else {}
+            )
+        except FileNotFoundError:
+            ids_since = {}
+        id_to_since_name = {v: k for k, v in ids_since.items()}
+        base_cols = set(base.columns)
+        feed_types = {f.name: f.dataType for f in feed.schema.fields}
+
+        def _base_col(name):
+            if name in base_cols:
+                return F.col(name).alias(name)
+            old = id_to_since_name.get(ids_until.get(name))
+            if old is not None and old in base_cols:
+                return F.col(old).cast(feed_types[name]).alias(name)
+            return F.lit(None).cast(feed_types[name]).alias(name)
+
+        base = base.select([_base_col(c) for c in feed.columns])
         both = base.unionByName(feed)
         w = (
             Window.partitionBy(*keys)

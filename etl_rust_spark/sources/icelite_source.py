@@ -227,6 +227,28 @@ def _partitions_for(
     schema_json = json.dumps(T.StructType(data_fields).jsonValue())
     fids = ptr.get("field_ids") or {}
     legacy = ptr.get("legacy_cols")
+    # Fail fast when a declared data column no longer exists under its
+    # declared NAME at the end pointer (renamed or dropped mid-stream, or
+    # a batch read whose until pointer predates the name). Without this
+    # guard, field_ids.get(name) is None and every file — old and new —
+    # would silently null-backfill as if it predated the column, while
+    # the JVM read_changes at the same seqs returns real data under the
+    # new name. Null-backfill is reserved for files that genuinely
+    # predate a column. Recovery: restart the stream from its checkpoint
+    # so the schema is re-inferred from the current pointer.
+    current_names = (
+        set(fids)
+        if fids
+        else {f["name"] for f in ptr["schema"]["fields"]}
+    )
+    for fld in data_fields:
+        if fld.name not in current_names:
+            raise ValueError(
+                f"column '{fld.name}' in the declared schema does not exist "
+                f"in the table at commit {end} (renamed or dropped "
+                "mid-stream?) — restart the stream from its checkpoint to "
+                "re-infer the current schema"
+            )
     return [
         _FilePartition(
             path=path, cols=cols, commit_seq=seq, schema_json=schema_json,
@@ -237,6 +259,26 @@ def _partitions_for(
 
 
 class _IceliteStreamReader(DataSourceStreamReader):
+    """Streaming reader with bounded admission: ``maxCommitsPerBatch``
+    clamps how many table commits one micro-batch may span — the B1/B2
+    backpressure analog (reference: bounded enqueue + size-triggered
+    flush, src/bucket/bucket.rs:93-100,198-206). Without it a consumer
+    resuming after long downtime would get EVERY missed commit in a
+    single micro-batch (thousands of one-file partitions, one giant
+    downstream state commit).
+
+    The Python Data Source API has no admission-control hook (latestOffset
+    takes no start), so the clamp base is tracked driver-side: seeded from
+    ``sinceSeq`` at construction (Spark calls latestOffset BEFORE
+    initialOffset on a fresh start — observed on 4.1), then advanced by
+    ``partitions``/``commit``. On a checkpoint restart the base is
+    re-learned before the first latestOffset: MicroBatchExecution
+    re-commits the last committed offset to the source on recovery
+    (observed: first post-restart latestOffset already sees the
+    checkpointed seq), and a WAL-recovered in-flight batch teaches it via
+    ``partitions``. Result: every micro-batch, including the first after
+    a restart, spans at most ``maxCommitsPerBatch`` commits."""
+
     def __init__(self, options, decl: T.StructType):
         path = options.get("path")
         if not path:
@@ -244,14 +286,27 @@ class _IceliteStreamReader(DataSourceStreamReader):
         self.meta = _TableMeta(path)
         self.decl = decl
         self.start_seq = int(options.get("sinceseq", options.get("sinceSeq", 0)))
+        mcb = options.get("maxcommitsperbatch", options.get("maxCommitsPerBatch"))
+        self.max_commits = int(mcb) if mcb is not None else None
+        if self.max_commits is not None and self.max_commits < 1:
+            raise ValueError("maxCommitsPerBatch must be >= 1")
+        self._base: int | None = self.start_seq  # highest seq planned/committed
+
+    def _learn_base(self, seq: int) -> None:
+        self._base = seq if self._base is None else max(self._base, seq)
 
     def initialOffset(self) -> dict:
+        self._base = self.start_seq
         return {"seq": self.start_seq}
 
     def latestOffset(self) -> dict:
-        return {"seq": self.meta.current_seq()}
+        cur = self.meta.current_seq()
+        if self.max_commits is None or self._base is None:
+            return {"seq": cur}
+        return {"seq": min(cur, self._base + self.max_commits)}
 
     def partitions(self, start: dict, end: dict):
+        self._learn_base(int(end["seq"]))
         parts = _partitions_for(
             self.meta, int(start["seq"]), int(end["seq"]), self.decl
         )
@@ -264,7 +319,8 @@ class _IceliteStreamReader(DataSourceStreamReader):
         return _read_partition_arrow(partition)
 
     def commit(self, end: dict) -> None:
-        pass  # checkpoint offsets are the durable state
+        # checkpoint offsets are the durable state; track the clamp base
+        self._learn_base(int(end["seq"]))
 
 
 class _IceliteBatchReader(DataSourceReader):

@@ -133,6 +133,54 @@ PLAN_OVERRIDES = {
 }
 
 
+# The "no unpartitioned Window" invariant, mechanically checked: a global
+# (partition-less) window funnels the whole input through ONE task — a
+# scale-killer at 100 TB — so every plan is scanned for one and any hit
+# outside this exemption dict fails the audit. Exemptions must argue
+# BOUNDED input, not small-test-data luck.
+GLOBAL_WINDOW_EXEMPT = {
+    "moving_avg_daily_events": (
+        "calendar-bounded: the window runs AFTER groupBy(day) collapses "
+        "events to one row per day — 100 TB of events is still ≤ a few "
+        "thousand day-rows (≈36k rows/century), so the single task holds "
+        "kilobytes regardless of input scale"
+    ),
+    "dataset_mixture_order": (
+        "metadata-bounded: the only global window is the chunk-offset "
+        "prefix sum of the two-phase row_number — it runs over the "
+        "per-(__chunk) SUBTOTALS, capped at 1024 rows by construction "
+        "(queries.py two-phase pattern); the data-phase window below it "
+        "is partitioned by __chunk"
+    ),
+}
+
+
+def _unpartitioned_windows(plan: str) -> list[str]:
+    """Window operator lines whose spec has NO partition columns.
+
+    The executed plan prints ``Window [exprs], [partition], [order]`` —
+    three top-level bracket groups when partitioned, two when global
+    (``Window [exprs], [order]``). Returns the offending lines.
+    """
+    out = []
+    for line in plan.splitlines():
+        idx = line.find("Window [")
+        if idx < 0 or "WindowGroupLimit" in line:
+            continue
+        depth = 0
+        groups = 0
+        for ch in line[idx:]:
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        if groups < 3:
+            out.append(line.strip())
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("explain-audit")
@@ -154,6 +202,9 @@ def main() -> int:
         for token in must_not:
             if token in plan:
                 notes.append(f"UNEXPECTED <{token}>")
+        if name not in GLOBAL_WINDOW_EXEMPT:
+            for line in _unpartitioned_windows(plan):
+                notes.append(f"GLOBAL WINDOW <{line[:80]}>")
         exchanges = plan.count("Exchange")
         bhj = plan.count("BroadcastHashJoin")
         smj = plan.count("SortMergeJoin")

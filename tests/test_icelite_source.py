@@ -384,3 +384,126 @@ def test_live_tail_consumes_writer_commits_exactly_once(spark, tmp_path):
     assert len(got) == len(set(got)) == 1 + n_commits  # exactly once
     seqs = {c: s for c, s in got}
     assert all(seqs[f"c{b}"] < seqs[f"c{b + 1}"] for b in range(n_commits - 1))
+
+
+def test_max_commits_per_batch_bounds_catchup(spark, tmp_path):
+    """B1/B2 backpressure analog (reference: bounded enqueue +
+    size-triggered flush, src/bucket/bucket.rs:93-100,198-206): a
+    consumer starting N commits behind with maxCommitsPerBatch=k drains
+    the backlog in ceil(N/k) micro-batches — each spanning at most k
+    commits — exactly once, in commit order."""
+    import time
+
+    register_icelite_source(spark)
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    n_commits = 6
+    for b in range(n_commits):
+        apply_changes(
+            t,
+            _batch(spark, [(b + 1, "I", f"c{b}", 0, "user", f"v{b}", None)]),
+            batch_key=f"b{b}",
+            mode="mor",
+        )
+    batches = []
+    q = (
+        spark.readStream.format("icelite")
+        .option("path", str(tmp_path / "t"))
+        .option("maxCommitsPerBatch", "2")
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, eid: batches.append((eid, df.collect()))
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 180  # loaded-box tolerance
+        while (
+            sum(len(r) for _, r in batches) < n_commits
+            and time.monotonic() < deadline
+        ):
+            time.sleep(0.3)
+        assert q.exception() is None
+    finally:
+        q.stop()
+    nonempty = [rows for _, rows in batches if rows]
+    assert len(nonempty) == 3  # ceil(6/2): the backlog drains bounded
+    seq_ranges = []
+    for rows in nonempty:
+        seqs = {r["_commit_seq"] for r in rows}
+        assert len(seqs) <= 2  # never more than k commits per batch
+        seq_ranges.append((min(seqs), max(seqs)))
+    # batches advance monotonically through the commit log
+    assert all(
+        seq_ranges[i][1] < seq_ranges[i + 1][0]
+        for i in range(len(seq_ranges) - 1)
+    )
+    got = _key_rows([r for rows in nonempty for r in rows])
+    want = _key_rows(
+        t.read_changes(0).select(
+            "conv_id", "turn_idx", "__lsn", "text", "_commit_seq"
+        )
+    )
+    assert got == want and len(got) == n_commits  # exactly once
+
+
+def test_mid_stream_rename_fails_fast_then_restart_recovers(spark, tmp_path):
+    """ADVICE r04: a rename landing mid-stream must FAIL the stream —
+    the declared column no longer resolves at the current pointer — not
+    silently null-backfill every file while the JVM read_changes returns
+    real data under the new name. A restart from the SAME checkpoint
+    re-infers the renamed schema and delivers the outstanding commits
+    exactly once under the new name."""
+    import time
+
+    register_icelite_source(spark)
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(
+        t,
+        _batch(spark, [(1, "I", "c1", 0, "user", "before", None)]),
+        batch_key="b0",
+        mode="mor",
+    )
+    rows = []
+    q = (
+        spark.readStream.format("icelite")
+        .option("path", str(tmp_path / "t"))
+        .load()
+        .writeStream.foreachBatch(lambda df, _e: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 180
+        while not rows and time.monotonic() < deadline:
+            time.sleep(0.5)
+        assert rows and rows[0]["text"] == "before"
+
+        # rename + new data WHILE the query runs → the stream must die
+        # with the restart instruction, not deliver all-NULL columns
+        t.rename_column("text", "body")
+        apply_changes(
+            t,
+            _batch(spark, [(2, "I", "c2", 0, "user", "after", None)])
+            .withColumnRenamed("text", "body"),
+            batch_key="b1",
+            mode="mor",
+        )
+        deadline = time.monotonic() + 180
+        while q.exception() is None and time.monotonic() < deadline:
+            time.sleep(0.5)
+        exc = q.exception()
+        assert exc is not None and "renamed or dropped" in str(exc)
+    finally:
+        q.stop()
+
+    # restart on the SAME checkpoint: re-infers the schema and delivers
+    # the outstanding commit under the new name; c1 is not redelivered
+    # (exactly-once held). Two drains: the availableNow single-batch
+    # fallback spends its batch on the WAL-recovered in-flight range.
+    fresh = _drain(spark, str(tmp_path / "t"), str(tmp_path / "ck"))
+    fresh += _drain(spark, str(tmp_path / "t"), str(tmp_path / "ck"))
+    got = {r["conv_id"]: r["body"] for r in fresh}
+    assert got == {"c2": "after"} and len(fresh) == 1

@@ -323,3 +323,48 @@ def test_describe_reports_metadata_only_health(spark, tmp_path, capsys):
     import json
     out = json.loads(capsys.readouterr().out)
     assert out["seq"] == t.current_seq() and out["n_delta_files"] == 0
+
+
+def test_preimage_feed_survives_column_add_in_window(spark, tmp_path):
+    """ADVICE r04: a column ADDED by a commit inside the preimage window
+    must not break the base∪feed union — the base snapshot (schema at
+    since_seq) is null-filled to the until pointer's schema, mirroring
+    merge's upsert column alignment."""
+    from pyspark.sql import functions as F
+
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    mk = lambda lsn, op, text: spark.createDataFrame(  # noqa: E731
+        [(lsn, op, "c1", 0, "user", text, "", TS)], CHANGE_SCHEMA
+    )
+    apply_changes(t, mk(10, "I", "v1"), batch_key="b0", mode="mor")  # seq 1
+    wide = mk(20, "U", "v2").withColumn("lang", F.lit("en"))
+    apply_changes(t, wide, batch_key="b1", mode="mor")  # seq 2 ADDS lang
+    rows = t.read_changes_with_preimage(1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["text"] == "v2" and r["lang"] == "en"
+    # before-image: the pre-evolution winner, lang null-filled
+    assert r["_before"]["text"] == "v1" and r["_before"]["lang"] is None
+
+
+def test_preimage_feed_resolves_rename_in_window(spark, tmp_path):
+    """A column RENAMED inside the preimage window resolves through its
+    field id: the base snapshot's old-name data surfaces as before-state
+    under the NEW name instead of a silent null or an AnalysisException."""
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    mk = lambda lsn, op, text: spark.createDataFrame(  # noqa: E731
+        [(lsn, op, "c1", 0, "user", text, "", TS)], CHANGE_SCHEMA
+    )
+    apply_changes(t, mk(10, "I", "v1"), batch_key="b0", mode="mor")  # seq 1
+    t.rename_column("text", "body")  # seq 2
+    apply_changes(
+        t,
+        mk(20, "U", "v2").withColumnRenamed("text", "body"),
+        batch_key="b1",
+        mode="mor",
+    )  # seq 3
+    rows = t.read_changes_with_preimage(1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["body"] == "v2"
+    assert r["_before"]["body"] == "v1" and r["_before"]["__lsn"] == 10

@@ -233,3 +233,165 @@ def test_field_id_evolution_matches_model(spark, ops):
             want[key] = {"conv_id": key[0], "turn_idx": key[1], "lsn": row["lsn"],
                          **{n: row.get(fid) for fid, n in byid.items()}}
         assert got == want, f"\nops={ops}\ngot={got}\nwant={want}"
+
+
+# ---------------------------------------------------------------------------
+# Streaming-source differential under evolution interleavings (VERDICT r04
+# #7): a CONSUMER tails the table through the icelite source while commits
+# interleave with rename/drop/add/compact. The stream pins its declared
+# schema at subscribe time; a rename/drop of a declared column mid-stream
+# must FAIL FAST (ADVICE r04) and a restart re-infers; everything the
+# consumer ever reads must equal the JVM ``read_changes`` over the same
+# seq range projected to the consumer's declared columns. The batch
+# reader with a user-pinned .schema() IS the stream's read path
+# (``_partitions_for`` + ``_read_partition_arrow`` are shared; only offset
+# bookkeeping differs), so the model drives consume points through it —
+# one hypothesis example then costs seconds, not stream-startup minutes.
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def stream_evolution_ops(draw):
+    ops = [("merge", [("c0", 0), ("c1", 0)], 1023)]  # seed data pre-subscribe
+    n = draw(st.integers(min_value=2, max_value=6))
+    for _ in range(n):
+        kind = draw(st.sampled_from(
+            ["merge", "merge", "merge", "rename", "drop", "add", "compact"]
+        ))
+        if kind == "merge":
+            ops.append(("merge",
+                        draw(st.lists(st.sampled_from(_EVO_KEYS), min_size=1,
+                                      max_size=3, unique=True)),
+                        draw(st.integers(0, 1000))))
+        elif kind == "rename":
+            ops.append(("rename", draw(st.integers(0, 1000))))
+        elif kind == "drop":
+            ops.append(("drop", draw(st.integers(0, 1000))))
+        elif kind == "add":
+            ops.append(("add", draw(st.sampled_from(_EVO_KEYS))))
+        else:
+            ops.append(("compact",))
+    return ops
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=stream_evolution_ops())
+def test_stream_source_matches_read_changes_under_evolution(spark, ops):
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from etl_rust_spark.lake.format import IceliteTable
+    from etl_rust_spark.sources import register_icelite_source
+
+    register_icelite_source(spark)
+    with tempfile.TemporaryDirectory(prefix="src_evo_prop_") as root:
+        path = f"{root}/t"
+        schema = T.StructType([
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("p0", T.StringType()),
+        ])
+        t = IceliteTable.create(
+            spark, path, schema,
+            key_cols=["conv_id", "turn_idx"], bucket_key="conv_id",
+            n_buckets=2, order_cols=["conv_id", "turn_idx"], seq_col="lsn",
+        )
+        fields = ["p0"]
+        name_ctr = [0]
+        lsn = [0]
+
+        def do_merge(keys, seed, extra_col=None):
+            use = [n for i, n in enumerate(fields) if (seed >> i) & 1] or fields[:1]
+            if extra_col:
+                use = use + [extra_col]
+            rows = []
+            for conv, turn in keys:
+                lsn[0] += 1
+                rows.append((conv, turn, lsn[0], *[f"{n}:{lsn[0]}" for n in use]))
+            sdf = spark.createDataFrame(
+                rows,
+                "conv_id string, turn_idx int, lsn long, "
+                + ", ".join(f"`{n}` string" for n in use),
+            ).withColumn("op", F.lit("U"))
+            t.merge(sdf, seq_col="lsn", mode="mor")  # feeds require MoR
+            for n in use:
+                if n not in fields:
+                    fields.append(n)
+
+        def current_stream_schema():
+            return (
+                spark.read.format("icelite").option("path", path).load().schema
+            )
+
+        def consume(state):
+            """Read (state['last'], cur] through the source with the
+            consumer's PINNED schema; on the documented fail-fast,
+            restart (re-pin) and re-read. Always compare against JVM
+            read_changes projected to the declared columns."""
+            cur = t.current_seq()
+            if cur == state["last"]:
+                return
+            if state["decl"] is None:
+                state["decl"] = current_stream_schema()
+            reader = (
+                spark.read.format("icelite").schema(state["decl"])
+                .option("path", path)
+                .option("sinceSeq", str(state["last"]))
+                .option("untilSeq", str(cur))
+            )
+            try:
+                rows = reader.load().collect()
+            except Exception as e:  # noqa: BLE001 — must be the fail-fast
+                assert "renamed or dropped" in str(e), f"unexpected: {e}"
+                state["decl"] = current_stream_schema()  # restart re-infers
+                rows = (
+                    spark.read.format("icelite").schema(state["decl"])
+                    .option("path", path)
+                    .option("sinceSeq", str(state["last"]))
+                    .option("untilSeq", str(cur))
+                    .load()
+                    .collect()
+                )
+            cols = [f.name for f in state["decl"].fields]
+            want_df = t.read_changes(state["last"], cur)
+            have = {c: True for c in want_df.columns}
+            proj = [
+                F.col(c) if c in have else F.lit(None).cast("string")
+                for c in cols
+            ]
+            want = {
+                tuple(r[c] for c in cols)
+                for r in want_df.select(
+                    [p.alias(c) for p, c in zip(proj, cols)]
+                ).collect()
+            }
+            got = {tuple(r[c] for c in cols) for r in rows}
+            assert got == want, f"range ({state['last']},{cur}] cols={cols}"
+            state["last"] = cur
+
+        state = {"decl": None, "last": 0}
+        for op in ops:
+            if op[0] == "merge":
+                do_merge(op[1], op[2])
+            elif op[0] == "add":
+                name_ctr[0] += 1
+                do_merge([op[1]], 1023, extra_col=f"p{name_ctr[0]}")
+            elif op[0] == "rename":
+                i = op[1] % len(fields)
+                name_ctr[0] += 1
+                new = f"r{name_ctr[0]}"
+                t.rename_column(fields[i], new)
+                fields[i] = new
+            elif op[0] == "drop":
+                if len(fields) < 2:
+                    continue
+                i = op[1] % len(fields)
+                t.drop_column(fields[i])
+                fields.pop(i)
+            else:
+                t.compact()
+            consume(state)

@@ -59,7 +59,7 @@ BENCH_QUERIES = [
 CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "16000000"))
 CDC_BATCHES = int(os.environ.get("BENCH_CDC_BATCHES", "4"))
 MIGRATE_USERS = int(os.environ.get("BENCH_MIGRATE_USERS", "400000"))
-CHAIN_EVENTS = int(os.environ.get("BENCH_CHAIN_EVENTS", "2000000"))
+CHAIN_EVENTS = int(os.environ.get("BENCH_CHAIN_EVENTS", "4000000"))
 
 # round-2 driver artifact (BENCH_r02.json) — the stored per-query reference
 # the JSON line reports drift against, so a genuine regression is
@@ -203,18 +203,22 @@ def bench_chain(spark, workdir: str, n_events: int) -> float:
     wal = os.path.join(workdir, "chain_wal")
     os.makedirs(wal, exist_ok=True)
     n_seg = 4
-    per = n_events // n_seg
-    for i in range(n_seg):
-        seg_dir = os.path.join(workdir, f"chain_seg_{i}")
+    seg_stage = os.path.join(workdir, "chain_seg_stage")
+    (
         generate_changelog_spark(
-            spark, per, n_conversations=50_000, turns_per_conv=64,
-            skew_alpha=1.1, start=i * per,
-        ).coalesce(1).write.mode("overwrite").parquet(seg_dir)
-        part = next(
-            f for f in os.listdir(seg_dir)
-            if f.endswith(".parquet") and f.startswith("part-")
+            spark, n_events, n_conversations=50_000, turns_per_conv=64,
+            skew_alpha=1.1,
         )
-        os.rename(os.path.join(seg_dir, part), os.path.join(wal, f"seg-{i}.parquet"))
+        .repartitionByRange(n_seg, "lsn")  # contiguous emission-order chunks
+        .write.mode("overwrite")
+        .parquet(seg_stage)
+    )
+    parts = sorted(
+        f for f in os.listdir(seg_stage)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    for i, part in enumerate(parts):
+        os.rename(os.path.join(seg_stage, part), os.path.join(wal, f"seg-{i}.parquet"))
     a_path = os.path.join(workdir, "chain_a")
     create_transcript_table(spark, a_path, n_buckets=32)
     b = IceliteTable.create(
@@ -237,10 +241,14 @@ def bench_chain(spark, workdir: str, n_events: int) -> float:
         )
 
     t0 = time.monotonic()
+    # two segments per micro-batch: the 10^10 posture (amortize the
+    # per-commit fixed cost) while still exercising multi-batch
+    # exactly-once across the hop
     ChangelogIngest(
         spark=spark, wal_dir=wal, table_path=a_path,
         checkpoint_dir=os.path.join(workdir, "chain_ck_a"),
         schema=CHANGELOG_SCHEMA, name="chain_hop1", mode="mor",
+        max_files_per_trigger=2,
     ).run_available()
     q = (
         spark.readStream.format("icelite")
@@ -254,15 +262,36 @@ def bench_chain(spark, workdir: str, n_events: int) -> float:
     q.awaitTermination()
     secs = time.monotonic() - t0
 
-    # exactness gate: B must equal the rollup recomputed from A's feed
+    # exactness gates, BOTH hops: A's live state must equal the max-LSN
+    # replay of the raw WAL, and B must equal the rollup recomputed from
+    # A's change feed — correctness inside the benchmark, not beside it
+    wal_df = spark.read.parquet(wal)
+    want_a = (
+        wal_df.groupBy("conv_id", "turn_idx")
+        .agg(F.max(F.struct("lsn", "op", "text")).alias("w"))
+        .filter(F.col("w.op") != "D")
+        .select("conv_id", "turn_idx", F.col("w.lsn").alias("__lsn"),
+                F.col("w.text").alias("text"))
+    )
+    # read() surfaces tombstones flagged __deleted (by contract); the
+    # final-state comparison wants the read_transcripts view of the world
+    got_a = (
+        IceliteTable.load(spark, a_path)
+        .read()
+        .filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
+        .select("conv_id", "turn_idx", "__lsn", "text")
+    )
+    bad_a = got_a.exceptAll(want_a).count() + want_a.exceptAll(got_a).count()
     feed = IceliteTable.load(spark, a_path).read_changes(0)
-    want = feed.groupBy("conv_id").agg(
+    want_b = feed.groupBy("conv_id").agg(
         F.count("*").alias("n_changes"), F.max("__lsn").alias("max_lsn")
     )
-    got = b.read().select("conv_id", "n_changes", "max_lsn")
-    bad = got.exceptAll(want).count() + want.exceptAll(got).count()
-    if bad:
-        raise AssertionError(f"cdc_chain rollup mismatch: {bad} rows differ")
+    got_b = b.read().select("conv_id", "n_changes", "max_lsn")
+    bad_b = got_b.exceptAll(want_b).count() + want_b.exceptAll(got_b).count()
+    if bad_a or bad_b:
+        raise AssertionError(
+            f"cdc_chain mismatch: table_a={bad_a} rollup_b={bad_b} rows differ"
+        )
     return secs
 
 
@@ -288,20 +317,42 @@ def main() -> None:
         # stop early once the r2 driver-artifact bar (16.555 s at 16M
         # events) is cleared; the brackets prove whether a quiet window
         # occurred at all.
+        # the calibration probe is CPU-only and blind to IO: the ~10 GB
+        # the migration/cow benches just wrote would otherwise throttle
+        # the mor attempts through dirty-page writeback, so drop what's
+        # no longer needed and sync before every timed window
+        shutil.rmtree(os.path.join(workdir, "mig_lake"), ignore_errors=True)
+        shutil.rmtree(os.path.join(workdir, "transcripts_cow_0"), ignore_errors=True)
+        for p in cow_paths:
+            shutil.rmtree(p, ignore_errors=True)
         mor_paths = _materialize_batches(spark, workdir, "mor", CDC_EVENTS)
         mor_attempts, mor_brackets = [], []
-        best_table = None
+        best_table, best_tag = None, None
         r2_bar = R2_REF["cdc_ingest_mor"] if CDC_EVENTS == 16_000_000 else None
         for attempt in range(3):
+            os.sync()  # flush prior writeback out of the timed window
             pre = calibration_probe(spark, int(cpus))
             sec = bench_cdc_once(spark, workdir, "mor", mor_paths, tag=str(attempt))
             post = calibration_probe(spark, int(cpus))
             mor_attempts.append(round(sec, 3))
             mor_brackets.append([pre, post])
             if mor_attempts[-1] == min(mor_attempts):
-                best_table = bench_cdc_once.table
+                if best_tag is not None:  # evict the displaced best's table
+                    shutil.rmtree(
+                        os.path.join(workdir, f"transcripts_mor_{best_tag}"),
+                        ignore_errors=True,
+                    )
+                best_table, best_tag = bench_cdc_once.table, str(attempt)
+            else:
+                shutil.rmtree(
+                    os.path.join(workdir, f"transcripts_mor_{attempt}"),
+                    ignore_errors=True,
+                )
             if r2_bar is not None and sec <= r2_bar:
                 break
+        for p in mor_paths:  # inputs no longer needed; unburden the chain
+            shutil.rmtree(p, ignore_errors=True)
+        os.sync()
         mor_sec = min(mor_attempts)
         results["cdc_ingest_mor"] = round(mor_sec, 3)
         events_per_sec = int(CDC_EVENTS / mor_sec)

@@ -703,6 +703,13 @@ class IceliteTable:
         last-writer-wins dedup (max seq_col per key) over base ∪ deltas —
         Iceberg v2 semantics. Compaction folds deltas back to base.
 
+        Tombstones are NOT filtered here: a key whose winner is a delete
+        surfaces as one row flagged ``__deleted=true`` (payload null).
+        This is deliberate — the flag is the cross-batch late-data guard
+        and downstream CDC consumers need to see it. Final-state views
+        filter it (``operators.apply.read_transcripts``); ad-hoc readers
+        must too.
+
         ``as_of`` time-travels by timestamp (``seq_as_of``); ``seq``
         time-travels by snapshot id; ``tag`` resolves a named pin
         (``tag_snapshot``) — pass at most one."""

@@ -4377,6 +4377,203 @@ def dataset_mixture_order(spark, sf_dir):
     )
 
 
+@query(
+    "doc_length_outliers",
+    """
+    WITH m AS (
+      SELECT source, median(n_chars) AS med, COUNT(*) AS n_docs
+      FROM documents GROUP BY source),
+    d AS (
+      SELECT doc.source, med, n_docs, abs(doc.n_chars - med) AS dev
+      FROM documents doc JOIN m ON doc.source = m.source),
+    md AS (SELECT source, median(dev) AS mad FROM d GROUP BY source)
+    SELECT d.source,
+      CAST(n_docs AS BIGINT) AS n_docs,
+      round(med, 6) AS med_chars,
+      round(mad, 6) AS mad_chars,
+      CAST(SUM(CASE WHEN dev > 3 * 1.4826 * mad THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_outliers
+    FROM d JOIN md ON d.source = md.source
+    GROUP BY d.source, med, n_docs, mad
+    """,
+)
+def doc_length_outliers(spark, sf_dir):
+    """Robust per-source length-outlier screen (median/MAD, the
+    curation-grade alternative to mean/stddev which heavy tails wreck):
+    docs with |len - median| > 3·1.4826·MAD are flagged. Two keyed
+    aggregations plus one BROADCAST join of the 20-row per-source medians
+    — no doc-level shuffle carries doubles, so the plan is two map-side
+    partial aggs regardless of corpus size."""
+    d = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    med = d.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med"),
+        F.count("*").alias("n_docs"),
+    )
+    dev = d.join(F.broadcast(med), "source").select(
+        "source", "med", "n_docs",
+        F.abs(F.col("n_chars") - F.col("med")).alias("dev"),
+    )
+    mad = dev.groupBy("source", "med", "n_docs").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    out = dev.join(
+        F.broadcast(mad.select("source", "mad")), "source"
+    ).groupBy("source", "med", "n_docs", "mad").agg(
+        F.sum(
+            (F.col("dev") > 3 * 1.4826 * F.col("mad")).cast("int")
+        ).cast("long").alias("n_outliers")
+    )
+    return out.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round("med", 6).alias("med_chars"),
+        F.round("mad", 6).alias("mad_chars"),
+        "n_outliers",
+    )
+
+
+@query(
+    "dedup_cluster_sizes",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    walk(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+    clusters AS (
+      SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node),
+    sizes AS (
+      SELECT cluster_id, COUNT(*) AS sz FROM clusters GROUP BY cluster_id),
+    hist AS (
+      SELECT sz AS cluster_size, COUNT(*) AS n_clusters FROM sizes GROUP BY sz
+      UNION ALL
+      SELECT 1, (SELECT COUNT(*) FROM documents)
+                - (SELECT COUNT(*) FROM clusters))
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(SUM(n_clusters) AS BIGINT) AS n_clusters
+    FROM hist GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster-size histogram — the governance view of dedup
+    output (how much mass sits in 2-clusters vs giant templates decides
+    keep-one vs drop-all policy). Composes the LSH components with two
+    keyed counts; singletons (docs in no near-dup pair) are the corpus
+    count minus clustered nodes, one scalar join, no extra pass over
+    text."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(
+        docs, n_hashes=8, bands=4, shingle_n=3, jaccard_threshold=0.35
+    )
+    clusters = dd.connected_components(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    hist = sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters")
+    )
+    n_docs = docs.count()
+    n_clustered = clusters.count()
+    singletons = spark.createDataFrame(
+        [(1, n_docs - n_clustered)], "cluster_size long, n_clusters long"
+    )
+    return (
+        hist.select(
+            F.col("cluster_size").cast("long"),
+            F.col("n_clusters").cast("long"),
+        )
+        .unionByName(singletons)
+        .groupBy("cluster_size")
+        .agg(F.sum("n_clusters").cast("long").alias("n_clusters"))
+    )
+
+
+@query(
+    "zipf_top_terms",
+    f"""
+    WITH w AS (SELECT unnest({_WORDS_SQL}) AS word FROM documents),
+    c AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word),
+    top AS (SELECT word, n FROM c ORDER BY n DESC, word LIMIT 100)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) AS INT) AS rank,
+           word, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE) / (SELECT MAX(n) FROM top), 6) AS freq_ratio
+    FROM top
+    """,
+)
+def zipf_top_terms(spark, sf_dir):
+    """Corpus-wide Zipf rank/frequency curve (top-100): the sanity plot
+    every tokenizer/mixture decision starts from. Keyed word count with
+    map-side partials → TakeOrderedAndProject(100); rank and the
+    ratio-to-rank-1 are then computed on the FIXED 100-row set by a
+    broadcast self-join (count of strictly-higher-ordered rows), so no
+    unpartitioned window ever touches unbounded data."""
+    d = _t(spark, sf_dir, "documents")
+    c = (
+        d.select(F.explode(tx.words_lower("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    top = c.orderBy(F.desc("n"), F.asc("word")).limit(100)
+    o = top.select(
+        F.col("word").alias("o_word"), F.col("n").alias("o_n")
+    )
+    ranked = (
+        top.join(
+            F.broadcast(o),
+            (F.col("o_n") > F.col("n"))
+            | ((F.col("o_n") == F.col("n")) & (F.col("o_word") < F.col("word"))),
+            "left",
+        )
+        .groupBy("word", "n")
+        .agg((F.count("o_word") + 1).cast("int").alias("rank"))
+    )
+    n1 = top.agg(F.max("n").alias("n1"))
+    return ranked.join(F.broadcast(n1)).select(
+        "rank", "word", F.col("n").cast("long").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("n1"), 6).alias("freq_ratio"),
+    )
+
+
+@query(
+    "source_entropy_by_lang",
+    """
+    WITH c AS (
+      SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source),
+    t AS (SELECT lang, SUM(n) AS total, COUNT(*) AS n_sources FROM c GROUP BY lang)
+    SELECT c.lang,
+      CAST(t.n_sources AS BIGINT) AS n_sources,
+      CAST(t.total AS BIGINT) AS n_docs,
+      round(-SUM((CAST(n AS DOUBLE) / total) * log2(CAST(n AS DOUBLE) / total)), 6)
+        AS source_entropy_bits
+    FROM c JOIN t ON c.lang = t.lang
+    GROUP BY c.lang, t.n_sources, t.total
+    """,
+)
+def source_entropy_by_lang(spark, sf_dir):
+    """Source-mixture entropy per language — the diversity dial a data
+    curator watches when a language's corpus collapses onto one crawl.
+    Two keyed counts + a broadcast join of the per-lang totals; the
+    entropy sum runs over ≤|sources| bounded terms per language."""
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    t = c.groupBy("lang").agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_sources")
+    )
+    p = F.col("n").cast("double") / F.col("total")
+    return (
+        c.join(F.broadcast(t), "lang")
+        .groupBy("lang", "n_sources", "total")
+        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("source_entropy_bits"))
+        .select(
+            "lang",
+            F.col("n_sources").cast("long").alias("n_sources"),
+            F.col("total").cast("long").alias("n_docs"),
+            "source_entropy_bits",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-correctness window ordering (round-robin gate rotation)
 # ---------------------------------------------------------------------------

@@ -98,6 +98,12 @@ CHECKS = {
     "weekday_hour_heatmap": (["partial_count"], ["CartesianProduct", "BatchEvalPython", "Window"]),
     "top_users_activity": (["TakeOrderedAndProject"], ["CartesianProduct", "BatchEvalPython", "Window"]),
     "funnel_conversion_rates": (["partial_min", "Generate"], ["CartesianProduct", "BatchEvalPython", "Window"]),
+    "doc_length_outliers": (["partial_count", "BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython", "Window"]),
+    "dedup_cluster_sizes": (["partial_count"], ["CartesianProduct", "BatchEvalPython", "Window"]),
+    # rank over the fixed top-100 set is a broadcast non-equi self-join
+    # (BroadcastNestedLoopJoin over 100x100), deliberately NOT a window
+    "zipf_top_terms": (["TakeOrderedAndProject", "partial_count"], ["CartesianProduct", "BatchEvalPython", "Window"]),
+    "source_entropy_by_lang": (["partial_count", "BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython", "Window"]),
 }
 
 

@@ -275,3 +275,87 @@ def test_two_separate_processes_race_commits_on_one_table(spark, tmp_path):
     # every commit seq 1..current is a real, resolvable snapshot lineage
     lin = t.lineage().toPandas()
     assert sorted(lin.commit_seq) == list(range(1, t.current_seq() + 1))
+
+
+def test_sigkill_mid_ingest_then_restart_is_exactly_once(spark, tmp_path):
+    """OS-level crash recovery through the deployable CLI surface: a real
+    ingest process (``python -m etl_rust_spark ingest``) is SIGKILLed
+    while commits are landing — no atexit, no JVM shutdown hooks, no
+    cleanup — then the IDENTICAL command reruns on the same checkpoint.
+    The replay must converge to the oracle state with every WAL batch
+    applied exactly once (stable batch keys across restarts make the
+    replayed in-flight epoch an idempotent no-op). This is the north
+    rule's 'resumable from any checkpoint' proven at the process level;
+    the in-process crash tests can only simulate the kill."""
+    import subprocess
+    import sys
+    import time as _time
+
+    from etl_rust_spark.changelog import (
+        ChangelogConfig,
+        generate_changelog_pandas,
+        replay_oracle_pandas,
+        write_wal_segments,
+    )
+    from etl_rust_spark.lake.format import IceliteTable
+    from etl_rust_spark.operators.apply import read_transcripts
+    from tests.conftest import assert_pdf_equal
+
+    repo = str(__import__("pathlib").Path(__file__).resolve().parents[1])
+    log = generate_changelog_pandas(
+        ChangelogConfig(
+            n_events=200_000, n_conversations=400, turns_per_conv=24, seed=13
+        )
+    )
+    wal = str(tmp_path / "wal")
+    write_wal_segments(log, wal, 8, spark)
+    tpath = str(tmp_path / "t")
+    create_transcript_table(spark, tpath, n_buckets=4)
+    cmd = [
+        sys.executable, "-m", "etl_rust_spark", "ingest",
+        "--wal-dir", wal, "--table", tpath,
+        "--checkpoint", str(tmp_path / "ck"),
+        "--mode", "mor", "--max-files-per-trigger", "1",
+        "--compact-every", "3", "--compact-min-files", "2",
+    ]
+
+    t = IceliteTable.load(spark, tpath)
+    proc = subprocess.Popen(
+        cmd, cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.PIPE
+    )
+    deadline = _time.monotonic() + 300
+    while _time.monotonic() < deadline:
+        try:
+            if t.current_seq() >= 2:
+                break
+        except Exception:
+            pass  # table pointer mid-swap; retry
+        if proc.poll() is not None:
+            out, err = proc.communicate()
+            raise AssertionError(
+                f"ingest finished before the kill landed: {err.decode()[-800:]}"
+            )
+        _time.sleep(0.05)
+    proc.kill()  # SIGKILL: no cleanup of any kind
+    proc.communicate(timeout=120)
+    assert proc.returncode != 0
+    killed_seq = t.current_seq()
+
+    rerun = subprocess.run(
+        cmd, cwd=repo, capture_output=True, timeout=600
+    )
+    assert rerun.returncode == 0, rerun.stderr.decode()[-1500:]
+    assert t.current_seq() > killed_seq  # the restart made real progress
+
+    got = read_transcripts(t).toPandas().reset_index(drop=True)
+    want = replay_oracle_pandas(log)
+    assert_pdf_equal(got, want, sort_cols=["conv_id", "turn_idx"])
+
+    # every WAL epoch applied exactly once: no duplicate batch keys, and
+    # the crash left no half-applied batch behind
+    keys = [
+        r["batch_key"]
+        for r in t.lineage().select("batch_key").collect()
+        if r["batch_key"] is not None
+    ]
+    assert len(keys) == len(set(keys)) == 8

@@ -250,6 +250,7 @@ def bench_chain(spark, workdir: str, n_events: int) -> float:
         schema=CHANGELOG_SCHEMA, name="chain_hop1", mode="mor",
         max_files_per_trigger=2,
     ).run_available()
+    t1 = time.monotonic()
     q = (
         spark.readStream.format("icelite")
         .option("path", a_path)
@@ -261,6 +262,7 @@ def bench_chain(spark, workdir: str, n_events: int) -> float:
     )
     q.awaitTermination()
     secs = time.monotonic() - t0
+    bench_chain.hop_secs = (round(t1 - t0, 3), round(secs - (t1 - t0), 3))
 
     # exactness gates, BOTH hops: A's live state must equal the max-LSN
     # replay of the raw WAL, and B must equal the rollup recomputed from
@@ -401,6 +403,8 @@ def main() -> None:
                 "cdc_mor_calibration_brackets": mor_brackets,
                 "chain_events": CHAIN_EVENTS,
                 "chain_events_per_sec": chain_events_per_sec,
+                # (hop1 WAL->A ingest, hop2 icelite-tail->rollup) seconds
+                "chain_hop_secs": list(bench_chain.hop_secs),
                 "migration_users": MIGRATE_USERS,
                 "migration_records_per_sec": migration_records_per_sec,
                 # same-window machine ceiling (rows/s, pure codegen): a

@@ -395,3 +395,91 @@ def test_stream_source_matches_read_changes_under_evolution(spark, ops):
             else:
                 t.compact()
             consume(state)
+
+
+# ---------------------------------------------------------------------------
+# Preimage-feed differential (round 5): for ANY batch sequence — arbitrary
+# key subsets, arbitrary LSN assignment (so late lower-LSN deliveries are
+# common), inserts/updates/deletes — every row of
+# ``read_changes_with_preimage(since)`` must carry as ``_before`` exactly
+# the max-LSN delivery of that key from any EARLIER commit (or the base
+# snapshot), for any resume point. Guards the window logic plus the
+# round-5 base↔feed schema alignment.
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def preimage_workloads(draw):
+    n_events = draw(st.integers(min_value=4, max_value=24))
+    n_batches = draw(st.integers(min_value=2, max_value=5))
+    lsns = list(range(1, n_events + 1))
+    # shuffle LSNs across batches: later commits often carry older LSNs
+    perm = draw(st.permutations(lsns))
+    batches = [[] for _ in range(n_batches)]
+    for i, lsn in enumerate(perm):
+        b = draw(st.integers(0, n_batches - 1))
+        key = draw(st.sampled_from(KEYS))
+        op = draw(st.sampled_from(["I", "U", "U", "D"]))
+        batches[b].append((key, lsn, op))
+    return [b for b in batches if b]
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(batches=preimage_workloads())
+def test_preimage_feed_matches_model(spark, batches):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.lake.format import IceliteTable
+
+    with tempfile.TemporaryDirectory(prefix="preimg_prop_") as root:
+        t = create_transcript_table(spark, f"{root}/t", n_buckets=2)
+        deliveries = []  # (commit_seq, key, lsn, text, deleted)
+        for bi, batch in enumerate(batches):
+            rows = [
+                (lsn, op, k[0], k[1], "user",
+                 None if op == "D" else f"v{lsn}", "",
+                 pd.Timestamp("2025-01-01"))
+                for (k, lsn, op) in batch
+            ]
+            sdf = spark.createDataFrame(
+                pd.DataFrame(rows, columns=[
+                    "lsn", "op", "conv_id", "turn_idx", "role", "text",
+                    "tool", "ts"]),
+                schema=CHANGELOG_SCHEMA,
+            )
+            apply_changes(t, sdf, batch_key=f"b{bi}", mode="mor")
+            seq = t.current_seq()
+            # the batch's delivered winner per key = its max-LSN row
+            best = {}
+            for (k, lsn, op) in batch:
+                if k not in best or lsn > best[k][0]:
+                    best[k] = (lsn, op)
+            for k, (lsn, op) in best.items():
+                deliveries.append(
+                    (seq, k, lsn, None if op == "D" else f"v{lsn}", op == "D")
+                )
+
+        seqs = sorted({d[0] for d in deliveries})
+        for since in {0, seqs[len(seqs) // 2]}:
+            got = {
+                (r["_commit_seq"], (r["conv_id"], r["turn_idx"])): (
+                    r["_before"]["__lsn"] if r["_before"] else None,
+                    r["_before"]["text"] if r["_before"] else None,
+                    r["_before"]["__deleted"] if r["_before"] else None,
+                )
+                for r in t.read_changes_with_preimage(since).collect()
+            }
+            want = {}
+            for (s, k, lsn, text, dead) in deliveries:
+                if s <= since:
+                    continue
+                prior = [d for d in deliveries if d[1] == k and d[0] < s]
+                if prior:
+                    best = max(prior, key=lambda d: d[2])  # max-LSN delivery
+                    want[(s, k)] = (best[2], best[3], best[4])
+                else:
+                    want[(s, k)] = (None, None, None)
+            assert got == want, f"since={since}"

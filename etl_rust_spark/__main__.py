@@ -240,6 +240,10 @@ def cmd_tail(args) -> int:
     if args.max_commits_per_batch:
         # source-side bound: a backlog drains in ceil(N/k) micro-batches
         src = src.option("maxCommitsPerBatch", str(args.max_commits_per_batch))
+    if args.shard:
+        # consumer i of k: file-level bucket sharding — k parallel tails
+        # partition the feed disjointly with metadata-only pruning
+        src = src.option("shard", args.shard)
     w = (
         src.load()
         .writeStream.foreachBatch(emit)
@@ -371,6 +375,10 @@ def build_parser() -> argparse.ArgumentParser:
     tl.add_argument("--max-commits-per-batch", type=int, default=None,
                     help="bound each micro-batch to at most N table "
                          "commits (backpressure for backlog catch-up)")
+    tl.add_argument("--shard", default=None, metavar="i/k",
+                    help="consume only files whose bucket %% k == i — run "
+                         "k tails (each with its own checkpoint) to "
+                         "partition the feed across parallel consumers")
     tl.set_defaults(fn=cmd_tail)
 
     ch = sub.add_parser("changes", help="show the incremental change feed")

@@ -523,6 +523,48 @@ def running_total(spark, sf_dir):
 
 
 @query(
+    "cdc_preimage_diff",
+    """
+    SELECT event_id, user_id,
+      value AS new_value,
+      lag(value) OVER w AS before_value,
+      lag(event_type) OVER w AS before_type,
+      CAST(CAST(value AS DECIMAL(14,6)) -
+           lag(CAST(value AS DECIMAL(14,6))) OVER w AS DOUBLE) AS value_delta,
+      (lag(event_id) OVER w IS NULL) AS first_change
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def cdc_preimage_diff(spark, sf_dir):
+    """CDC before-image audit diff: every keyed change carries the key's
+    state BEFORE it applied (value/type) plus the exact delta, NULL
+    before-state marking first appearance. This is the pure-relational
+    model of ``IceliteTable.read_changes_with_preimage`` (Debezium
+    ``before`` / Delta CDF ``update_preimage`` semantics) — the SAME
+    per-key lag-over-delivery-order model the hypothesis differential
+    test checks the lake feed against, here driver-witnessed with an
+    exact DuckDB oracle. Delta runs in DECIMAL so cross-engine float
+    summation order can't bite. Scale: one window per KEY (no global
+    sort); per-key histories are bounded and partitions grow with key
+    count — the running_total granularity argument. The reference has no
+    before-image surface at all (its sink is insert-only,
+    example/src/main.rs:489-493 aborts on PK violation) — this is an
+    extension an audit/diff consumer of the CDC feed needs."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dec = _dec("value", 14, 6)
+    return e.select(
+        "event_id", "user_id",
+        F.col("value").alias("new_value"),
+        F.lag("value").over(w).alias("before_value"),
+        F.lag("event_type").over(w).alias("before_type"),
+        (dec - F.lag(dec).over(w)).cast("double").alias("value_delta"),
+        F.lag("event_id").over(w).isNull().alias("first_change"),
+    )
+
+
+@query(
     "sessionize",
     """
     WITH g AS (

@@ -21,6 +21,12 @@ each merge-on-read commit appended (upserts + ``__deleted`` tombstones +
 are invisible (rewrites, not changes); a copy-on-write commit in range
 fails the stream fast, exactly like the batch API.
 
+Consumer-side scale-out: ``option("shard", "i/k")`` gives consumer i of
+k a disjoint slice of the feed by file bucket (bucket % k == i), pruned
+at the manifest level — k parallel downstream pipelines (each with its
+own checkpoint) partition the feed completely without k full scans.
+``option("maxCommitsPerBatch", n)`` bounds backlog catch-up.
+
 Data-plane note (disclosed): partitions are read by pyarrow in Python
 workers — the Python Data Source API's execution model — with one
 partition per data file for parallelism. That is the right trade for a
@@ -135,10 +141,17 @@ class _TableMeta:
             if pat.fullmatch(os.path.basename(p))
         )
 
-    def change_files(self, since_seq: int, until_seq: int):
+    def change_files(
+        self, since_seq: int, until_seq: int, shard: tuple[int, int] | None = None
+    ):
         """[(path, cols_map_or_None, commit_seq)] for commits in
         (since, until] — the same selection and failure rules as
-        ``IceliteTable.read_changes``."""
+        ``IceliteTable.read_changes``.
+
+        ``shard=(i, k)`` keeps only files whose bucket ≡ i (mod k) — pure
+        manifest-metadata pruning, no data file is opened to be skipped.
+        Every file belongs to exactly one shard, so k consumers with
+        shards 0..k-1 partition the feed disjointly and completely."""
         out = []
         for s in range(since_seq + 1, until_seq + 1):
             rec = self.lineage_record(s)
@@ -159,6 +172,8 @@ class _TableMeta:
                 )
             for name in names:
                 for e in self.manifest(name):
+                    if shard is not None and e["bucket"] % shard[1] != shard[0]:
+                        continue
                     out.append((e["path"], e.get("cols"), s))
         return out
 
@@ -213,8 +228,28 @@ def _stream_schema(meta: _TableMeta) -> T.StructType:
     return schema.add("_commit_seq", T.LongType(), True)
 
 
+def _parse_shard(options) -> tuple[int, int] | None:
+    """Parse .option("shard", "i/k") — consumer i of k, file-level bucket
+    sharding (bucket % k == i). Balance is best when k divides the
+    table's n_buckets; disjointness/completeness hold regardless. After a
+    rebucket, a KEY may migrate shards (files keep their write-time
+    bucket) — downstream consumers already order by __lsn, so per-key
+    last-writer-wins is unaffected."""
+    raw = options.get("shard")
+    if raw is None:
+        return None
+    try:
+        i, k = (int(x) for x in str(raw).split("/"))
+    except ValueError:
+        raise ValueError(f"shard must be 'i/k' (got {raw!r})") from None
+    if k < 1 or not 0 <= i < k:
+        raise ValueError(f"shard must satisfy 0 <= i < k (got {raw!r})")
+    return (i, k)
+
+
 def _partitions_for(
-    meta: _TableMeta, start: int, end: int, decl: T.StructType
+    meta: _TableMeta, start: int, end: int, decl: T.StructType,
+    shard: tuple[int, int] | None = None,
 ) -> list[_FilePartition]:
     """Partitions carry the schema the STREAM DECLARED at start (minus
     _commit_seq), not the end pointer's — Spark requires every batch to
@@ -254,7 +289,7 @@ def _partitions_for(
             path=path, cols=cols, commit_seq=seq, schema_json=schema_json,
             field_ids=fids, legacy_cols=legacy,
         )
-        for path, cols, seq in meta.change_files(start, end)
+        for path, cols, seq in meta.change_files(start, end, shard)
     ]
 
 
@@ -288,6 +323,7 @@ class _IceliteStreamReader(DataSourceStreamReader):
         self.start_seq = int(options.get("sinceseq", options.get("sinceSeq", 0)))
         mcb = options.get("maxcommitsperbatch", options.get("maxCommitsPerBatch"))
         self.max_commits = int(mcb) if mcb is not None else None
+        self.shard = _parse_shard(options)
         if self.max_commits is not None and self.max_commits < 1:
             raise ValueError("maxCommitsPerBatch must be >= 1")
         self._base: int | None = self.start_seq  # highest seq planned/committed
@@ -308,7 +344,7 @@ class _IceliteStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         self._learn_base(int(end["seq"]))
         parts = _partitions_for(
-            self.meta, int(start["seq"]), int(end["seq"]), self.decl
+            self.meta, int(start["seq"]), int(end["seq"]), self.decl, self.shard
         )
         # Spark requires at least the ability to plan an empty batch
         return parts or [_FilePartition(path="", commit_seq=-1)]
@@ -338,9 +374,12 @@ class _IceliteBatchReader(DataSourceReader):
         self.since = int(options.get("sinceseq", options.get("sinceSeq", 0)))
         until = options.get("untilseq", options.get("untilSeq"))
         self.until = int(until) if until is not None else self.meta.current_seq()
+        self.shard = _parse_shard(options)
 
     def partitions(self):
-        parts = _partitions_for(self.meta, self.since, self.until, self.decl)
+        parts = _partitions_for(
+            self.meta, self.since, self.until, self.decl, self.shard
+        )
         return parts or [_FilePartition(path="", commit_seq=-1)]
 
     def read(self, partition: _FilePartition):

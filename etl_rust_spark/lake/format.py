@@ -120,22 +120,40 @@ def _local_path(p: str) -> str:
 # per-file column stats (Iceberg-style data skipping)
 # --------------------------------------------------------------------------
 
+def _stat_supported(dt: T.DataType) -> bool:
+    """Types with a JSON-storable, order-preserving min/max (the
+    ``_stat_expr`` domain) — kept as a pure type predicate so metadata-
+    only callers (the native sink's commit runner has no SparkSession)
+    never construct a Column."""
+    return isinstance(
+        dt,
+        (
+            T.TimestampType,
+            T.TimestampNTZType,
+            T.DateType,
+            T.IntegralType,
+            T.FloatType,
+            T.DoubleType,
+            T.StringType,
+            T.BooleanType,
+        ),
+    )
+
+
 def _stat_expr(field: T.StructField):
     """JSON-storable, order-preserving min/max representation per type:
     timestamps → epoch micros (session is UTC-pinned, see session.py, so
     NTZ wall clocks normalize consistently), dates → epoch days, numerics
     and short strings raw. Returns None for unsupported types (no stats)."""
+    if not _stat_supported(field.dataType):
+        return None
     c = F.col(field.name)
     dt = field.dataType
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         return F.unix_micros(c.cast("timestamp"))
     if isinstance(dt, T.DateType):
         return F.unix_date(c)
-    if isinstance(dt, (T.IntegralType, T.FloatType, T.DoubleType)):
-        return c
-    if isinstance(dt, (T.StringType, T.BooleanType)):
-        return c
-    return None
+    return c
 
 
 def _footer_stats_entry(path: str, stat_names: tuple) -> dict:
@@ -1635,7 +1653,7 @@ class IceliteTable:
                 f.dataType,
                 (T.NumericType, T.TimestampType, T.TimestampNTZType, T.DateType),
             ) and not isinstance(f.dataType, T.DecimalType)
-            if (f.name in keyish or rangy) and _stat_expr(f) is not None:
+            if (f.name in keyish or rangy) and _stat_supported(f.dataType):
                 out.append(f)
         return out
 
@@ -1687,12 +1705,15 @@ class IceliteTable:
         if not part_files:
             return [], 0, {}
         stat_names = self._footer_stat_names(part_files[0])
-        shared_fs = self.spark.conf.get("spark.master", "").startswith(
-            "local"
-        ) or (
+        # spark=None: the native streaming sink commits from a data-source
+        # runner process with no SparkSession — footers harvest serially
+        # (sub-ms each; a sink micro-batch is file-count-bounded anyway)
+        shared_fs = self.spark is not None and (self.spark.conf.get(
+            "spark.master", ""
+        ).startswith("local") or (
             self.spark.conf.get("spark.etl_rust_spark.sharedFs", "false").lower()
             == "true"
-        )
+        ))
         if shared_fs and len(part_files) > 64:
             n_slices = min(
                 len(part_files),

@@ -389,8 +389,9 @@ class _IceliteBatchReader(DataSourceReader):
 
 
 class IceliteDataSource(DataSource):
-    """``format("icelite")`` — change-feed source over an Icelite table,
-    batch and streaming."""
+    """``format("icelite")`` — change-feed source over an Icelite table
+    (batch and streaming reads) and exactly-once streaming SINK (see
+    sources/icelite_sink.py for the write contract)."""
 
     @classmethod
     def name(cls) -> str:
@@ -404,6 +405,11 @@ class IceliteDataSource(DataSource):
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return _IceliteStreamReader(self.options, schema)
+
+    def streamWriter(self, schema, overwrite: bool):
+        from etl_rust_spark.sources.icelite_sink import IceliteStreamWriter
+
+        return IceliteStreamWriter(self.options, schema, overwrite)
 
 
 def register_icelite_source(spark) -> None:

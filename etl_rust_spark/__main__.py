@@ -146,6 +146,18 @@ def cmd_expire(args) -> int:
     return 0
 
 
+def cmd_rollback(args) -> int:
+    from etl_rust_spark.lake.format import IceliteTable
+
+    t = IceliteTable.load(_spark(args), args.table)
+    rec = t.rollback(args.to_seq)
+    print(
+        f"rolled back to seq {rec['rolled_back_to']} "
+        f"(from {rec['rolled_back_from']}) at seq {rec['commit_seq']}"
+    )
+    return 0
+
+
 def cmd_rebucket(args) -> int:
     from etl_rust_spark.lake.format import IceliteTable
 
@@ -322,6 +334,14 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--table", required=True)
     e.add_argument("--keep-last", type=int, default=2)
     e.set_defaults(fn=cmd_expire)
+
+    rk = sub.add_parser(
+        "rollback",
+        help="restore a prior snapshot as a new commit (history kept)",
+    )
+    rk.add_argument("--table", required=True)
+    rk.add_argument("--to-seq", type=int, required=True)
+    rk.set_defaults(fn=cmd_rollback)
 
     rb = sub.add_parser("rebucket", help="rewrite under a new bucket count")
     rb.add_argument("--table", required=True)

@@ -97,7 +97,8 @@ LINEAGE_SCHEMA = (
     "n_upserts long, n_deletes long, lsn_min long, lsn_max long, "
     "touched_buckets array<int>, "
     "files_added int, files_removed int, rows_written long, "
-    "per_bucket_rows map<string,long>, wall_ms double, committed_at string"
+    "per_bucket_rows map<string,long>, wall_ms double, committed_at string, "
+    "rolled_back_to long, rolled_back_from long"
 )
 
 
@@ -1777,6 +1778,13 @@ class IceliteTable:
             rec = self._lineage_record(s)
             if rec is None:
                 raise FileNotFoundError(f"no lineage record for commit {s}")
+            if rec["source"] == "rollback":
+                raise ValueError(
+                    f"commit {s} is a rollback (state reverted to seq "
+                    f"{rec.get('rolled_back_to')}) — a change feed cannot "
+                    "express un-delivery; incremental consumers must "
+                    "re-sync from a snapshot at or after the rollback"
+                )
             if rec["source"] in ("compact", "rebucket", "rename", "drop"):
                 continue  # rewrites / metadata-only: not changes
             if rec["files_removed"] > 0:
@@ -2161,6 +2169,80 @@ class IceliteTable:
         if not os.path.exists(p):
             raise FileNotFoundError(f"no tag {name!r}")
         os.remove(p)
+
+    def rollback(self, to_seq: int) -> dict:
+        """Restore the table to snapshot ``to_seq`` as a NEW commit
+        (Iceberg's ``rollback_to_snapshot``, public semantics): history
+        is preserved — the undone commits stay inspectable via time
+        travel — while the CURRENT state becomes the old snapshot's.
+        Metadata-only and O(pointer) at any table size: the new pointer
+        adopts the target's manifests, schema, field ids, bucket layout,
+        z-order note AND applied-batch ledger. Adopting the ledger is
+        the operational point: batches undone by the rollback leave the
+        exactly-once ledger with the state they produced, so re-running
+        the ingest replays them instead of skipping them as duplicates.
+
+        Incremental consumers: a rollback in range makes
+        ``read_changes`` / the ``format("icelite")`` stream raise — a
+        change feed cannot express un-delivery; consumers re-sync from
+        a snapshot (same fail-fast contract as copy-on-write commits).
+
+        NON-rebasing: a commit racing the rollback raises
+        ``ConcurrentCommitError`` — silently discarding a concurrent
+        writer's batch is never safe; quiesce writers (or re-issue
+        after inspecting) instead. Reference analog: the reference
+        truncates and re-syncs on unrecoverable sink divergence
+        (src/etl/processor.rs replay-from-scratch path); here the
+        re-sync point is any retained snapshot."""
+        t0 = time.monotonic()
+        cur = self.pointer()
+        if to_seq == cur["seq"]:
+            raise ValueError(f"table is already at seq {to_seq}")
+        if to_seq > cur["seq"]:
+            raise ValueError(
+                f"cannot roll back to future seq {to_seq} (current {cur['seq']})"
+            )
+        target = self.pointer(to_seq)  # FileNotFoundError when expired
+        commit_seq = cur["seq"] + 1
+        tok = f"-{uuid.uuid4().hex[:8]}"
+        lineage_rec = {
+            "commit_seq": commit_seq,
+            "batch_key": None,
+            "source": "rollback",
+            "rolled_back_to": int(to_seq),
+            "rolled_back_from": int(cur["seq"]),
+            "n_changes": 0,
+            "n_upserts": 0,
+            "n_deletes": 0,
+            "lsn_min": None,
+            "lsn_max": None,
+            "touched_buckets": [],
+            "files_added": 0,
+            "files_removed": 0,
+            "rows_written": 0,
+            "per_bucket_rows": {},
+            "wall_ms": round((time.monotonic() - t0) * 1000.0, 3),
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        # parent_ptr = TARGET: _commit adopts its ledger, field ids and
+        # layout wholesale; parent_seq is overridden to the true
+        # predecessor so history stays linear and the reverted span is
+        # discoverable from the pointer itself
+        self._commit(
+            target,
+            commit_seq,
+            T.StructType.fromJson(target["schema"]),
+            list(target["manifests"]),
+            None,
+            lineage_rec,
+            tok,
+            {
+                "parent_seq": cur["seq"],
+                "added_manifests": [],
+                "rolled_back_to": int(to_seq),
+            },
+        )
+        return lineage_rec
 
     def rename_column(self, old: str, new: str) -> dict:
         """METADATA-ONLY column rename (Iceberg field-id evolution): no

@@ -157,6 +157,13 @@ class _TableMeta:
             rec = self.lineage_record(s)
             if rec is None:
                 raise FileNotFoundError(f"no lineage record for commit {s}")
+            if rec["source"] == "rollback":
+                raise ValueError(
+                    f"commit {s} is a rollback (state reverted to seq "
+                    f"{rec.get('rolled_back_to')}) — a change feed cannot "
+                    "express un-delivery; restart the consumer from a "
+                    "snapshot at or after the rollback"
+                )
             if rec["source"] in _NON_CHANGE_SOURCES:
                 continue
             if rec["files_removed"] > 0:

@@ -218,3 +218,31 @@ def test_cli_tail_streams_backlog_without_driver_collect(spark, tmp_path, capsys
         seen.extend(lines)
     assert {r["conv_id"] for r in seen} == {f"c{b}" for b in range(n_commits)}
     assert len(seen) == n_commits  # exactly once across bounded runs
+
+
+def test_cli_rollback_end_to_end(spark, tmp_path, capsys):
+    import datetime as dt
+
+    from etl_rust_spark.__main__ import build_parser
+    from etl_rust_spark.lake.format import IceliteTable
+    from etl_rust_spark.operators.apply import apply_changes, create_transcript_table
+
+    p = build_parser()
+    a = p.parse_args(["rollback", "--table", "/t", "--to-seq", "3"])
+    assert (a.cmd, a.to_seq) == ("rollback", 3)
+
+    tpath = str(tmp_path / "t")
+    t = create_transcript_table(spark, tpath, n_buckets=4)
+    rows = [(1, "I", "c0", 0, "user", "keep", "", dt.datetime(2025, 1, 1))]
+    sch = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+           "text string, tool string, ts timestamp")
+    apply_changes(t, spark.createDataFrame(rows, sch), batch_key="g", mode="mor")
+    bad = [(2, "I", "c1", 0, "user", "oops", "", dt.datetime(2025, 1, 1))]
+    apply_changes(t, spark.createDataFrame(bad, sch), batch_key="b", mode="mor")
+
+    args = p.parse_args(["rollback", "--table", tpath, "--to-seq", "1"])
+    assert args.fn(args) == 0
+    out = capsys.readouterr().out
+    assert "rolled back to seq 1" in out
+    t2 = IceliteTable(spark, tpath)
+    assert [r["text"] for r in t2.read().collect()] == ["keep"]

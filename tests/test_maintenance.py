@@ -368,3 +368,97 @@ def test_preimage_feed_resolves_rename_in_window(spark, tmp_path):
     r = rows[0]
     assert r["body"] == "v2"
     assert r["_before"]["body"] == "v1" and r["_before"]["__lsn"] == 10
+
+
+# ---------------------------------------------------------------- rollback
+
+def test_rollback_restores_state_and_ledger(spark, tmp_path):
+    """rollback(to_seq) is a metadata-only commit: state reverts exactly,
+    history stays time-travelable, and the exactly-once ledger reverts
+    WITH the state so undone batches are re-appliable."""
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(table, _batch(spark, "c0", 0), batch_key="good", mode="mor")
+    good_seq = table.current_seq()
+    good_state = {(r["conv_id"], r["turn_idx"], r["text"])
+                  for r in table.read().collect()}
+
+    apply_changes(table, _batch(spark, "c1", 100), batch_key="bad", mode="mor")
+    bad_seq = table.current_seq()
+    assert table.is_applied("bad")
+
+    rec = table.rollback(good_seq)
+    assert rec["source"] == "rollback"
+    assert rec["rolled_back_to"] == good_seq
+    assert table.current_seq() == bad_seq + 1
+    # exact state reversion, metadata-only
+    assert {(r["conv_id"], r["turn_idx"], r["text"])
+            for r in table.read().collect()} == good_state
+    assert rec["files_added"] == 0 and rec["files_removed"] == 0
+    # history preserved: the bad commit is still inspectable
+    assert table.read(seq=bad_seq).count() == 8
+    # ledger reverted: the undone batch re-applies instead of deduping
+    assert not table.is_applied("bad")
+    assert table.is_applied("good")
+    apply_changes(table, _batch(spark, "c1", 100), batch_key="bad", mode="mor")
+    assert table.read().count() == 8
+
+    # pointer records the reversion
+    assert table.pointer(bad_seq + 1)["rolled_back_to"] == good_seq
+
+
+def test_rollback_validation_and_feed_fail_fast(spark, tmp_path):
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(table, _batch(spark, "c0", 0), batch_key="b0", mode="mor")
+    apply_changes(table, _batch(spark, "c1", 100), batch_key="b1", mode="mor")
+    cur = table.current_seq()
+
+    with pytest.raises(ValueError, match="already at"):
+        table.rollback(cur)
+    with pytest.raises(ValueError, match="future"):
+        table.rollback(cur + 5)
+
+    table.rollback(1)
+    rb_seq = table.current_seq()
+    # a feed range containing the rollback fails loud — never a silent
+    # skip (consumers cannot un-receive the reverted rows)
+    with pytest.raises(ValueError, match="rollback"):
+        table.read_changes(0).count()
+    # resuming at/after the rollback commit works
+    assert table.read_changes(rb_seq).count() == 0
+    apply_changes(table, _batch(spark, "c2", 200), batch_key="b2", mode="mor")
+    assert table.read_changes(rb_seq).count() == 4
+
+
+def test_rollback_across_rebucket_restores_layout(spark, tmp_path):
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(table, _batch(spark, "c0", 0), batch_key="b0", mode="mor")
+    before = table.current_seq()
+    table.rebucket(8)
+    assert table.pointer()["n_buckets"] == 8
+    table.rollback(before)
+    ptr = table.pointer()
+    assert ptr["n_buckets"] == 4  # write-time layout of the target's files
+    assert table.read().count() == 4
+    # and ingest continues under the restored layout
+    apply_changes(table, _batch(spark, "c1", 100), batch_key="b1", mode="mor")
+    assert table.read().count() == 8
+
+
+def test_streaming_source_fails_fast_on_rollback(spark, tmp_path):
+    from etl_rust_spark.sources import register_icelite_source
+
+    register_icelite_source(spark)
+    tpath = str(tmp_path / "t")
+    table = create_transcript_table(spark, tpath, n_buckets=4)
+    apply_changes(table, _batch(spark, "c0", 0), batch_key="b0", mode="mor")
+    table.rollback(0)
+
+    q = (
+        spark.readStream.format("icelite").option("path", tpath).load()
+        .writeStream.foreachBatch(lambda df, _e: df.count())
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="rollback"):
+        q.awaitTermination()

@@ -162,13 +162,26 @@ class IceliteStreamWriter(DataSourceStreamArrowWriter):
         if not batches:
             return msg
         tbl = pa.Table.from_batches(batches).select(self.col_order)
+        if tbl.num_rows == 0:
+            return msg
         for k in (*self.key_cols, self.seq_col):
             if tbl.column(k).null_count:
                 raise ValueError(f"null {k!r} in sink input (CDC keys are non-null)")
-        # task-local winner collapse: max seq per key (grouping via pandas
-        # on the thin key+seq projection only; data rows stay Arrow)
-        proj = tbl.select([*self.key_cols, self.seq_col]).to_pandas()
-        if proj.duplicated(self.key_cols).any():
+        # task-local winner collapse: max seq per key. The DUP CHECK is
+        # pure Arrow — a cold python worker importing pandas costs ~5
+        # CPU-s of contended startup, and the steady-state tail (one
+        # winner per key per upstream commit) never has task-local dups,
+        # so the fast path must not pay the import. pandas loads only
+        # when a dup actually exists.
+        import pyarrow.compute as pc_
+
+        counts = (
+            tbl.select(self.key_cols)
+            .group_by(self.key_cols)
+            .aggregate([([], "count_all")])
+        )
+        if pc_.max(counts.column("count_all")).as_py() > 1:
+            proj = tbl.select([*self.key_cols, self.seq_col]).to_pandas()
             keep = (
                 proj.groupby(self.key_cols, sort=False)[self.seq_col]
                 .idxmax()
@@ -178,6 +191,9 @@ class IceliteStreamWriter(DataSourceStreamArrowWriter):
             tbl = tbl.take(pa.array(keep))
         buckets = spark_bucket_of(tbl.column(self.bucket_key), self.n_buckets)
         os.makedirs(self.staging, exist_ok=True)
+        import pyarrow.compute as pc
+
+        has_dels = "__deleted" in self.col_order
         for b in np.unique(buckets):
             sub = tbl.take(pa.array(np.nonzero(buckets == b)[0]))
             sub = sub.sort_by([(c, "ascending") for c in self.order_cols])
@@ -185,14 +201,16 @@ class IceliteStreamWriter(DataSourceStreamArrowWriter):
                 self.staging, f"part-{uuid.uuid4().hex}-b{int(b):05d}.parquet"
             )
             pq.write_table(sub, fname)
-            msg.files.append({"path": fname, "bucket": int(b), "rows": sub.num_rows})
-        msg.rows = tbl.num_rows
-        if "__deleted" in self.col_order:
-            import pyarrow.compute as pc
-
-            msg.deletes = int(
-                pc.sum(pc.cast(tbl.column("__deleted"), pa.int64())).as_py() or 0
+            dels = (
+                int(pc.sum(pc.cast(sub.column("__deleted"), pa.int64())).as_py() or 0)
+                if has_dels
+                else 0
             )
+            msg.files.append(
+                {"path": fname, "bucket": int(b), "rows": sub.num_rows, "dels": dels}
+            )
+            msg.deletes += dels
+        msg.rows = tbl.num_rows
         return msg
 
     # --------------------------------------------------------------- driver
@@ -296,48 +314,89 @@ class IceliteStreamWriter(DataSourceStreamArrowWriter):
                 pass
 
     def _resolve_cross_task_winners(self, files: list, deletes: int):
-        """Enforce one winner per key per COMMIT across tasks. Reads only
-        the key+seq columns of the staged files; when every key is unique
-        (key-partitioned upstream — the common case) nothing is rewritten.
-        Otherwise the losing rows' files are rewritten in place (work
-        bounded by the colliding files, never the batch). Ties on equal
+        """Enforce one winner per key per COMMIT across tasks.
+
+        Same-key collisions can only occur WITHIN a bucket (the key
+        leads the bucket hash), so resolution is bucket-scoped: the thin
+        key+seq projection of each file is read in a thread pool
+        (pyarrow releases the GIL), buckets whose keys are unique —
+        every bucket, whenever the upstream is key-partitioned or the
+        batch spans one source commit — are untouched, and only files
+        holding LOSING rows in a dirty bucket are rewritten (also in
+        parallel). Work is bounded by the colliding slice of the
+        micro-batch, never the batch, never the table. Ties on equal
         seq resolve deterministically by task-message order."""
+        by_bucket: dict = {}
+        for i, f in enumerate(files):
+            by_bucket.setdefault(f["bucket"], []).append(i)
+        multi = [idxs for idxs in by_bucket.values() if len(idxs) > 1]
+        if not multi:
+            return files, deletes
+        from concurrent.futures import ThreadPoolExecutor
+
         import pandas as pd
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         cols = [*self.key_cols, self.seq_col]
-        frames = []
-        for i, f in enumerate(files):
-            d = pq.read_table(f["path"], columns=cols).to_pandas()
+        pool = ThreadPoolExecutor(max_workers=min(16, os.cpu_count() or 4))
+
+        def _thin(i):
+            d = pq.read_table(files[i]["path"], columns=cols).to_pandas()
             d["__file"] = i
-            frames.append(d)
-        allk = pd.concat(frames, ignore_index=True)
-        if not allk.duplicated(self.key_cols).any():
+            return d
+
+        candidates = [i for idxs in multi for i in idxs]
+        thins = dict(zip(candidates, pool.map(_thin, candidates)))
+        keep_by_file: dict = {}
+        drop_files: set = set()
+        for idxs in multi:
+            allk = pd.concat([thins[i] for i in idxs], ignore_index=True)
+            if not allk.duplicated(self.key_cols).any():
+                continue
+            allk["__row"] = allk.groupby("__file").cumcount()
+            winners = allk.loc[
+                allk.groupby(self.key_cols, sort=False)[self.seq_col].idxmax()
+            ]
+            per_file = {i: g["__row"].to_numpy() for i, g in winners.groupby("__file")}
+            for i in idxs:
+                keep = per_file.get(i)
+                if keep is None or len(keep) == 0:
+                    drop_files.add(i)
+                elif len(keep) != len(thins[i]):
+                    keep_by_file[i] = keep
+        if not keep_by_file and not drop_files:
             return files, deletes
-        allk["__row"] = allk.groupby("__file").cumcount()
-        winners = allk.loc[allk.groupby(self.key_cols, sort=False)[self.seq_col].idxmax()]
-        keep_by_file = {
-            i: g["__row"].to_numpy() for i, g in winners.groupby("__file")
-        }
+
+        def _rewrite(item):
+            i, keep = item
+            full = pq.read_table(files[i]["path"])
+            keep = keep.copy()
+            keep.sort()
+            full = full.take(pa.array(keep))
+            tmp = files[i]["path"] + ".rw"
+            pq.write_table(full, tmp)
+            os.replace(tmp, files[i]["path"])
+            return i, full
+
+        rewritten = dict(pool.map(_rewrite, keep_by_file.items()))
+        pool.shutdown()
         kept_files, new_deletes = [], 0
+        import pyarrow.compute as pc
+
         for i, f in enumerate(files):
-            keep = keep_by_file.get(i)
-            full = pq.read_table(f["path"])
-            if keep is None or len(keep) == 0:
+            if i in drop_files:
                 os.remove(f["path"])
                 continue
-            if len(keep) != full.num_rows:
-                keep.sort()
-                full = full.take(pa.array(keep))
-                tmp = f["path"] + ".rw"
-                pq.write_table(full, tmp)
-                os.replace(tmp, f["path"])
-            if "__deleted" in full.column_names:
-                import pyarrow.compute as pc
-
-                new_deletes += int(
-                    pc.sum(pc.cast(full.column("__deleted"), pa.int64())).as_py() or 0
+            if i in rewritten:
+                full = rewritten[i]
+                dels = (
+                    int(pc.sum(pc.cast(full.column("__deleted"), pa.int64())).as_py() or 0)
+                    if "__deleted" in full.column_names
+                    else 0
                 )
-            kept_files.append({**f, "rows": full.num_rows})
+                kept_files.append({**f, "rows": full.num_rows, "dels": dels})
+            else:
+                kept_files.append(f)
+            new_deletes += kept_files[-1].get("dels", 0)
         return kept_files, new_deletes

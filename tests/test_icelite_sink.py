@@ -298,3 +298,48 @@ def test_sink_task_retry_debris_is_not_committed(spark, tmp_path):
     assert tb.read().filter("conv_id = 'zz'").count() == 0
     _assert_states_equal(ta, tb)
     assert os.listdir(staging) == []  # debris swept at commit
+
+
+def test_two_concurrent_sinks_rebase_commits(spark, tmp_path):
+    """Two sink queries (distinct sinkIds) land batches into ONE table:
+    append-only commits always commute, so racing commits rebase through
+    the optimistic loop — no lost batch, disjoint keys all present,
+    contiguous lineage."""
+    register_icelite_source(spark)
+    A1, A2, B = str(tmp_path / "A1"), str(tmp_path / "A2"), str(tmp_path / "B")
+    t1 = create_transcript_table(spark, A1, n_buckets=4)
+    t2 = create_transcript_table(spark, A2, n_buckets=4)
+    apply_changes(t1, _batch(spark, [
+        (1, "I", "x1", 0, "user", "from-A1", None),
+        (2, "I", "x2", 0, "user", "from-A1", None),
+    ]), batch_key="a1", mode="mor")
+    apply_changes(t2, _batch(spark, [
+        (3, "I", "y1", 0, "user", "from-A2", None),
+        (4, "I", "y2", 0, "user", "from-A2", None),
+    ]), batch_key="a2", mode="mor")
+    tb = create_transcript_table(spark, B, n_buckets=4)
+
+    qs = []
+    for src, sid in ((A1, "s1"), (A2, "s2")):
+        qs.append(
+            spark.readStream.format("icelite").option("path", src).load()
+            .drop("_commit_seq")
+            .writeStream.format("icelite").option("path", B)
+            .option("sinkId", sid)
+            .option("checkpointLocation", str(tmp_path / f"ck-{sid}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+    for q in qs:
+        q.awaitTermination(120)
+
+    tb = IceliteTable(spark, B)
+    got = {(r["conv_id"], r["text"]) for r in tb.read().collect()}
+    assert got == {("x1", "from-A1"), ("x2", "from-A1"),
+                   ("y1", "from-A2"), ("y2", "from-A2")}
+    # both sink batches in the ledger, lineage contiguous
+    keys = tb.applied_batches()
+    assert sum(1 for k in keys if k.startswith("s1-")) == 1
+    assert sum(1 for k in keys if k.startswith("s2-")) == 1
+    seqs = [r["commit_seq"] for r in tb.lineage().orderBy("commit_seq").collect()]
+    assert seqs == list(range(1, tb.current_seq() + 1))

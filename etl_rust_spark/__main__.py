@@ -167,6 +167,32 @@ def cmd_rebucket(args) -> int:
     return 0
 
 
+def cmd_branch(args) -> int:
+    # pure metadata ops — no SparkSession (and no JVM startup) needed
+    from etl_rust_spark.lake.format import IceliteTable
+
+    t = IceliteTable(None, args.table)
+    if args.action != "list" and not args.name:
+        raise SystemExit(f"branch {args.action} requires --name")
+    if args.action == "create":
+        t.create_branch(args.name, at_seq=args.at_seq)
+        info = t.branches()[args.name]
+        print(f"created branch {args.name!r} at seq {info['fork_seq']}")
+    elif args.action == "list":
+        for name, info in sorted(t.branches().items()):
+            print(f"{name}\tfork={info['fork_seq']}\ttip={info['tip_seq']}")
+    elif args.action == "delete":
+        t.delete_branch(args.name)
+        print(f"deleted branch {args.name!r}")
+    elif args.action == "fast-forward":
+        res = t.fast_forward(args.name)
+        print(
+            f"published {res['published']} commit(s) from {args.name!r} "
+            f"(fork seq {res['fork_seq']} -> tip seq {res['tip_seq']})"
+        )
+    return 0
+
+
 def cmd_rename_column(args) -> int:
     from etl_rust_spark.lake.format import IceliteTable
 
@@ -347,6 +373,16 @@ def build_parser() -> argparse.ArgumentParser:
     rb.add_argument("--table", required=True)
     rb.add_argument("--n-buckets", type=int, required=True)
     rb.set_defaults(fn=cmd_rebucket)
+
+    bp = sub.add_parser(
+        "branch",
+        help="named branches: create/list/delete/fast-forward (metadata-only)",
+    )
+    bp.add_argument("action", choices=["create", "list", "delete", "fast-forward"])
+    bp.add_argument("--table", required=True)
+    bp.add_argument("--name", help="branch name (all actions but list)")
+    bp.add_argument("--at-seq", type=int, default=None, help="fork point (create)")
+    bp.set_defaults(fn=cmd_branch)
 
     rn = sub.add_parser(
         "rename-column", help="metadata-only column rename (field-id evolution)"

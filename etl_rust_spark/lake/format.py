@@ -25,6 +25,13 @@ v1 was one monolithic JSON that grew O(files + commits) per commit):
 - ``_lineage/lineage-<seq>.json`` — one JSON record per commit: a real
   append-only lineage TABLE (``lineage()`` reads the directory as a
   DataFrame), not a list embedded in the manifest.
+- ``_manifests/branch-<name>/snap-*.json`` (+ sibling
+  ``_lineage/branch-<name>/``) — a NAMED BRANCH's own pointer chain
+  (Iceberg branch refs): forked by hard-linking a main snapshot, extended
+  by the same commit machinery (manifest/archive/data names stay in the
+  shared namespace, collision-free via uuid tokens), published by
+  ``fast_forward`` (per-commit pointer links). Every branch chain is a
+  live GC root for ``remove_orphans``/``expire_snapshots``.
 
 Table semantics (unchanged from v1):
 
@@ -345,13 +352,34 @@ def _group_conds(conds: list, cmap: dict | None, fids: dict | None, by_name: dic
 
 
 class IceliteTable:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, branch: str | None = None):
         self.spark = spark
         self.path = os.path.abspath(path)
         self._manifest_dir = os.path.join(self.path, _MANIFEST_DIR)
-        self._lineage_dir = os.path.join(self.path, _LINEAGE_DIR)
+        self._main_lineage_dir = os.path.join(self.path, _LINEAGE_DIR)
         if not os.path.isdir(self._manifest_dir):
             raise FileNotFoundError(f"not an Icelite table: {path}")
+        # Named branches (Iceberg refs): a branch is its own pointer chain
+        # under _manifests/branch-<name>/ (and a sibling lineage dir),
+        # forked by hard-linking a main snapshot. Data files, manifest
+        # files and ledger archives stay in the SHARED namespace (all
+        # branch commits flow through _commit_rebasing, whose uuid tokens
+        # make names collision-free across chains), so forking is O(1)
+        # and publishing is pointer hard-links — never a data copy.
+        self.branch = branch
+        if branch is None:
+            self._snap_dir = self._manifest_dir
+            self._lineage_dir = self._main_lineage_dir
+        else:
+            _check_branch_name(branch)
+            self._snap_dir = os.path.join(self._manifest_dir, f"branch-{branch}")
+            self._lineage_dir = os.path.join(
+                self._main_lineage_dir, f"branch-{branch}"
+            )
+            if not os.path.isdir(self._snap_dir):
+                raise FileNotFoundError(
+                    f"no branch {branch!r} on {path} (create_branch first)"
+                )
         # immutable-file caches (manifests and ledger archives never change
         # once written, so a long-lived writer resolves each exactly once)
         self._manifest_cache: dict[str, list] = {}
@@ -409,20 +437,29 @@ class IceliteTable:
 
     # ------------------------------------------------------------- snapshots
     def _pointer_path(self, seq: int) -> str:
-        return os.path.join(self._manifest_dir, f"snap-{seq:08d}.json")
+        return os.path.join(self._snap_dir, f"snap-{seq:08d}.json")
 
     def current_seq(self) -> int:
-        snaps = glob.glob(os.path.join(self._manifest_dir, "snap-*.json"))
+        snaps = glob.glob(os.path.join(self._snap_dir, "snap-*.json"))
         if not snaps:
-            raise FileNotFoundError(f"no snapshots in {self._manifest_dir}")
+            raise FileNotFoundError(f"no snapshots in {self._snap_dir}")
         return max(int(os.path.basename(p)[5:13]) for p in snaps)
 
     def pointer(self, seq: int | None = None) -> dict:
         """The raw (small) snapshot pointer — O(manifest count), never
-        materializes file lists or the ledger."""
+        materializes file lists or the ledger. On a branch handle, seqs
+        BEFORE the fork resolve against main's chain (shared history)."""
         seq = self.current_seq() if seq is None else seq
-        with open(self._pointer_path(seq)) as f:
-            return json.load(f)
+        try:
+            with open(self._pointer_path(seq)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            if self.branch is not None:
+                with open(
+                    os.path.join(self._manifest_dir, f"snap-{seq:08d}.json")
+                ) as f:
+                    return json.load(f)
+            raise
 
     def _read_manifest(self, name: str) -> list:
         if name not in self._manifest_cache:
@@ -820,19 +857,33 @@ class IceliteTable:
         wall time. Uncommitted orphans (crash between lineage write and
         pointer link) are filtered by commit_seq."""
         cur = self.current_seq()
-        paths = sorted(glob.glob(os.path.join(self._lineage_dir, "lineage-*.json")))
+        lineage_dirs = [self._lineage_dir]
+        snap_dirs = [self._snap_dir]
+        if self.branch is not None:  # pre-fork history lives in main's dirs
+            lineage_dirs.append(self._main_lineage_dir)
+            snap_dirs.append(self._manifest_dir)
+        paths = sorted(
+            p
+            for d in lineage_dirs
+            for p in glob.glob(os.path.join(d, "lineage-*.json"))
+        )
         # at seqs whose pointer records its own lineage file (v3), admit
         # ONLY that file — a losing attempt's debris at the same seq would
         # otherwise appear as a duplicate lineage row until orphan GC runs.
         # Expired seqs (pointer gone) keep every candidate (legacy view).
+        # On a branch handle, the BRANCH's pointer wins at overlapping
+        # seqs (snap_dirs order), so a diverged main commit's lineage at
+        # the same seq is excluded from the branch's view.
         recorded: dict[int, str] = {}
-        for sp in glob.glob(os.path.join(self._manifest_dir, "snap-*.json")):
-            try:
-                p2 = self.pointer(int(os.path.basename(sp)[5:13]))
-            except FileNotFoundError:
-                continue
-            if p2.get("lineage_file") is not None:
-                recorded[int(p2["seq"])] = p2["lineage_file"]
+        for sd in snap_dirs:
+            for sp in glob.glob(os.path.join(sd, "snap-*.json")):
+                try:
+                    with open(sp) as f:
+                        p2 = json.load(f)
+                except FileNotFoundError:
+                    continue
+                if p2.get("lineage_file") is not None:
+                    recorded.setdefault(int(p2["seq"]), p2["lineage_file"])
         paths = [
             p
             for p in paths
@@ -900,6 +951,7 @@ class IceliteTable:
         """
         t0 = time.monotonic()
         if stage_as is not None:
+            self._require_main("stage_as (use a branch commit instead)")
             if mode != "mor":
                 raise ValueError(
                     "stage_as requires mode='mor' (append-only commits); "
@@ -1468,7 +1520,7 @@ class IceliteTable:
             "committed_at_epoch": time.time(),
         }
         pointer.update(ptr_overrides or {})
-        _commit_pointer(self._manifest_dir, commit_seq, pointer)
+        _commit_pointer(self._snap_dir, commit_seq, pointer)
         return aux
 
     def _commit_rebasing(
@@ -1925,10 +1977,11 @@ class IceliteTable:
         except FileNotFoundError:
             rec_name = None
         if rec_name is not None:
-            p = os.path.join(self._lineage_dir, rec_name)
-            if os.path.exists(p):
-                with open(p) as f:
-                    return json.load(f)
+            for d in (self._lineage_dir, self._main_lineage_dir):
+                p = os.path.join(d, rec_name)
+                if os.path.exists(p):
+                    with open(p) as f:
+                        return json.load(f)
             return None
         cands = sorted(
             glob.glob(os.path.join(self._lineage_dir, f"lineage-{s:08d}*.json"))
@@ -2020,6 +2073,7 @@ class IceliteTable:
         ``zorder``/``zorder_files_per_bucket``) — otherwise the nightly
         maintenance job would silently destroy the clustering the
         expensive OPTIMIZE run paid for. Pass ``zorder=[]`` to clear."""
+        self._require_main("compact")
         ptr = self.pointer()
         if zorder is None:
             zorder = ptr.get("zorder") or None
@@ -2104,6 +2158,7 @@ class IceliteTable:
         done eagerly. NON-rebasing: a concurrent commit during the
         rewrite raises (mixing two bucket layouts in one snapshot would
         corrupt bucket pruning); schedule rebuckets in a quiet window."""
+        self._require_main("rebucket")
         t0 = time.monotonic()
         ptr = self.pointer()
         schema = T.StructType.fromJson(ptr["schema"])
@@ -2149,6 +2204,7 @@ class IceliteTable:
         resolves it, and `expire_snapshots` will NOT expire a tagged
         snapshot — the audit/reproducibility pin ("the exact table the
         March run trained on"). Defaults to the current snapshot."""
+        self._require_main("tag_snapshot")
         seq = self.current_seq() if seq is None else int(seq)
         if not os.path.exists(self._pointer_path(seq)):
             raise FileNotFoundError(f"no snapshot {seq} to tag")
@@ -2169,6 +2225,147 @@ class IceliteTable:
         if not os.path.exists(p):
             raise FileNotFoundError(f"no tag {name!r}")
         os.remove(p)
+
+    # -------------------------------------------------------------- branches
+    def _require_main(self, op: str) -> None:
+        if self.branch is not None:
+            raise ValueError(
+                f"{op} operates on the MAIN ref only (this handle is on "
+                f"branch {self.branch!r}); fast_forward the branch first"
+            )
+
+    def create_branch(self, name: str, at_seq: int | None = None) -> "IceliteTable":
+        """Fork a NAMED BRANCH at a snapshot (Iceberg branch refs,
+        https://iceberg.apache.org/docs/latest/branching/): an O(1)
+        metadata fork — the base pointer is HARD-LINKED into the branch's
+        own chain dir, data files are shared, and subsequent commits on
+        the returned handle (``apply_changes``/``merge`` work unchanged)
+        extend the branch without touching main. The multi-commit
+        write-audit-publish surface: single-batch audits use
+        ``stage_as``; a backfill/repair spanning several commits lands on
+        a branch, is validated with ``read()``/``read_changes()`` on the
+        branch handle, then ``fast_forward`` publishes it atomically-ish
+        (pointer links, crash-resumable) or ``delete_branch`` abandons it
+        (orphan GC reclaims the branch's files). Reference analog: the
+        reference validates a whole load before exposing it
+        (/root/reference/src/etl/processor.rs batch pipeline); branches
+        are that gate generalized to N commits."""
+        self._require_main("create_branch")
+        _check_branch_name(name)
+        at_seq = self.current_seq() if at_seq is None else int(at_seq)
+        src = self._pointer_path(at_seq)
+        if not os.path.exists(src):
+            raise FileNotFoundError(f"no snapshot {at_seq} to branch from")
+        bdir = os.path.join(self._manifest_dir, f"branch-{name}")
+        if os.path.isdir(bdir):
+            raise FileExistsError(f"branch {name!r} already exists")
+        os.makedirs(os.path.join(self._main_lineage_dir, f"branch-{name}"),
+                    exist_ok=True)
+        os.makedirs(bdir, exist_ok=True)
+        os.link(src, os.path.join(bdir, f"snap-{at_seq:08d}.json"))
+        return IceliteTable(self.spark, self.path, branch=name)
+
+    def branches(self) -> dict[str, dict]:
+        """name → {fork_seq, tip_seq} for every live branch."""
+        out: dict[str, dict] = {}
+        for d in sorted(glob.glob(os.path.join(self._manifest_dir, "branch-*"))):
+            if not os.path.isdir(d):
+                continue
+            seqs = [
+                int(os.path.basename(p)[5:13])
+                for p in glob.glob(os.path.join(d, "snap-*.json"))
+            ]
+            if seqs:
+                out[os.path.basename(d)[7:]] = {
+                    "fork_seq": min(seqs), "tip_seq": max(seqs)
+                }
+        return out
+
+    def branch_table(self, name: str) -> "IceliteTable":
+        return IceliteTable(self.spark, self.path, branch=name)
+
+    def delete_branch(self, name: str) -> None:
+        """Drop the branch's pointer chain (and its lineage records).
+        Files referenced ONLY by the branch become unreferenced and are
+        reclaimed by ``remove_orphans`` after its grace window — shared
+        (pre-fork or published) files are hard-link/live-set protected."""
+        self._require_main("delete_branch")
+        import shutil
+
+        bdir = os.path.join(self._manifest_dir, f"branch-{name}")
+        if not os.path.isdir(bdir):
+            raise FileNotFoundError(f"no branch {name!r}")
+        shutil.rmtree(bdir)
+        shutil.rmtree(
+            os.path.join(self._main_lineage_dir, f"branch-{name}"),
+            ignore_errors=True,
+        )
+
+    def fast_forward(self, name: str) -> dict:
+        """Publish branch ``name`` into main (Iceberg's
+        ``fast_forward``): requires main unchanged since the fork point —
+        the branch's pointers ARE then main's next commits, so publishing
+        is one hard-link per branch commit (lineage first, then the
+        pointer: the atomic visibility point), in seq order. Crash
+        mid-publish leaves a valid main prefix; re-running resumes
+        idempotently (already-linked seqs are verified by snapshot_id and
+        skipped). Main advanced past the fork → ConcurrentCommitError
+        (divergence never silently merges). The branch's exactly-once
+        ledger rides the pointers, so a batch applied on the branch stays
+        a no-op replay after publish."""
+        self._require_main("fast_forward")
+        bdir = os.path.join(self._manifest_dir, f"branch-{name}")
+        if not os.path.isdir(bdir):
+            raise FileNotFoundError(f"no branch {name!r}")
+        seqs = sorted(
+            int(os.path.basename(p)[5:13])
+            for p in glob.glob(os.path.join(bdir, "snap-*.json"))
+        )
+        if not seqs:
+            raise FileNotFoundError(f"branch {name!r} has no snapshots")
+        fork, tip = seqs[0], seqs[-1]
+        if seqs != list(range(fork, tip + 1)):
+            raise ValueError(f"branch {name!r} chain has gaps: {seqs}")
+        blin = os.path.join(self._main_lineage_dir, f"branch-{name}")
+
+        def _bptr(s: int) -> dict:
+            with open(os.path.join(bdir, f"snap-{s:08d}.json")) as f:
+                return json.load(f)
+
+        base = self._pointer_path(fork)
+        if os.path.exists(base):
+            if json.load(open(base))["snapshot_id"] != _bptr(fork)["snapshot_id"]:
+                raise ConcurrentCommitError(
+                    f"branch {name!r} fork base (seq {fork}) does not match "
+                    "main's snapshot at that seq — refork and retry"
+                )
+        published = 0
+        for s in range(fork + 1, tip + 1):
+            bp = _bptr(s)
+            mp = self._pointer_path(s)
+            if os.path.exists(mp):
+                if json.load(open(mp))["snapshot_id"] == bp["snapshot_id"]:
+                    continue  # resumed publish: this seq already landed
+                raise ConcurrentCommitError(
+                    f"main advanced past the fork point (seq {s} differs); "
+                    f"fast_forward requires main unchanged since seq {fork}"
+                )
+            lf = bp.get("lineage_file")
+            if lf and os.path.exists(os.path.join(blin, lf)):
+                dst = os.path.join(self._main_lineage_dir, lf)
+                if not os.path.exists(dst):
+                    os.link(os.path.join(blin, lf), dst)
+            try:
+                os.link(os.path.join(bdir, f"snap-{s:08d}.json"), mp)
+            except FileExistsError:
+                if json.load(open(mp))["snapshot_id"] == bp["snapshot_id"]:
+                    continue
+                raise ConcurrentCommitError(
+                    f"concurrent main commit at seq {s} during fast_forward"
+                ) from None
+            published += 1
+        return {"branch": name, "fork_seq": fork, "tip_seq": tip,
+                "published": published}
 
     def rollback(self, to_seq: int) -> dict:
         """Restore the table to snapshot ``to_seq`` as a NEW commit
@@ -2194,6 +2391,7 @@ class IceliteTable:
         truncates and re-syncs on unrecoverable sink divergence
         (src/etl/processor.rs replay-from-scratch path); here the
         re-sync point is any retained snapshot."""
+        self._require_main("rollback")
         t0 = time.monotonic()
         cur = self.pointer()
         if to_seq == cur["seq"]:
@@ -2352,12 +2550,19 @@ class IceliteTable:
         cannot). The grace window protects in-flight writers whose files
         are not yet referenced. O(files on disk) directory walk — a
         maintenance job, Iceberg's ``remove_orphan_files`` analog."""
+        self._require_main("remove_orphans")
         now = time.time()
         live_data: set[str] = set()
         live_meta: set[str] = set()
-        for p in glob.glob(os.path.join(self._manifest_dir, "snap-*.json")):
+        # every pointer in every chain is a live root: main snaps AND all
+        # branch snaps (branch commits share the data/manifest namespace,
+        # so a GC blind to branch chains would destroy live branch data)
+        for p in glob.glob(
+            os.path.join(self._manifest_dir, "snap-*.json")
+        ) + glob.glob(os.path.join(self._manifest_dir, "branch-*", "snap-*.json")):
             try:
-                ptr = self.pointer(int(os.path.basename(p)[5:13]))
+                with open(p) as f:
+                    ptr = json.load(f)
             except FileNotFoundError:
                 continue
             live_data |= {f["path"] for f in self._files(ptr)}
@@ -2433,6 +2638,7 @@ class IceliteTable:
         """Delete data files, manifests, and ledger chunks referenced only
         by expired snapshots — a pure manifest diff (no directory glob of
         the data tree, which would be O(all files ever written))."""
+        self._require_main("expire_snapshots")
         cur = self.current_seq()
         keep_seqs = set(range(max(0, cur - keep_last + 1), cur + 1))
         keep_seqs |= set(self.tags().values())  # tagged snapshots never expire
@@ -2456,6 +2662,20 @@ class IceliteTable:
             else:
                 dead_files |= files
                 dead_meta |= meta
+        # branch chains pin everything they reference (expiry is a MAIN
+        # policy; a branch's files stay live until delete_branch + GC)
+        for p in glob.glob(
+            os.path.join(self._manifest_dir, "branch-*", "snap-*.json")
+        ):
+            try:
+                with open(p) as f:
+                    bptr = json.load(f)
+            except FileNotFoundError:
+                continue
+            live_files |= {f["path"] for f in self._files(bptr)}
+            live_meta |= {m["name"] for m in bptr["manifests"]} | set(
+                bptr["applied_archives"]
+            )
         removed = []
         for p in sorted(dead_files - live_files):
             if os.path.exists(p):
@@ -2556,6 +2776,13 @@ def _write_json(path: str, obj) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
+
+
+def _check_branch_name(name: str) -> None:
+    if not name or not all(c.isalnum() or c in "-_." for c in name):
+        raise ValueError(
+            f"invalid branch name {name!r}: use letters, digits, '-', '_', '.'"
+        )
 
 
 def _commit_pointer(manifest_dir: str, seq: int, pointer: dict) -> None:

@@ -246,3 +246,43 @@ def test_cli_rollback_end_to_end(spark, tmp_path, capsys):
     assert "rolled back to seq 1" in out
     t2 = IceliteTable(spark, tpath)
     assert [r["text"] for r in t2.read().collect()] == ["keep"]
+
+
+def test_cli_branch_lifecycle(spark, tmp_path, capsys):
+    """branch create/list/fast-forward/delete — pure metadata, no Spark
+    session in the command path (IceliteTable(None, ...))."""
+    import datetime as dt
+
+    from etl_rust_spark.__main__ import build_parser
+    from etl_rust_spark.lake.format import IceliteTable
+    from etl_rust_spark.operators.apply import apply_changes, create_transcript_table
+
+    p = build_parser()
+    tpath = str(tmp_path / "t")
+    t = create_transcript_table(spark, tpath, n_buckets=4)
+    sch = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+           "text string, tool string, ts timestamp")
+    rows = [(1, "I", "c0", 0, "user", "base", "", dt.datetime(2025, 1, 1))]
+    apply_changes(t, spark.createDataFrame(rows, sch), batch_key="b0", mode="mor")
+
+    assert p.parse_args(["branch", "create", "--table", tpath, "--name", "fix"]).fn(
+        p.parse_args(["branch", "create", "--table", tpath, "--name", "fix"])
+    ) == 0
+    assert "created branch 'fix' at seq 1" in capsys.readouterr().out
+
+    br = IceliteTable(spark, tpath, branch="fix")
+    rows2 = [(2, "I", "c1", 0, "user", "fixed", "", dt.datetime(2025, 1, 1))]
+    apply_changes(br, spark.createDataFrame(rows2, sch), batch_key="b1", mode="mor")
+
+    args = p.parse_args(["branch", "list", "--table", tpath])
+    assert args.fn(args) == 0
+    assert "fix\tfork=1\ttip=2" in capsys.readouterr().out
+
+    args = p.parse_args(["branch", "fast-forward", "--table", tpath, "--name", "fix"])
+    assert args.fn(args) == 0
+    assert "published 1 commit(s)" in capsys.readouterr().out
+    assert sorted(r["text"] for r in t.read().collect()) == ["base", "fixed"]
+
+    args = p.parse_args(["branch", "delete", "--table", tpath, "--name", "fix"])
+    assert args.fn(args) == 0
+    assert IceliteTable(spark, tpath).branches() == {}

@@ -167,6 +167,35 @@ def cmd_rebucket(args) -> int:
     return 0
 
 
+def cmd_maintain(args) -> int:
+    """One-shot threshold-driven table service (Iceberg's maintenance
+    jobs as one idempotent command, cron-able against a live writer —
+    every action rebases over concurrent appends): PARTIAL compaction
+    only when some bucket's file count exceeds the threshold (O(hot
+    buckets), the only affordable policy at scale), then snapshot
+    expiry, then grace-aged orphan GC. Reads health from metadata only
+    (describe()), so a no-op run costs no data I/O."""
+    import json as _json
+
+    from etl_rust_spark.lake.format import IceliteTable
+
+    t = IceliteTable.load(_spark(args), args.table)
+    health = t.describe()
+    did: dict = {"before": health}
+    if health["max_files_per_bucket"] > args.compact_threshold:
+        snap = t.compact(min_files_per_bucket=args.compact_threshold)
+        did["compacted_to_seq"] = snap["seq"]
+    if args.keep_last is not None:
+        did["expired"] = len(t.expire_snapshots(keep_last=args.keep_last))
+    if args.orphan_grace_sec is not None:
+        did["orphans_removed"] = len(
+            t.remove_orphans(grace_sec=args.orphan_grace_sec)
+        )
+    did["after"] = t.describe()
+    print(_json.dumps(did))
+    return 0
+
+
 def cmd_branch(args) -> int:
     # pure metadata ops — no SparkSession (and no JVM startup) needed
     from etl_rust_spark.lake.format import IceliteTable
@@ -373,6 +402,26 @@ def build_parser() -> argparse.ArgumentParser:
     rb.add_argument("--table", required=True)
     rb.add_argument("--n-buckets", type=int, required=True)
     rb.set_defaults(fn=cmd_rebucket)
+
+    mt = sub.add_parser(
+        "maintain",
+        help="one-shot table service: partial compact + expire + orphan GC "
+        "by threshold (safe to cron against a live writer)",
+    )
+    mt.add_argument("--table", required=True)
+    mt.add_argument(
+        "--compact-threshold", type=int, default=8,
+        help="partial-compact buckets holding more than this many files",
+    )
+    mt.add_argument(
+        "--keep-last", type=int, default=None,
+        help="expire snapshots beyond the last N (skip expiry if unset)",
+    )
+    mt.add_argument(
+        "--orphan-grace-sec", type=float, default=None,
+        help="remove crash orphans older than this (skip GC if unset)",
+    )
+    mt.set_defaults(fn=cmd_maintain)
 
     bp = sub.add_parser(
         "branch",

@@ -286,3 +286,43 @@ def test_cli_branch_lifecycle(spark, tmp_path, capsys):
     args = p.parse_args(["branch", "delete", "--table", tpath, "--name", "fix"])
     assert args.fn(args) == 0
     assert IceliteTable(spark, tpath).branches() == {}
+
+
+def test_cli_maintain_threshold_service(spark, tmp_path, capsys):
+    """`maintain` is the cron-able one-shot table service: partial
+    compaction fires only past the file-count threshold, expiry and
+    orphan GC only when asked, and a healthy table is a metadata no-op."""
+    import datetime as dt
+    import json
+
+    from etl_rust_spark.__main__ import build_parser
+    from etl_rust_spark.operators.apply import apply_changes, create_transcript_table
+
+    p = build_parser()
+    tpath = str(tmp_path / "t")
+    t = create_transcript_table(spark, tpath, n_buckets=2)
+    sch = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+           "text string, tool string, ts timestamp")
+    for i in range(4):
+        rows = [(10 * i + k, "I", "c0", 10 * i + k, "user", f"t{i}.{k}", "",
+                 dt.datetime(2025, 1, 1)) for k in range(3)]
+        apply_changes(t, spark.createDataFrame(rows, sch),
+                      batch_key=f"b{i}", mode="mor")
+    rows_before = t.read().count()
+
+    args = p.parse_args([
+        "maintain", "--table", tpath, "--compact-threshold", "2",
+        "--keep-last", "1", "--orphan-grace-sec", "3600",
+    ])
+    assert args.fn(args) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["before"]["max_files_per_bucket"] > 2
+    assert "compacted_to_seq" in rep and rep["orphans_removed"] == 0
+    assert rep["after"]["max_files_per_bucket"] <= 2
+    assert t.read().count() == rows_before
+
+    # second run: below threshold now -> no compaction commit
+    seq = t.current_seq()
+    assert args.fn(args) == 0
+    rep2 = json.loads(capsys.readouterr().out)
+    assert "compacted_to_seq" not in rep2 and t.current_seq() == seq

@@ -343,3 +343,48 @@ def test_two_concurrent_sinks_rebase_commits(spark, tmp_path):
     assert sum(1 for k in keys if k.startswith("s2-")) == 1
     seqs = [r["commit_seq"] for r in tb.lineage().orderBy("commit_seq").collect()]
     assert seqs == list(range(1, tb.current_seq() + 1))
+
+
+
+def test_sink_survives_target_compaction_mid_stream(spark, tmp_path):
+    """A maintenance compactor folding the TARGET between sink
+    micro-batches must not break the replication chain: compaction
+    preserves schema and bucket layout (the sink's mid-stream fail-fast
+    checks), sink commits are append-only so both sides commute (the
+    same-seq race itself is covered at the commit level by
+    test_concurrency.py; the sink's commit runner is a separate process,
+    so this test interleaves). After more batches and a second fold, the
+    target stays state-equal with one winner per (key, commit), and its
+    live file count is bounded by the fold instead of growing per-batch."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ta = create_transcript_table(spark, src, n_buckets=4)
+    tb = create_transcript_table(spark, dst, n_buckets=4)
+    register_icelite_source(spark)
+    ck = str(tmp_path / "ck")
+
+    def feed(i):
+        rows = [
+            (100 * i + t, "I" if i == 0 else "U", f"c{t % 3}", t, "user", f"v{i}.{t}")
+            for t in range(6)
+        ]
+        apply_changes(ta, _batch(spark, [r + (None,) for r in rows]),
+                      batch_key=f"a{i}", mode="mor")
+
+    feed(0); feed(1)
+    _replicate(spark, src, dst, ck)
+    assert tb.current_seq() > 0
+    tb.compact(min_files_per_bucket=0)  # fold everything landed so far
+
+    feed(2); feed(3)
+    _replicate(spark, src, dst, ck)  # sink resumes onto the compacted target
+    _assert_states_equal(ta, tb)
+    _assert_one_winner_per_commit(tb)
+
+    files_before_fold = len(tb._files(tb.pointer()))
+    tb.compact(min_files_per_bucket=0)
+    assert len(tb._files(tb.pointer())) <= files_before_fold
+    _assert_states_equal(ta, tb)
+    # exactly-once held through both folds: contiguous lineage, no replays
+    seqs = [r["commit_seq"] for r in tb.lineage().orderBy("commit_seq").collect()]
+    assert seqs == list(range(1, tb.current_seq() + 1))

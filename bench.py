@@ -222,6 +222,11 @@ def bench_chain(spark, workdir: str, n_events: int) -> float:
         os.rename(os.path.join(seg_stage, part), os.path.join(wal, f"seg-{i}.parquet"))
     a_path = os.path.join(workdir, "chain_a")
     create_transcript_table(spark, a_path, n_buckets=32)
+    # ADDITIVE rollup table (agg_cols): each micro-batch merges only its
+    # per-key PARTIAL counts (O(delta) append, no read-modify-write) and
+    # reads fold the partials — so B is exact under ANY micro-batch
+    # segmentation of the feed, not just the single-batch AvailableNow
+    # delivery this run happens to use
     b = IceliteTable.create(
         spark, os.path.join(workdir, "chain_b"),
         T.StructType()
@@ -230,6 +235,7 @@ def bench_chain(spark, workdir: str, n_events: int) -> float:
         .add("max_lsn", T.LongType()),
         key_cols=["conv_id"], bucket_key="conv_id", n_buckets=32,
         order_cols=["conv_id"], seq_col="max_lsn",
+        agg_cols={"n_changes": "sum"},
     )
 
     def upsert_rollup(df, epoch_id):
@@ -239,6 +245,7 @@ def bench_chain(spark, workdir: str, n_events: int) -> float:
         b.merge(
             roll.withColumn("op", F.lit("U")),
             batch_key=f"hop2:{epoch_id}", source="rollup", seq_col="max_lsn",
+            mode="mor",
         )
 
     t0 = time.monotonic()

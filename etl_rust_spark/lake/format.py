@@ -398,13 +398,55 @@ class IceliteTable:
         order_cols: list[str] | tuple[str, ...] | None = None,
         seq_col: str | None = None,
         if_not_exists: bool = False,
+        agg_cols: dict | None = None,
     ) -> "IceliteTable":
+        """``agg_cols={"col": "sum"|"min"|"max"}`` declares an ADDITIVE
+        table (SummingMergeTree semantics): merges append per-key partial
+        rows in O(delta) and reads/compactions fold the partials with the
+        declared combine fn per column (``_fold_agg``); all other payload
+        columns stay last-writer-wins by ``seq_col``. Requires ``seq_col``
+        and ``mode="mor"`` merges; deletes are not supported (accumulate-
+        only, like the ClickHouse/Druid rollup engines). This is what
+        makes a continuously-maintained downstream rollup O(delta) per
+        micro-batch instead of read-modify-write — and exact under ANY
+        micro-batch segmentation of the change feed."""
         path = os.path.abspath(path)
         mdir = os.path.join(path, _MANIFEST_DIR)
         if os.path.isdir(mdir):
             if if_not_exists:
                 return cls(spark, path)
             raise FileExistsError(f"Icelite table already exists: {path}")
+        if agg_cols:
+            if seq_col is None:
+                raise ValueError(
+                    "agg_cols requires a seq_col (non-agg payload columns "
+                    "resolve last-writer-wins by it)"
+                )
+            agg_cols = {str(c): str(fn) for c, fn in agg_cols.items()}
+            by_name = {f.name: f.dataType for f in schema.fields}
+            reserved = set(key_cols) | {bucket_key, seq_col} | set(
+                order_cols or key_cols
+            )
+            for c, fn in agg_cols.items():
+                if fn not in _AGG_FNS:
+                    raise ValueError(
+                        f"agg_cols[{c!r}]={fn!r}: supported fns are {_AGG_FNS}"
+                    )
+                if c not in by_name:
+                    raise ValueError(f"agg_cols column {c!r} not in schema")
+                if c in reserved:
+                    raise ValueError(
+                        f"agg_cols column {c!r} is a key/bucket/order/seq "
+                        "column — identity columns cannot accumulate"
+                    )
+                if fn == "sum" and not isinstance(
+                    by_name[c], (T.LongType, T.DoubleType, T.DecimalType)
+                ):
+                    raise ValueError(
+                        f"agg_cols sum column {c!r} must be long, double or "
+                        f"decimal (got {by_name[c].simpleString()}) — narrow "
+                        "integer partial sums overflow silently"
+                    )
         os.makedirs(mdir, exist_ok=True)
         os.makedirs(os.path.join(path, _LINEAGE_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
@@ -419,6 +461,7 @@ class IceliteTable:
             "n_buckets": int(n_buckets),
             "order_cols": list(order_cols or key_cols),
             "seq_col": seq_col,
+            "agg_cols": dict(agg_cols) if agg_cols else None,
             # stable per-column field ids (rename/drop evolution, v3)
             "field_ids": {f.name: i for i, f in enumerate(schema.fields)},
             "next_field_id": len(schema.fields),
@@ -530,6 +573,7 @@ class IceliteTable:
             "n_snapshots": snaps,
             "applied_batches": ptr.get("applied_count", 0),
             "n_manifests": len(ptr["manifests"]),
+            "agg_cols": ptr.get("agg_cols"),
         }
 
     # ------------------------------------------------- field-id resolution
@@ -798,7 +842,7 @@ class IceliteTable:
         df = self._read_file_groups(files, schema, ptr)
         has_delta = any(f.get("kind", "base") == "delta" for f in files)
         if has_delta and ptr.get("seq_col"):
-            df = _dedup_by_seq(df, ptr["key_cols"], ptr["seq_col"], schema)
+            df = _resolve_versions(df, ptr, schema)
         return df.filter(pred) if pred is not None else df
 
     def read_keys(self, values, seq: int | None = None) -> DataFrame:
@@ -847,7 +891,7 @@ class IceliteTable:
         # the pruned subset is still last-writer-correct per key
         has_delta = any(f.get("kind", "base") == "delta" for f in pruned)
         if has_delta and ptr.get("seq_col"):
-            df = _dedup_by_seq(df, ptr["key_cols"], ptr["seq_col"], schema)
+            df = _resolve_versions(df, ptr, schema)
         return df.filter(F.col(ptr["bucket_key"]).isin(vals))
 
     def lineage(self) -> DataFrame:
@@ -967,6 +1011,21 @@ class IceliteTable:
         ptr = self.pointer()
         if batch_key is not None and self.is_applied(batch_key, ptr):
             return None
+        if ptr.get("agg_cols"):
+            if mode != "mor":
+                raise ValueError(
+                    "additive (agg_cols) tables are merge-on-read only: "
+                    "accumulation is a pure O(delta) append folded on "
+                    "read/compact; a CoW rewrite would have to fold at "
+                    "write time and is never O(batch)"
+                )
+            if "__deleted" in changes.columns:
+                raise ValueError(
+                    "additive (agg_cols) tables are accumulate-only — "
+                    "deletes are not supported (a tombstone cannot express "
+                    "'subtract the partials so far'; write a compensating "
+                    "negative partial instead)"
+                )
         key_cols = ptr["key_cols"]
         bucket_key = ptr["bucket_key"]
         n_buckets = ptr["n_buckets"]
@@ -1006,6 +1065,12 @@ class IceliteTable:
                 # existence probe ONLY on this cold path — apply_changes
                 # always supplies tombstones, so ingest never pays it
                 if not ch.filter(is_delete).isEmpty():
+                    if ptr.get("agg_cols"):
+                        raise ValueError(
+                            "additive (agg_cols) tables are accumulate-only "
+                            "— op='D' deletes are not supported; write a "
+                            "compensating negative partial instead"
+                        )
                     raise ValueError(
                         "merge-on-read got op='D' rows without a __deleted "
                         "tombstone column — they would be silently dropped. "
@@ -1128,7 +1193,10 @@ class IceliteTable:
             )
             new_files, rows_written, per_bucket = self._scan_commit_dir(commit_dir)
             if mode == "mor":
-                if old_manifests:
+                # additive tables mark even the FIRST commit delta: a batch
+                # may legitimately carry several partials of one key, and
+                # only delta files trigger the read-side fold
+                if old_manifests or ptr.get("agg_cols"):
                     for f in new_files:
                         f["kind"] = "delta"
                 touched = sorted(per_bucket)
@@ -1324,7 +1392,7 @@ class IceliteTable:
         rptr = ptr if fids is None else {**ptr, "field_ids": fids, "next_field_id": nxt}
         df = self._read_file_groups(files, schema, rptr)
         if ptr.get("seq_col"):
-            df = _dedup_by_seq(df, ptr["key_cols"], ptr["seq_col"], schema)
+            df = _resolve_versions(df, ptr, schema)
         return df
 
     def publish_staged(self, name: str) -> dict | None:
@@ -1507,6 +1575,7 @@ class IceliteTable:
             "n_buckets": parent_ptr["n_buckets"],
             "order_cols": parent_ptr["order_cols"],
             "seq_col": parent_ptr.get("seq_col"),
+            "agg_cols": parent_ptr.get("agg_cols"),
             "field_ids": fids,
             "next_field_id": next_id,
             "legacy_cols": parent_ptr.get("legacy_cols"),
@@ -1823,7 +1892,12 @@ class IceliteTable:
         — its files mix changed rows with carried-over survivors, so no
         per-file change feed exists (use mode='mor' for tables with
         incremental consumers). Retention note: keep_last on
-        expire_snapshots bounds how far back a consumer may resume."""
+        expire_snapshots bounds how far back a consumer may resume.
+
+        Additive (``agg_cols``) tables: each row is a per-key PARTIAL —
+        the feed replays to table state by folding (sum/min/max), not by
+        last-writer-wins; a downstream accumulator merges each batch
+        into its own additive table and the fold composes exactly."""
         until = self.current_seq() if until_seq is None else until_seq
         entries, seqs = [], []
         for s in range(since_seq + 1, until + 1):
@@ -1893,6 +1967,13 @@ class IceliteTable:
         ptr = self.pointer(until)
         if not ptr.get("seq_col"):
             raise ValueError("read_changes_with_preimage requires a seq_col table")
+        if ptr.get("agg_cols"):
+            raise ValueError(
+                "read_changes_with_preimage is undefined for additive "
+                "(agg_cols) tables — a key's pre-state is a FOLD over all "
+                "earlier partials, not a single previous winner; diff two "
+                "folded snapshots (read(seq=a) vs read(seq=b)) instead"
+            )
         keys, seq_col = ptr["key_cols"], ptr["seq_col"]
         schema = T.StructType.fromJson(ptr["schema"])
         payload = [f.name for f in schema.fields if f.name not in keys]
@@ -2480,6 +2561,12 @@ class IceliteTable:
             "zorder": (
                 [ren(c) for c in ptr["zorder"]] if ptr.get("zorder") else None
             ),
+            # an additive column keeps its combine fn under the new name
+            "agg_cols": (
+                {ren(c): fn for c, fn in ptr["agg_cols"].items()}
+                if ptr.get("agg_cols")
+                else None
+            ),
         }
         self._commit_rebasing(
             ptr, new_schema, list(ptr["manifests"]), [], None,
@@ -2503,6 +2590,11 @@ class IceliteTable:
         protected = {ptr["bucket_key"], *ptr["key_cols"], *ptr["order_cols"]}
         if ptr.get("seq_col"):
             protected.add(ptr["seq_col"])
+        if name in (ptr.get("agg_cols") or {}):
+            raise ValueError(
+                f"cannot drop {name!r}: it is an additive (agg_cols) "
+                "column — the fold rule references it on every read"
+            )
         if name in protected or name.startswith("__"):
             raise ValueError(
                 f"cannot drop {name!r}: key/order/bucket/seq and engine "
@@ -2693,6 +2785,69 @@ class IceliteTable:
                 if os.path.exists(mp):
                     os.remove(mp)
         return removed
+
+
+_AGG_FNS = ("sum", "min", "max")
+
+
+def _resolve_versions(df: DataFrame, ptr: dict, schema: T.StructType) -> DataFrame:
+    """Per-key version resolution for a MoR read: additive tables fold
+    partials by their declared combine fns, everything else is
+    last-writer-wins by max(seq)."""
+    if ptr.get("agg_cols"):
+        return _fold_agg(
+            df, ptr["key_cols"], ptr["seq_col"], ptr["agg_cols"], schema
+        )
+    return _dedup_by_seq(df, ptr["key_cols"], ptr["seq_col"], schema)
+
+
+def _fold_agg(
+    df: DataFrame, key_cols, seq_col: str, agg_cols: dict, schema: T.StructType
+) -> DataFrame:
+    """Accumulate-on-read resolution for additive (``agg_cols``) tables —
+    the ClickHouse-SummingMergeTree / Druid-rollup move re-expressed as a
+    lake-format read rule: every write APPENDS per-key partials (O(delta),
+    no read-modify-write), and resolution folds all partials of a key with
+    the column's declared combine fn (sum/min/max). Non-agg payload
+    columns stay last-writer-wins by ``seq_col`` (same max-struct as
+    ``_dedup_by_seq``); ONE hash aggregation, map-side partial agg.
+
+    Double sums route through DECIMAL so the folded value is identical
+    whatever the file/batch segmentation — a double fold is
+    order-dependent in the last ulp, and two reads of one snapshot must
+    never disagree."""
+    agg_names = set(agg_cols)
+    rest = [
+        f.name
+        for f in schema.fields
+        if f.name not in key_cols and f.name != seq_col and f.name not in agg_names
+    ]
+    row = F.struct(F.col(seq_col), *[F.col(c) for c in rest]).alias("__row")
+    by_name = {f.name: f.dataType for f in schema.fields}
+    aggs = [F.max(row).alias("__row")]
+    for c, fn in agg_cols.items():
+        if fn == "sum":
+            dt = by_name[c]
+            if isinstance(dt, (T.DoubleType, T.FloatType)):
+                agg = F.sum(F.col(c).cast("decimal(38,6)")).cast(dt)
+            else:
+                agg = F.sum(F.col(c)).cast(dt)
+        elif fn == "min":
+            agg = F.min(F.col(c))
+        else:
+            agg = F.max(F.col(c))
+        aggs.append(agg.alias(c))
+    return (
+        df.groupBy(*key_cols)
+        .agg(*aggs)
+        .select(
+            *key_cols,
+            F.col(f"__row.{seq_col}").alias(seq_col),
+            *[F.col(f"__row.{c}").alias(c) for c in rest],
+            *agg_names,
+        )
+        .select(*[f.name for f in schema.fields])
+    )
 
 
 def _dedup_by_seq(df: DataFrame, key_cols, seq_col: str, schema: T.StructType) -> DataFrame:

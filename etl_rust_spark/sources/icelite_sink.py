@@ -115,6 +115,13 @@ class IceliteStreamWriter(DataSourceStreamArrowWriter):
                 "the native sink appends merge-on-read commits, which "
                 "require a seq_col table (reader-side max-seq dedup)"
             )
+        if ptr.get("agg_cols"):
+            raise ValueError(
+                "format('icelite') sink targets a last-writer-wins table; "
+                "an additive (agg_cols) target would lose partials to the "
+                "sink's per-commit winner collapse. Maintain additive "
+                "rollups with table.merge(...) in foreachBatch instead."
+            )
         table_schema = T.StructType.fromJson(ptr["schema"])
         want = {f.name: f.dataType for f in table_schema.fields}
         got = {f.name: f.dataType for f in schema.fields}

@@ -124,6 +124,47 @@ def cmd_rollup(args) -> int:
     return 0
 
 
+def cmd_feed_rollup(args) -> int:
+    """Deployable table→table additive rollup: tail a source table's
+    change feed and maintain per-key accumulated aggregates in an
+    agg_cols target — O(delta) per micro-batch at both ends."""
+    from etl_rust_spark.lake.format import IceliteTable
+    from etl_rust_spark.streaming.driver import ChangeFeedRollup
+
+    spark = _spark(args)
+    keys = tuple(args.keys.split(","))
+    aggs = {}
+    for spec in args.agg:
+        tcol, _, rest = spec.partition("=")
+        if not rest:
+            raise SystemExit(
+                f"--agg {spec!r}: expected <target_col>=count|sum:<col>|"
+                "min:<col>|max:<col>"
+            )
+        aggs[tcol] = rest
+    try:
+        ChangeFeedRollup.create_target(
+            spark, args.table, args.source, key_cols=keys, aggs=aggs,
+            n_buckets=args.n_buckets,
+        )
+    except FileExistsError:
+        IceliteTable.load(spark, args.table)  # resume into the existing table
+    pipe = ChangeFeedRollup(
+        spark=spark, source_path=args.source, table_path=args.table,
+        checkpoint_dir=args.checkpoint, key_cols=keys, aggs=aggs,
+        name=args.name, max_commits_per_batch=args.max_commits_per_batch,
+        shard=args.shard,
+    )
+    if args.follow:
+        q = pipe.start()
+        q.awaitTermination()
+    else:
+        pipe.run_available()
+        t = IceliteTable.load(spark, args.table)
+        print(f"feed rollup at seq {t.current_seq()}: {t.read().count()} keys")
+    return 0
+
+
 def cmd_compact(args) -> int:
     from etl_rust_spark.lake.format import IceliteTable
 
@@ -334,6 +375,26 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--table", required=True)
     c.add_argument("--n-buckets", type=int, default=32)
     c.set_defaults(fn=cmd_create)
+
+    fr = sub.add_parser(
+        "feed-rollup",
+        help="additive rollup maintained from a table's change feed "
+             "(table→table materialized aggregate, O(delta) per batch)",
+    )
+    fr.add_argument("--source", required=True, help="source Icelite table")
+    fr.add_argument("--table", required=True, help="additive target table")
+    fr.add_argument("--checkpoint", required=True)
+    fr.add_argument("--keys", default="conv_id",
+                    help="comma-separated group keys")
+    fr.add_argument("--agg", action="append", required=True,
+                    help="target_col=count|sum:<col>|min:<col>|max:<col> "
+                         "(repeatable)")
+    fr.add_argument("--name", default="feed_rollup")
+    fr.add_argument("--n-buckets", type=int, default=32)
+    fr.add_argument("--max-commits-per-batch", type=int, default=None)
+    fr.add_argument("--shard", default=None, help='consumer shard "i/k"')
+    fr.add_argument("--follow", action="store_true")
+    fr.set_defaults(fn=cmd_feed_rollup)
 
     i = sub.add_parser("ingest", help="tail WAL segments into the table")
     i.add_argument("--wal-dir", required=True)

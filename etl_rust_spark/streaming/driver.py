@@ -307,6 +307,204 @@ class WindowedRollupIngest:
 
 
 @dataclass
+class ChangeFeedRollup:
+    """Continuously maintain an ADDITIVE downstream rollup from a source
+    table's change feed — the deployable table→table materialized-
+    aggregate pipeline: ``readStream.format("icelite")`` tails the source
+    commit log, each micro-batch reduces to per-key PARTIAL aggregates
+    (one `groupBy`, map-side combine), and the partials merge into an
+    ``agg_cols`` target table. O(delta) at BOTH ends per micro-batch: the
+    source plans only the new commits' files, the sink appends only the
+    batch's partials — the target folds on read, so no micro-batch ever
+    reads or rewrites accumulated state. Exact under ANY feed
+    segmentation (``max_commits_per_batch``) because addition composes.
+
+    ``aggs`` maps each target column to a spec: ``"count"``,
+    ``"sum:<src_col>"``, ``"min:<src_col>"`` or ``"max:<src_col>"`` —
+    validated against the target's declared ``agg_cols`` combine fns at
+    start, so a rollup can't silently write partials the target folds
+    with the wrong rule.
+
+    Exactly-once: checkpoint offsets + run-id-namespaced ledger keys.
+    NOTE (additive-specific): unlike LWW sinks, a RELOCATED checkpoint is
+    NOT safe here — a fresh run id replays the feed with fresh batch
+    keys and the partials double-count. Resume on the same checkpoint, or
+    rebuild the target from scratch (reference analog: the truncate-and-
+    resync path, src/etl/processor.rs replay-from-scratch)."""
+
+    spark: SparkSession
+    source_path: str
+    table_path: str
+    checkpoint_dir: str
+    key_cols: tuple = ("conv_id",)
+    aggs: dict = field(default_factory=lambda: {"n_changes": "count"})
+    name: str = "feed_rollup"
+    max_commits_per_batch: int | None = None
+    shard: str | None = None
+    include_deletes: bool = True
+
+    _SPEC_TO_TARGET_FN = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+
+    @classmethod
+    def create_target(
+        cls,
+        spark: SparkSession,
+        path: str,
+        source_path: str,
+        key_cols=("conv_id",),
+        aggs: dict | None = None,
+        n_buckets: int = 32,
+    ) -> IceliteTable:
+        """Derive and create the additive target table from the agg spec:
+        key columns typed from the source schema, one column per agg
+        (count → long; sum → long for integer sources, double otherwise;
+        min/max → source type), plus the source's seq column (the rollup
+        writes max-of-batch, the fold keeps the global max)."""
+        aggs = aggs or {"n_changes": "count"}
+        src = IceliteTable.load(spark, source_path)
+        sptr = src.pointer()
+        if not sptr.get("seq_col"):
+            raise ValueError("ChangeFeedRollup requires a seq_col source table")
+        by_name = {f.name: f.dataType for f in src.schema.fields}
+        fields = []
+        for k in key_cols:
+            if k not in by_name:
+                raise ValueError(f"key column {k!r} not in source schema")
+            fields.append(T.StructField(k, by_name[k]))
+        agg_cols = {}
+        for tcol, spec in aggs.items():
+            fn, _, scol = spec.partition(":")
+            if fn == "count":
+                dt = T.LongType()
+            else:
+                if scol not in by_name:
+                    raise ValueError(f"agg source column {scol!r} not in source")
+                if fn == "sum":
+                    dt = (
+                        T.LongType()
+                        if isinstance(
+                            by_name[scol],
+                            (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+                        )
+                        else T.DoubleType()
+                    )
+                elif fn in ("min", "max"):
+                    dt = by_name[scol]
+                else:
+                    raise ValueError(f"unknown agg spec {spec!r} for {tcol!r}")
+            fields.append(T.StructField(tcol, dt))
+            agg_cols[tcol] = cls._SPEC_TO_TARGET_FN[fn]
+        seq_col = sptr["seq_col"]
+        fields.append(T.StructField(seq_col, T.LongType()))
+        return IceliteTable.create(
+            spark, path, T.StructType(fields),
+            key_cols=list(key_cols), bucket_key=key_cols[0],
+            n_buckets=n_buckets, order_cols=list(key_cols),
+            seq_col=seq_col, agg_cols=agg_cols,
+        )
+
+    def start(self):
+        from pyspark.sql import functions as F
+
+        from etl_rust_spark.sources import register_icelite_source
+
+        register_icelite_source(self.spark)
+        target = IceliteTable.load(self.spark, self.table_path)
+        tptr = target.pointer()
+        declared = tptr.get("agg_cols") or {}
+        src_seq = IceliteTable.load(self.spark, self.source_path).pointer()["seq_col"]
+        src_types = {
+            f.name: f.dataType
+            for f in IceliteTable.load(self.spark, self.source_path).schema.fields
+        }
+        exprs = []
+        for tcol, spec in self.aggs.items():
+            fn, _, scol = spec.partition(":")
+            want = self._SPEC_TO_TARGET_FN.get(fn)
+            if want is None:
+                raise ValueError(f"unknown agg spec {spec!r} for {tcol!r}")
+            if declared.get(tcol) != want:
+                raise ValueError(
+                    f"agg spec {spec!r} writes {want!r} partials but target "
+                    f"column {tcol!r} folds with "
+                    f"{declared.get(tcol)!r} — the accumulated value would "
+                    "be wrong"
+                )
+            if fn == "count":
+                exprs.append(F.count(F.lit(1)).cast("long").alias(tcol))
+            elif fn == "sum":
+                col = F.col(scol)
+                if isinstance(src_types.get(scol), (T.DoubleType, T.FloatType)):
+                    # same DECIMAL route as the target's fold: the partial
+                    # a batch writes must not depend on its task order
+                    exprs.append(
+                        F.sum(col.cast("decimal(38,6)")).cast("double").alias(tcol)
+                    )
+                else:
+                    exprs.append(F.sum(col).cast("long").alias(tcol))
+            elif fn == "min":
+                exprs.append(F.min(F.col(scol)).alias(tcol))
+            else:
+                exprs.append(F.max(F.col(scol)).alias(tcol))
+        exprs.append(F.max(F.col(src_seq)).cast("long").alias(tptr["seq_col"]))
+        run_id = _checkpoint_run_id(self.checkpoint_dir)
+        keys = list(self.key_cols)
+
+        def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+            b = batch_df
+            if not self.include_deletes and "__deleted" in b.columns:
+                b = b.filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
+            parts = b.groupBy(*keys).agg(*exprs)
+            target.merge(
+                parts.withColumn("op", F.lit("U")),
+                batch_key=f"{self.name}:{run_id}:{epoch_id}",
+                seq_col=tptr["seq_col"], mode="mor",
+                source=f"rollup:{self.name}",
+            )
+
+        r = self.spark.readStream.format("icelite").option("path", self.source_path)
+        if self.max_commits_per_batch is not None:
+            r = r.option("maxCommitsPerBatch", str(self.max_commits_per_batch))
+        if self.shard is not None:
+            r = r.option("shard", self.shard)
+        return (
+            r.load()
+            .writeStream.queryName(self.name)
+            .foreachBatch(_apply)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    def run_available(self, max_drains: int = 64) -> None:
+        """Drain the outstanding feed to quiescence. One drain per
+        outstanding batch span: Python streaming sources fall back to
+        single-batch execution under availableNow, so a bounded catch-up
+        (``max_commits_per_batch``) needs repeated drains — loop until a
+        drain commits nothing new to the target."""
+        target = IceliteTable.load(self.spark, self.table_path)
+        try:
+            for _ in range(max_drains):
+                before = target.current_seq()
+                q = self.start()
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+                    q.awaitTermination()
+                if target.current_seq() == before:
+                    return
+            raise RuntimeError(
+                f"rollup {self.name!r} still catching up after "
+                f"{max_drains} drains"
+            )
+        except PipelineError:
+            raise
+        except Exception as e:
+            raise PipelineError(self.name, e) from e
+
+
+@dataclass
 class PipelineManager:
     """Run K ingest pipelines concurrently on one SparkSession.
 

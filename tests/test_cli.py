@@ -326,3 +326,57 @@ def test_cli_maintain_threshold_service(spark, tmp_path, capsys):
     assert args.fn(args) == 0
     rep2 = json.loads(capsys.readouterr().out)
     assert "compacted_to_seq" not in rep2 and t.current_seq() == seq
+
+
+def test_cli_feed_rollup_end_to_end(spark, tmp_path, capsys):
+    """Drive the table→table additive rollup through the CLI arg path:
+    the accumulated target equals a recompute over the source's full
+    change feed, and a second run with nothing new is a no-op."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.__main__ import main
+    from etl_rust_spark.lake.format import IceliteTable
+    from etl_rust_spark.operators.apply import apply_changes, create_transcript_table
+
+    src = create_transcript_table(spark, str(tmp_path / "src"), n_buckets=4)
+    ddl = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+           "text string, tool string, ts timestamp")
+    for c in range(3):
+        rows = [(c * 4 + i, "I", f"conv-{i % 2}", i, "user", f"t{c}-{i}", "",
+                 dt.datetime(2025, 1, 1)) for i in range(4)]
+        apply_changes(src, spark.createDataFrame(rows, ddl),
+                      batch_key=f"b{c}", mode="mor")
+
+    argv = [
+        "feed-rollup", "--source", str(tmp_path / "src"),
+        "--table", str(tmp_path / "tgt"), "--checkpoint", str(tmp_path / "ck"),
+        "--keys", "conv_id", "--agg", "n_changes=count",
+        "--agg", "max_turn=max:turn_idx", "--n-buckets", "4",
+        "--max-commits-per-batch", "1",
+    ]
+    assert main(argv) == 0
+    assert "feed rollup at seq" in capsys.readouterr().out
+    tgt = IceliteTable.load(spark, str(tmp_path / "tgt"))
+    got = {r["conv_id"]: (r["n_changes"], r["max_turn"])
+           for r in tgt.read().collect()}
+    want = {r["conv_id"]: (r["n"], r["m"])
+            for r in src.read_changes(0).groupBy("conv_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("turn_idx").alias("m"))
+            .collect()}
+    assert got == want
+    seq = tgt.current_seq()
+    assert main(argv) == 0  # resume: nothing new -> no commit
+    assert tgt.current_seq() == seq
+
+
+def test_parser_feed_rollup_subcommand():
+    p = build_parser()
+    a = p.parse_args([
+        "feed-rollup", "--source", "/s", "--table", "/t", "--checkpoint", "/c",
+        "--agg", "n=count", "--agg", "v=sum:value", "--keys", "a,b",
+        "--max-commits-per-batch", "2", "--shard", "0/4",
+    ])
+    assert (a.cmd, a.keys, a.agg, a.max_commits_per_batch, a.shard) == (
+        "feed-rollup", "a,b", ["n=count", "v=sum:value"], 2, "0/4")

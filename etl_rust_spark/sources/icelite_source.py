@@ -26,6 +26,9 @@ k a disjoint slice of the feed by file bucket (bucket % k == i), pruned
 at the manifest level — k parallel downstream pipelines (each with its
 own checkpoint) partition the feed completely without k full scans.
 ``option("maxCommitsPerBatch", n)`` bounds backlog catch-up.
+``option("columns", "a,b")`` projects the feed to the named columns
+(+ ``_commit_seq``) — the Arrow data plane then decodes only those
+parquet columns, so a narrow consumer of a wide table reads narrow.
 
 Data-plane note (disclosed): partitions are read by pyarrow in Python
 workers — the Python Data Source API's execution model — with one
@@ -211,16 +214,30 @@ def _read_partition_arrow(p: _FilePartition):
     target = to_arrow_schema(schema)
     target = target.append(pa.field("_commit_seq", pa.int64()))
     cmap = p.cols or p.legacy_cols  # id→name at write time (None: current)
-    tbl = pq.read_table(p.path)
-    arrays = []
-    n = tbl.num_rows
+    # COLUMN-PRUNED read: resolve each declared field to its physical name
+    # first (metadata-only), then decode exactly those columns — with a
+    # projected stream (.option("columns", ...)) a wide change row never
+    # leaves the parquet pages it isn't needed from
+    pf = pq.ParquetFile(p.path)
+    phys = set(pf.schema_arrow.names)
+    src_of: dict[str, str | None] = {}
     for fld in schema.fields:
         if cmap and p.field_ids:
             src = cmap.get(str(p.field_ids.get(fld.name)))
         else:
             src = fld.name
+        src_of[fld.name] = src if (src is not None and src in phys) else None
+    wanted = sorted({s for s in src_of.values() if s is not None})
+    if wanted:
+        tbl = pq.read_table(p.path, columns=wanted)
+        n = tbl.num_rows
+    else:
+        tbl, n = None, pf.metadata.num_rows
+    arrays = []
+    for fld in schema.fields:
         at = target.field(fld.name).type
-        if src is not None and src in tbl.column_names:
+        src = src_of[fld.name]
+        if src is not None:
             arrays.append(tbl[src].cast(at))
         else:
             arrays.append(pa.nulls(n, type=at))
@@ -405,7 +422,28 @@ class IceliteDataSource(DataSource):
         return "icelite"
 
     def schema(self):
-        return _stream_schema(_TableMeta(self.options.get("path", "")))
+        full = _stream_schema(_TableMeta(self.options.get("path", "")))
+        cols = self.options.get("columns")
+        if not cols:
+            return full
+        # COLUMN PROJECTION: .option("columns", "a,b") declares a subset
+        # stream — partitions ship only these fields and the Arrow reader
+        # decodes only their parquet columns (a rollup over two columns of
+        # a wide transcript table reads two columns, not the texts).
+        # _commit_seq always rides along. Same fail-fast rule as the full
+        # stream when a projected column is later renamed/dropped.
+        want = [c.strip() for c in str(cols).split(",") if c.strip()]
+        by_name = {f.name: f for f in full.fields}
+        missing = [c for c in want if c not in by_name]
+        if missing:
+            raise ValueError(
+                f"columns option names {missing} not in the table schema "
+                f"({sorted(n for n in by_name if n != '_commit_seq')})"
+            )
+        fields = [by_name[c] for c in want]
+        if "_commit_seq" not in want:
+            fields.append(by_name["_commit_seq"])
+        return T.StructType(fields)
 
     def reader(self, schema) -> DataSourceReader:
         return _IceliteBatchReader(self.options, schema)

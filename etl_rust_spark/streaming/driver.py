@@ -462,7 +462,23 @@ class ChangeFeedRollup:
                 source=f"rollup:{self.name}",
             )
 
-        r = self.spark.readStream.format("icelite").option("path", self.source_path)
+        # project the feed to exactly what the rollup consumes: keys, agg
+        # sources, the seq column, and __deleted only when it gates — a
+        # count/turn rollup over transcripts never ships the text bytes
+        needed = list(self.key_cols)
+        for spec in self.aggs.values():
+            _, _, scol = spec.partition(":")
+            if scol:
+                needed.append(scol)
+        needed.append(src_seq)
+        if not self.include_deletes and "__deleted" in src_types:
+            needed.append("__deleted")
+        needed = list(dict.fromkeys(needed))
+        r = (
+            self.spark.readStream.format("icelite")
+            .option("path", self.source_path)
+            .option("columns", ",".join(needed))
+        )
         if self.max_commits_per_batch is not None:
             r = r.option("maxCommitsPerBatch", str(self.max_commits_per_batch))
         if self.shard is not None:

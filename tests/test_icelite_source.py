@@ -576,3 +576,60 @@ def test_sharded_consumers_partition_the_feed(spark, tmp_path):
 
     with _pytest.raises(Exception, match="shard"):
         shard_rows("3/2")
+
+
+def test_columns_projection_batch_and_stream(spark, tmp_path):
+    """.option("columns", ...) projects the feed: only the named columns
+    (+ _commit_seq) come back, values exactly matching the full feed's
+    projection — batch and stream — and the Arrow reader decodes only
+    those parquet columns."""
+    register_icelite_source(spark)
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_changes(t, _batch(spark, [
+        (1, "I", "a", 0, "user", "t1", None), (2, "I", "b", 1, "user", "t2", None),
+    ]), batch_key="b0", mode="mor")
+    apply_changes(t, _batch(spark, [(3, "U", "a", 0, "user", "t3", None)]),
+                  batch_key="b1", mode="mor")
+
+    proj = (spark.read.format("icelite").option("path", str(tmp_path / "t"))
+            .option("columns", "conv_id,turn_idx,__lsn").load())
+    assert proj.columns == ["conv_id", "turn_idx", "__lsn", "_commit_seq"]
+    full = spark.read.format("icelite").option("path", str(tmp_path / "t")).load()
+    want = {(r["conv_id"], r["turn_idx"], r["__lsn"], r["_commit_seq"])
+            for r in full.collect()}
+    got = {(r["conv_id"], r["turn_idx"], r["__lsn"], r["_commit_seq"])
+           for r in proj.collect()}
+    assert got == want and len(got) == 3
+
+    # stream twin
+    rows = []
+    q = (spark.readStream.format("icelite").option("path", str(tmp_path / "t"))
+         .option("columns", "conv_id,__lsn").load()
+         .writeStream.foreachBatch(lambda df, _e: rows.extend(df.collect()))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert {tuple(r) for r in rows} == {
+        ("a", 1, 1), ("b", 2, 1), ("a", 3, 2)}
+
+
+def test_columns_projection_unknown_column_raises(spark, tmp_path):
+    register_icelite_source(spark)
+    create_transcript_table(spark, str(tmp_path / "t"), n_buckets=2)
+    with pytest.raises(Exception, match="columns option names"):
+        (spark.read.format("icelite").option("path", str(tmp_path / "t"))
+         .option("columns", "conv_id,nope").load().collect())
+
+
+def test_columns_projection_resolves_renames_by_field_id(spark, tmp_path):
+    """A projected column that was RENAMED after old files were written
+    still reads the old files' bytes (field-id resolution is independent
+    of projection)."""
+    register_icelite_source(spark)
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_changes(t, _batch(spark, [(1, "I", "a", 0, "user", "old-text", None)]),
+                  batch_key="b0", mode="mor")
+    t.rename_column("text", "body")
+    proj = (spark.read.format("icelite").option("path", str(tmp_path / "t"))
+            .option("columns", "conv_id,body").load())
+    assert [r["body"] for r in proj.collect()] == ["old-text"]

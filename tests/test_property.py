@@ -483,3 +483,136 @@ def test_preimage_feed_matches_model(spark, batches):
                 else:
                     want[(s, k)] = (None, None, None)
             assert got == want, f"since={since}"
+
+
+# ---------------------------------------------------------------------------
+# additive (agg_cols) tables: fold == model accumulator under arbitrary
+# interleavings of partial merges (incl. repeated keys in one batch and
+# NEGATIVE partials — the retraction contract), redelivery, compaction and
+# time travel
+# ---------------------------------------------------------------------------
+
+_ADD_KEYS = ["a", "b", "c"]
+
+
+@st.composite
+def additive_ops(draw):
+    ops = []
+    n = draw(st.integers(min_value=2, max_value=6))
+    for _ in range(n):
+        kind = draw(st.sampled_from(["merge", "merge", "merge", "redeliver",
+                                     "compact", "partial_compact"]))
+        if kind == "merge":
+            rows = draw(st.lists(
+                st.tuples(
+                    st.sampled_from(_ADD_KEYS),
+                    st.integers(min_value=-5, max_value=9),   # n partial (±)
+                    st.integers(min_value=-8, max_value=8),   # v partial ×0.25
+                    st.integers(min_value=0, max_value=99),   # lo candidate
+                ),
+                min_size=1, max_size=5,
+            ))
+            ops.append(("merge", rows))
+        else:
+            ops.append((kind,))
+    return ops
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=additive_ops())
+def test_additive_fold_matches_model(spark, ops):
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from etl_rust_spark.lake.format import IceliteTable
+
+    with tempfile.TemporaryDirectory(prefix="add_prop_") as root:
+        schema = T.StructType([
+            T.StructField("k", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("lo", T.LongType()),
+            T.StructField("last", T.StringType()),
+            T.StructField("__lsn", T.LongType()),
+        ])
+        t = IceliteTable.create(
+            spark, f"{root}/t", schema, key_cols=["k"], bucket_key="k",
+            n_buckets=2, order_cols=["k"], seq_col="__lsn",
+            agg_cols={"n": "sum", "v": "sum", "lo": "min"},
+        )
+        # model: k -> [n_sum, v_quarters, lo_min, (seq, last)]
+        model: dict = {}
+        snaps: dict = {}  # commit seq -> frozen model copy
+        lsn = [0]
+        batch_no = [0]
+        last_batch = [None]  # (batch_key, rows) for redelivery
+
+        def freeze():
+            snaps[t.current_seq()] = {
+                k: (m[0], m[1], m[2], m[3]) for k, m in model.items()
+            }
+
+        def state():
+            return {
+                r["k"]: (r["n"], round(r["v"] * 4), r["lo"], r["last"], r["__lsn"])
+                for r in t.read().collect()
+            }
+
+        def expect(m):
+            return {
+                k: (n, vq, lo, last, seq)
+                for k, (n, vq, lo, (seq, last)) in (
+                    (kk, (mm[0], mm[1], mm[2], mm[3])) for kk, mm in m.items()
+                )
+            }
+
+        def do_merge(rows, batch_key, apply_model):
+            sdf = spark.createDataFrame(
+                [(k, n, q * 0.25, lo, f"s{sl}", sl, "U")
+                 for (k, n, q, lo, sl) in rows],
+                "k string, n long, v double, lo long, last string, "
+                "__lsn long, op string",
+            )
+            t.merge(sdf, batch_key=batch_key, seq_col="__lsn", mode="mor")
+            if apply_model:
+                for (k, n, q, lo, sl) in rows:
+                    cur = model.get(k, [0, 0, None, (-1, None)])
+                    cur = [
+                        cur[0] + n, cur[1] + q,
+                        lo if cur[2] is None else min(cur[2], lo),
+                        max(cur[3], (sl, f"s{sl}")),
+                    ]
+                    model[k] = cur
+                freeze()
+
+        for op in ops:
+            if op[0] == "merge":
+                stamped = []
+                for (k, n, q, lo) in op[1]:
+                    lsn[0] += 1
+                    stamped.append((k, n, q, lo, lsn[0]))
+                batch_no[0] += 1
+                bk = f"b{batch_no[0]}"
+                do_merge(stamped, bk, apply_model=True)
+                last_batch[0] = (bk, stamped)
+            elif op[0] == "redeliver" and last_batch[0] is not None:
+                bk, rows = last_batch[0]
+                seq_before = t.current_seq()
+                do_merge(rows, bk, apply_model=False)  # ledger no-op
+                assert t.current_seq() == seq_before
+            elif op[0] == "compact":
+                t.compact()
+            elif op[0] == "partial_compact":
+                t.compact(min_files_per_bucket=1)
+
+        assert state() == expect(model)
+        # time travel folds at every recorded snapshot
+        for s, frozen in snaps.items():
+            got = {
+                r["k"]: (r["n"], round(r["v"] * 4), r["lo"], r["last"], r["__lsn"])
+                for r in t.read(seq=s).collect()
+            }
+            assert got == expect(frozen), f"seq={s}"

@@ -165,6 +165,31 @@ def cmd_feed_rollup(args) -> int:
     return 0
 
 
+def cmd_delete_where(args) -> int:
+    """Predicate delete (GDPR/retention job): tombstone every live key
+    matching the condition; deletes flow to consumers via the change
+    feed. Purge pipeline: delete-where -> compact -> expire -> GC."""
+    import json as _json
+
+    from etl_rust_spark.lake.format import IceliteTable
+
+    caster = {
+        "string": str, "long": int, "double": float,
+        "ts": lambda v: v,  # ISO string; read() normalizes vs epoch stats
+    }[args.value_type]
+    t = IceliteTable.load(_spark(args), args.table)
+    rec = t.delete_where(
+        [(args.col, args.op, caster(args.value))],
+        at_seq=args.at_seq, batch_key=args.batch_key,
+    )
+    if rec is None:
+        print('{"deleted": 0}')
+    else:
+        print(_json.dumps({"deleted": rec["n_deletes"],
+                           "commit_seq": rec["commit_seq"]}))
+    return 0
+
+
 def cmd_compact(args) -> int:
     from etl_rust_spark.lake.format import IceliteTable
 
@@ -435,6 +460,24 @@ def build_parser() -> argparse.ArgumentParser:
     ru.add_argument("--n-buckets", type=int, default=8)
     ru.add_argument("--follow", action="store_true")
     ru.set_defaults(fn=cmd_rollup)
+
+    dw = sub.add_parser(
+        "delete-where",
+        help="tombstone every live key matching a predicate "
+             "(GDPR/retention; deletes flow through the change feed)",
+    )
+    dw.add_argument("--table", required=True)
+    dw.add_argument("--col", required=True)
+    dw.add_argument("--op", default="=",
+                    choices=["=", "<", "<=", ">", ">="])
+    dw.add_argument("--value", required=True)
+    dw.add_argument("--value-type", default="string",
+                    choices=["string", "long", "double", "ts"])
+    dw.add_argument("--at-seq", type=int, default=None,
+                    help="tombstone sequence (default: 1 + max matched seq)")
+    dw.add_argument("--batch-key", default=None,
+                    help="exactly-once ledger key for the delete job")
+    dw.set_defaults(fn=cmd_delete_where)
 
     k = sub.add_parser("compact", help="fold delta files")
     k.add_argument("--table", required=True)

@@ -2726,6 +2726,67 @@ class IceliteTable:
                 shutil.rmtree(d, ignore_errors=True)
         return removed
 
+    def delete_where(
+        self,
+        where: list,
+        at_seq: int | None = None,
+        batch_key: str | None = None,
+        source: str = "delete_where",
+    ) -> dict | None:
+        """Predicate delete as a first-class CDC event — the GDPR /
+        retention job: resolve the LIVE keys matching ``where`` (same
+        file-pruned, MoR-safe read as ``read(where=...)``) and commit one
+        tombstone per key as a normal merge-on-read append. O(matching
+        slice) read + O(matched keys) write, never a table rewrite; the
+        deletes flow to every downstream consumer through the change feed
+        like any other change (a compaction-based purge would be
+        invisible to the feed and silently diverge consumers).
+
+        ``at_seq`` is the sequence the tombstones carry — it must beat
+        the matched keys' current winners and belong to the caller's seq
+        domain (e.g. the WAL head for out-of-band deletes). Default:
+        1 + the max seq among matched keys (beats every matched winner;
+        any genuinely later CDC event still wins over the tombstone).
+        Physical bytes remain until ``compact()`` folds the tombstones
+        and ``expire_snapshots`` + ``remove_orphans`` drop the old files
+        — the purge pipeline is delete_where → compact → expire → GC.
+
+        Not supported on additive (``agg_cols``) tables (accumulate-only;
+        write compensating negative partials instead). Returns the commit
+        lineage record, or None if nothing matched / batch_key replayed."""
+        ptr = self.pointer()
+        if ptr.get("agg_cols"):
+            raise ValueError(
+                "delete_where is not supported on additive (agg_cols) "
+                "tables — write compensating negative partials instead"
+            )
+        if not ptr.get("seq_col"):
+            raise ValueError("delete_where requires a seq_col table")
+        seq_col = ptr["seq_col"]
+        live = self.read(where=where)
+        if "__deleted" in live.columns:
+            live = live.filter(
+                ~F.coalesce(F.col("__deleted"), F.lit(False))
+            )
+        matched = live.select(*ptr["key_cols"], seq_col)
+        if at_seq is None:
+            top = matched.agg(F.max(seq_col).alias("m")).collect()[0]["m"]
+            if top is None:
+                return None  # nothing matched
+            at_seq = int(top) + 1
+        elif matched.isEmpty():
+            return None
+        tomb = matched.drop(seq_col).select(
+            "*",
+            F.lit(int(at_seq)).cast("long").alias(seq_col),
+            F.lit(True).alias("__deleted"),
+            F.lit("U").alias("op"),
+        )
+        return self.merge(
+            tomb, batch_key=batch_key, seq_col=seq_col, mode="mor",
+            source=source,
+        )
+
     def expire_snapshots(self, keep_last: int = 2) -> list[str]:
         """Delete data files, manifests, and ledger chunks referenced only
         by expired snapshots — a pure manifest diff (no directory glob of

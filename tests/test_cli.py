@@ -380,3 +380,37 @@ def test_parser_feed_rollup_subcommand():
     ])
     assert (a.cmd, a.keys, a.agg, a.max_commits_per_batch, a.shard) == (
         "feed-rollup", "a,b", ["n=count", "v=sum:value"], 2, "0/4")
+
+
+def test_cli_delete_where_end_to_end(spark, tmp_path, capsys):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.__main__ import main
+    from etl_rust_spark.lake.format import IceliteTable
+    from etl_rust_spark.operators.apply import apply_changes, create_transcript_table
+
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=2)
+    ddl = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+           "text string, tool string, ts timestamp")
+    rows = [(i, "I", f"c{i % 2}", i, "user", f"t{i}", "", dt.datetime(2025, 1, 1))
+            for i in range(6)]
+    apply_changes(t, spark.createDataFrame(rows, ddl), batch_key="b0", mode="mor")
+    assert main([
+        "delete-where", "--table", str(tmp_path / "t"),
+        "--col", "conv_id", "--value", "c0", "--batch-key", "purge1",
+    ]) == 0
+    assert '"deleted": 3' in capsys.readouterr().out
+    live = (IceliteTable.load(spark, str(tmp_path / "t")).read()
+            .filter(~F.coalesce(F.col("__deleted"), F.lit(False))))
+    assert {r["conv_id"] for r in live.select("conv_id").distinct().collect()} == {"c1"}
+
+
+def test_parser_delete_where_subcommand():
+    p = build_parser()
+    a = p.parse_args(["delete-where", "--table", "/t", "--col", "ts",
+                      "--op", "<", "--value", "2024-01-01", "--value-type", "ts",
+                      "--at-seq", "99"])
+    assert (a.cmd, a.col, a.op, a.value, a.value_type, a.at_seq) == (
+        "delete-where", "ts", "<", "2024-01-01", "ts", 99)

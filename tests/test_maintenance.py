@@ -462,3 +462,66 @@ def test_streaming_source_fails_fast_on_rollback(spark, tmp_path):
     )
     with pytest.raises(Exception, match="rollback"):
         q.awaitTermination()
+
+
+def test_delete_where_purges_keys_and_feeds_consumers(spark, tmp_path):
+    """Predicate delete (round 5): tombstones for the matched keys land as
+    a normal MoR commit — final view drops them, survivors intact, the
+    change feed delivers the deletes, and a genuinely later CDC event
+    still resurrects the key."""
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.operators.apply import read_transcripts
+
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(table, _batch(spark, "gone", 0, n=3), batch_key="b0", mode="mor")
+    apply_changes(table, _batch(spark, "kept", 100, n=2), batch_key="b1", mode="mor")
+
+    rec = table.delete_where([("conv_id", "=", "gone")], batch_key="gdpr1")
+    assert rec is not None and rec["n_deletes"] == 3
+    got = read_transcripts(table).select("conv_id").distinct().collect()
+    assert {r["conv_id"] for r in got} == {"kept"}
+
+    # the feed carries the tombstones like any other change
+    feed = table.read_changes(rec["commit_seq"] - 1, rec["commit_seq"])
+    assert feed.count() == 3
+    assert feed.filter(F.col("__deleted")).count() == 3
+
+    # idempotent redelivery
+    assert table.delete_where([("conv_id", "=", "gone")], batch_key="gdpr1") is None
+    # nothing matched -> no commit
+    seq = table.current_seq()
+    assert table.delete_where([("conv_id", "=", "nope")]) is None
+    assert table.current_seq() == seq
+
+    # a later CDC event (higher lsn) beats the tombstone
+    apply_changes(table, _batch(spark, "gone", 500, n=1), batch_key="b2", mode="mor")
+    got = {r["conv_id"] for r in
+           read_transcripts(table).select("conv_id").distinct().collect()}
+    assert got == {"kept", "gone"}
+
+    # purge pipeline: compact folds the tombstones; the deleted payload
+    # bytes are gone from the live files (tombstone rows keep null text)
+    table.compact()
+    live = table.read()
+    dead = live.filter(F.coalesce(F.col("__deleted"), F.lit(False)))
+    assert dead.filter(F.col("text").isNotNull()).count() == 0
+
+
+def test_delete_where_guards(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    from etl_rust_spark.lake.format import IceliteTable
+
+    t = IceliteTable.create(
+        spark, str(tmp_path / "agg"),
+        T.StructType([
+            T.StructField("k", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("__lsn", T.LongType()),
+        ]),
+        key_cols=["k"], bucket_key="k", n_buckets=2, order_cols=["k"],
+        seq_col="__lsn", agg_cols={"n": "sum"},
+    )
+    with pytest.raises(ValueError, match="not supported on additive"):
+        t.delete_where([("k", "=", "a")])

@@ -307,6 +307,92 @@ class WindowedRollupIngest:
 
 
 @dataclass
+class DemuxIngest:
+    """One WAL stream → K tables, routed by predicate — the streaming
+    twin of the reference's one-source→many-tables migration
+    (operators/migrate.py; reference flatten+load,
+    example/src/main.rs:305-622): each micro-batch is read from the WAL
+    ONCE (cached), then every route's filtered slice merges into its own
+    table under its own exactly-once ledger key. K separate pipelines
+    tailing the same WAL would scan it K times; the single-scan demux is
+    the affordable fan-out at scale — the producer-side complement of the
+    change-feed consumer's ``shard`` option.
+
+    ``routes``: name → (filter ``Column``, table_path). Routes are
+    independent filters, not a partition — a row may match several (it
+    lands in each) or none (it is dropped; add a catch-all route to keep
+    strays).
+
+    Crash atomicity: batch keys carry the route name
+    (``{name}:{run}:{epoch}:{route}``), so a micro-batch replayed after
+    a crash BETWEEN route commits re-runs all routes and the already-
+    committed ones resolve to ledger no-ops — no route is double-applied
+    or lost."""
+
+    spark: SparkSession
+    wal_dir: str
+    checkpoint_dir: str
+    schema: T.StructType
+    routes: dict = field(default_factory=dict)  # name -> (Column, path)
+    name: str = "demux"
+    max_files_per_trigger: int = 1
+    wal_format: str = "parquet"
+    mode: str = "mor"
+    salt_buckets: int | None = None
+
+    def start(self):
+        if not self.routes:
+            raise ValueError("DemuxIngest needs at least one route")
+        tables = {
+            rname: IceliteTable.load(self.spark, path)
+            for rname, (_, path) in self.routes.items()
+        }
+        run_id = _checkpoint_run_id(self.checkpoint_dir)
+
+        def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_df.persist()
+            try:
+                for rname, (pred, _) in self.routes.items():
+                    apply_changes(
+                        tables[rname],
+                        batch_df.filter(pred),
+                        batch_key=f"{self.name}:{run_id}:{epoch_id}:{rname}",
+                        source=f"stream:{self.name}:{rname}",
+                        mode=self.mode,
+                        salt_buckets=self.salt_buckets,
+                    )
+            finally:
+                batch_df.unpersist()
+
+        reader = self.spark.readStream.schema(self.schema).option(
+            "maxFilesPerTrigger", self.max_files_per_trigger
+        )
+        stream = (
+            reader.json(self.wal_dir)
+            if self.wal_format == "json"
+            else reader.parquet(self.wal_dir)
+        )
+        return (
+            stream.writeStream.queryName(self.name)
+            .foreachBatch(_apply)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    def run_available(self) -> None:
+        try:
+            q = self.start()
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                q.awaitTermination()
+        except Exception as e:
+            raise PipelineError(self.name, e) from e
+
+
+@dataclass
 class ChangeFeedRollup:
     """Continuously maintain an ADDITIVE downstream rollup from a source
     table's change feed — the deployable table→table materialized-

@@ -3,6 +3,7 @@ from etl_rust_spark.streaming.driver import (
     PipelineManager,
     WindowedRollupIngest,
 )
+from etl_rust_spark.streaming.scd2 import ChangeFeedScd2
 from etl_rust_spark.streaming.joins import (
     dedup_within_watermark,
     interval_join,
@@ -10,6 +11,7 @@ from etl_rust_spark.streaming.joins import (
 )
 
 __all__ = [
+    "ChangeFeedScd2",
     "ChangelogIngest",
     "PipelineManager",
     "WindowedRollupIngest",

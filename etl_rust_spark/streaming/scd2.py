@@ -1,0 +1,273 @@
+"""ChangeFeedScd2 — type-2 (SCD2) history maintenance from a table's
+change feed, O(delta) per micro-batch at BOTH ends.
+
+The reference's apply path is destructive: ``ETL::run`` upserts each
+batch into the sink and the previous row values are gone
+(/root/reference/src/etl/processor.rs:99 — Postgres ``ON CONFLICT
+UPDATE``). This pipeline is the non-destructive twin every warehouse
+eventually needs: tail the source's commit log
+(``readStream.format("icelite")``) and append each delivered change as
+an IMMUTABLE version row keyed on ``(key..., valid_from_seq)``. The
+classic SCD2 read surface — ``valid_to_seq`` / ``is_current`` — is
+DERIVED on read with one per-key ``lead()`` window (merge-on-read
+philosophy applied to history: closing a version at write time would
+need a lookup of the previous version's identity, turning an O(delta)
+append into a read-modify-write of accumulated state; deriving it on
+read costs one co-partitioned window over per-key version chains, which
+is work proportional to the keys actually read).
+
+Scale shape at 10^10 events: each micro-batch appends exactly the feed
+rows it received (no read of the target), per-key version chains are
+bounded by that key's change count, and the read-side window shuffles
+on the SAME keys the table is bucketed on. ``shard="i/k"`` splits the
+feed by bucket for horizontal fan-out — shards own disjoint keys, so
+each maintains a disjoint slice of the history.
+
+Exactly-once: checkpoint offsets + run-id-namespaced ledger keys, like
+every sink in this engine. UNLIKE the additive ``ChangeFeedRollup``, a
+RELOCATED checkpoint is content-safe here: replaying commit ``c``
+rewrites the identical ``(key, valid_from_seq=c)`` row (last-writer-wins
+on equal content), so the history cannot double-count — it only burns
+target commits.
+
+Late data: the feed delivers each commit's BATCH winners, and under
+out-of-order delivery a batch winner can LOSE to the table's existing
+state (its source LSN is lower than the stored row's — the same
+cross-batch guard that keeps the merge exact). History is therefore the
+EFFECTIVE-state timeline: a delivered change opens a version only when
+its ``_src_lsn`` (the source's seq_col value) beats the key's running
+maximum over earlier commits; losing deliveries stay in the raw version
+log as a full delivery audit (``IceliteTable.read()`` shows them) but
+emit no interval — exactly why ``as_of`` can equal time travel, whose
+winner is max-by-LSN, not last-by-commit.
+
+Delete semantics: a ``__deleted`` tombstone in the feed records a
+``_scd_op='D'`` version row. When effective, it closes the previous
+version's interval (via the read-side ``lead``) and contributes no
+interval itself, so a key deleted at ``d`` and re-inserted at ``r`` has
+no current row in ``as_of(s)`` for d <= s < r; a LATE tombstone that
+loses by LSN closes nothing, matching the merge.
+
+``as_of(seq)`` reconstructs the source's full key state at any consumed
+commit — differentially tested against Icelite time travel
+(``source.read(seq=...)``), two independent implementations of the same
+semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_rust_spark.lake.format import IceliteTable
+from etl_rust_spark.streaming.driver import PipelineError, _checkpoint_run_id
+
+VALID_FROM = "valid_from_seq"
+VALID_TO = "valid_to_seq"
+OP_COL = "_scd_op"
+SEQ_COL = "_scd_lsn"
+SRC_LSN = "_src_lsn"
+
+
+@dataclass
+class ChangeFeedScd2:
+    """Deployable table→history pipeline: icelite change-feed tail →
+    immutable version-row appends into an SCD2 target table."""
+
+    spark: SparkSession
+    source_path: str
+    table_path: str
+    checkpoint_dir: str
+    name: str = "scd2"
+    max_commits_per_batch: int | None = None
+    shard: str | None = None
+
+    @classmethod
+    def create_target(
+        cls,
+        spark: SparkSession,
+        path: str,
+        source_path: str,
+        n_buckets: int = 32,
+    ) -> IceliteTable:
+        """Derive and create the version-log target from the source
+        schema: source keys + ``valid_from_seq`` (the commit seq that
+        delivered the version) as the composite key, every non-key
+        source column as payload (``__deleted`` becomes the ``_scd_op``
+        marker instead — a literal ``__deleted`` payload column would be
+        read back as a tombstone by the target's own merge; the source's
+        seq_col is renamed to ``_src_lsn``, the effectiveness order),
+        bucketed on the source's bucket key so a key's versions
+        co-locate."""
+        src = IceliteTable.load(spark, source_path)
+        sptr = src.pointer()
+        if not sptr.get("seq_col"):
+            raise ValueError("ChangeFeedScd2 requires a seq_col source table")
+        if sptr.get("agg_cols"):
+            raise ValueError(
+                "ChangeFeedScd2 is undefined for additive (agg_cols) "
+                "tables — a key's state is a FOLD over all partials, not "
+                "a chain of single winners; snapshot-diff instead"
+            )
+        keys = list(sptr["key_cols"])
+        by_name = {f.name: f for f in src.schema.fields}
+        fields = [by_name[k] for k in keys]
+        fields.append(T.StructField(VALID_FROM, T.LongType(), False))
+        src_seq = sptr["seq_col"]
+        fields.extend(
+            f for f in src.schema.fields
+            if f.name not in keys and f.name not in ("__deleted", src_seq)
+        )
+        fields.append(T.StructField(SRC_LSN, T.LongType(), False))
+        fields.append(T.StructField(OP_COL, T.StringType(), False))
+        fields.append(T.StructField(SEQ_COL, T.LongType(), False))
+        return IceliteTable.create(
+            spark, path, T.StructType(fields),
+            key_cols=keys + [VALID_FROM],
+            bucket_key=sptr.get("bucket_key", keys[0]),
+            n_buckets=n_buckets,
+            order_cols=keys + [VALID_FROM],
+            seq_col=SEQ_COL,
+        )
+
+    def start(self):
+        from etl_rust_spark.sources import register_icelite_source
+
+        register_icelite_source(self.spark)
+        target = IceliteTable.load(self.spark, self.table_path)
+        tptr = target.pointer()
+        if VALID_FROM not in tptr["key_cols"] or tptr.get("seq_col") != SEQ_COL:
+            raise ValueError(
+                f"{self.table_path!r} is not an SCD2 version log — create "
+                "it with ChangeFeedScd2.create_target"
+            )
+        run_id = _checkpoint_run_id(self.checkpoint_dir)
+        src_seq = IceliteTable.load(self.spark, self.source_path).pointer()[
+            "seq_col"
+        ]
+
+        def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+            # one BATCH winner per key per commit rides in; each becomes
+            # one immutable version row. The feed's __deleted flag
+            # becomes the version's _scd_op so the TARGET merge never
+            # sees a tombstone (version rows are never deleted), and the
+            # source's seq_col becomes _src_lsn (effectiveness order). A
+            # column the source gained since target creation evolves the
+            # target schema through the merge's normal upsert alignment.
+            b = batch_df
+            deleted = (
+                F.coalesce(F.col("__deleted"), F.lit(False))
+                if "__deleted" in b.columns
+                else F.lit(False)
+            )
+            versions = b.select(
+                *[F.col(c) for c in b.columns
+                  if c not in ("__deleted", "_commit_seq", src_seq)],
+                F.col(src_seq).cast("long").alias(SRC_LSN),
+                F.col("_commit_seq").alias(VALID_FROM),
+                F.when(deleted, F.lit("D")).otherwise(F.lit("U")).alias(OP_COL),
+                F.col("_commit_seq").alias(SEQ_COL),
+                F.lit("U").alias("op"),
+            )
+            target.merge(
+                versions,
+                batch_key=f"{self.name}:{run_id}:{epoch_id}",
+                seq_col=SEQ_COL, mode="mor",
+                source=f"scd2:{self.name}",
+            )
+
+        r = (
+            self.spark.readStream.format("icelite")
+            .option("path", self.source_path)
+        )
+        if self.max_commits_per_batch is not None:
+            r = r.option("maxCommitsPerBatch", str(self.max_commits_per_batch))
+        if self.shard is not None:
+            r = r.option("shard", self.shard)
+        return (
+            r.load()
+            .writeStream.queryName(self.name)
+            .foreachBatch(_apply)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    def run_available(self, max_drains: int = 64) -> None:
+        """Drain the outstanding feed to quiescence (same bounded-catch-up
+        loop as ChangeFeedRollup: Python streaming sources execute a
+        single batch under availableNow, so a bounded span needs repeated
+        drains until a drain commits nothing new)."""
+        target = IceliteTable.load(self.spark, self.table_path)
+        try:
+            for _ in range(max_drains):
+                before = target.current_seq()
+                q = self.start()
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+                    q.awaitTermination()
+                if target.current_seq() == before:
+                    return
+            raise RuntimeError(
+                f"scd2 {self.name!r} still catching up after "
+                f"{max_drains} drains"
+            )
+        except PipelineError:
+            raise
+        except Exception as e:
+            raise PipelineError(self.name, e) from e
+
+    @staticmethod
+    def read_history(spark: SparkSession, table_path: str) -> DataFrame:
+        """The SCD2 read surface: one row per version with
+        ``valid_from_seq`` / ``valid_to_seq`` (NULL = still open) /
+        ``is_current``, derived with two per-key windows over the SAME
+        partitioning (one shuffle): a running-max ``_src_lsn`` filter
+        keeps only EFFECTIVE deliveries (a late batch winner that lost
+        to stored state opens no version — it was never the key's
+        state), then ``lead()`` over the survivors assigns intervals.
+        Effective ``_scd_op='D'`` tombstone versions close the preceding
+        interval and are then dropped — a deleted key has NO current
+        version."""
+        t = IceliteTable.load(spark, table_path)
+        ptr = t.pointer()
+        if VALID_FROM not in ptr["key_cols"]:
+            raise ValueError(f"{table_path!r} is not an SCD2 version log")
+        keys = [k for k in ptr["key_cols"] if k != VALID_FROM]
+        log = t.read()
+        if "__deleted" in log.columns:
+            log = log.drop("__deleted")
+        prev = Window.partitionBy(*keys).orderBy(VALID_FROM).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        log = log.withColumn("__prev_max", F.max(SRC_LSN).over(prev)).filter(
+            F.col("__prev_max").isNull()
+            | (F.col(SRC_LSN) > F.col("__prev_max"))
+        ).drop("__prev_max")
+        w = Window.partitionBy(*keys).orderBy(VALID_FROM)
+        return (
+            log.withColumn(VALID_TO, F.lead(VALID_FROM).over(w))
+            .withColumn(
+                "is_current",
+                F.col(VALID_TO).isNull() & (F.col(OP_COL) == "U"),
+            )
+            .filter(F.col(OP_COL) == "U")
+            .drop(OP_COL, SEQ_COL)
+        )
+
+    @staticmethod
+    def as_of(spark: SparkSession, table_path: str, seq: int) -> DataFrame:
+        """Point-in-time reconstruction: the source's live key state as
+        of source commit ``seq`` — every version whose validity interval
+        contains ``seq``. Equals ``source.read(seq=seq)`` minus
+        tombstones whenever the pipeline has consumed past ``seq``."""
+        hist = ChangeFeedScd2.read_history(spark, table_path)
+        return hist.filter(
+            (F.col(VALID_FROM) <= F.lit(int(seq)))
+            & (F.col(VALID_TO).isNull() | (F.col(VALID_TO) > F.lit(int(seq))))
+        ).drop(VALID_FROM, VALID_TO, "is_current")

@@ -28,6 +28,7 @@ from dataclasses import dataclass, field
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from etl_rust_spark.lake.format import IceliteTable
@@ -104,6 +105,22 @@ class ChangelogIngest:
     audit: Callable[[DataFrame], bool] | None = None
     on_reject: Callable[[int], None] | None = None
     rejected: list = field(default_factory=list)
+    # Row-level dead-letter queue (the data-plane analog of B10's error
+    # aggregation, src/etl/manager.rs:92-101 — the reference aborts the
+    # pipeline on a bad record; at 10^10 events a malformed crawl row
+    # must divert, not kill). ``rules`` maps rule name -> SQL predicate a
+    # VALID row satisfies (strings so the config is loggable/serializable;
+    # NULL predicate results count as violations — a null key fails
+    # "conv_id IS NOT NULL" and a null op fails the IN list). Rows failing
+    # ANY rule are written to ``quarantine_dir/batch-<run>-<epoch>`` as
+    # parquet with a ``_violations`` array naming every failed rule —
+    # overwrite-per-epoch makes replay exactly-once by content — and never
+    # reach the table. With quarantine_dir set and rules=None, defaults
+    # derive from the table: key columns non-null, lsn non-null, op valid.
+    quarantine_dir: str | None = None
+    rules: dict[str, str] | None = None
+    on_quarantine: Callable[[int, int], None] | None = None  # (epoch, n)
+    quarantined: list = field(default_factory=list)  # [(epoch, n), ...]
 
     def _run_id(self) -> str:
         return _checkpoint_run_id(self.checkpoint_dir)
@@ -115,7 +132,49 @@ class ChangelogIngest:
         if self.audit is not None and self.mode != "mor":
             raise ValueError("audited ingest requires mode='mor' (staged commits)")
 
+        rules = self.rules
+        if self.quarantine_dir is not None and rules is None:
+            keys = table.pointer()["key_cols"]
+            rules = {f"{k}_not_null": f"{k} IS NOT NULL" for k in keys}
+            rules["lsn_not_null"] = "lsn IS NOT NULL"
+            rules["op_valid"] = "op IN ('I', 'U', 'D')"
+        if rules is not None and self.quarantine_dir is None:
+            raise ValueError("rules without quarantine_dir would drop rows "
+                             "silently — set quarantine_dir")
+
         def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+            if not rules:
+                _apply_clean(batch_df, epoch_id)
+                return
+            # validate RAW WAL events (pre-transform: decode problems
+            # surface as nulls under the declared schema). One cached
+            # scan feeds both the quarantine write and the good path.
+            viol = F.array_compact(F.array(*[
+                F.when(~F.coalesce(F.expr(pred), F.lit(False)), F.lit(n))
+                for n, pred in rules.items()
+            ]))
+            flagged = batch_df.withColumn("_violations", viol).persist()
+            try:
+                bad = flagged.filter(F.size("_violations") > 0)
+                n_bad = bad.count()
+                if n_bad:
+                    # overwrite-per-epoch: a replayed epoch rewrites the
+                    # SAME rows into the SAME dir — content-exactly-once
+                    (bad.withColumn("_epoch_id", F.lit(epoch_id))
+                        .withColumn("_pipeline", F.lit(self.name))
+                        .write.mode("overwrite")
+                        .parquet(f"{self.quarantine_dir}/"
+                                 f"batch-{run_id}-{epoch_id}"))
+                    self.quarantined.append((epoch_id, n_bad))
+                    if self.on_quarantine:
+                        self.on_quarantine(epoch_id, n_bad)
+                good = (flagged.filter(F.size("_violations") == 0)
+                        .drop("_violations"))
+                _apply_clean(good, epoch_id)
+            finally:
+                flagged.unpersist()
+
+        def _apply_clean(batch_df: DataFrame, epoch_id: int) -> None:
             df = self.transform(batch_df) if self.transform else batch_df
             # epoch_id is stable across checkpoint restarts → the ledger
             # key that makes foreachBatch's at-least-once exactly-once;
@@ -197,6 +256,23 @@ class ChangelogIngest:
             raise PipelineError(self.name, e) from e
         if self.post_process:
             self.post_process()
+
+
+def read_quarantine(spark: SparkSession, quarantine_dir: str) -> DataFrame:
+    """Read every quarantined batch under ``quarantine_dir`` (one
+    ``batch-<run>-<epoch>`` parquet dir per offending micro-batch): the
+    original WAL rows plus ``_violations`` (every failed rule name),
+    ``_epoch_id`` and ``_pipeline`` — the triage surface an operator
+    re-drives fixed rows from."""
+    import glob as _glob
+    import os as _os
+
+    dirs = sorted(_glob.glob(_os.path.join(quarantine_dir, "batch-*")))
+    if not dirs:
+        raise FileNotFoundError(
+            f"no quarantined batches under {quarantine_dir!r}"
+        )
+    return spark.read.parquet(*dirs)
 
 
 @dataclass

@@ -54,6 +54,17 @@ def cmd_ingest(args) -> int:
     from etl_rust_spark.streaming.driver import ChangelogIngest
 
     schema = CHANGELOG_SCHEMA_EVOLVED if args.evolved else CHANGELOG_SCHEMA
+    rules = None
+    if getattr(args, "rule", None):
+        rules = {}
+        for spec in args.rule:
+            name, _, pred = spec.partition("=")
+            if not pred:
+                raise SystemExit(
+                    f"--rule {spec!r}: expected <name>=<sql predicate a "
+                    "valid row satisfies>"
+                )
+            rules[name] = pred
     audit = None
     if args.audit_reject_regex:
         from pyspark.sql import functions as F
@@ -80,6 +91,13 @@ def cmd_ingest(args) -> int:
         on_reject=(lambda e: print(f"REJECTED batch epoch={e} (audit gate)"))
         if audit
         else None,
+        quarantine_dir=args.quarantine_dir,
+        rules=rules,
+        on_quarantine=(
+            (lambda e, n: print(f"QUARANTINED {n} row(s) epoch={e}"))
+            if args.quarantine_dir
+            else None
+        ),
     )
     if args.follow:
         q = pipe.start()
@@ -88,6 +106,56 @@ def cmd_ingest(args) -> int:
         pipe.run_available()
         if pipe.rejected:
             print(f"rejected {len(pipe.rejected)} batch(es): {pipe.rejected}")
+        if pipe.quarantined:
+            total = sum(n for _, n in pipe.quarantined)
+            print(f"quarantined {total} row(s) across "
+                  f"{len(pipe.quarantined)} batch(es)")
+    return 0
+
+
+def cmd_scd2(args) -> int:
+    """Deployable table→history pipeline: tail a source table's change
+    feed and maintain an SCD2 version log (valid_from/valid_to intervals
+    derived on read; as_of(seq) == time travel)."""
+    from etl_rust_spark.lake.format import IceliteTable
+    from etl_rust_spark.streaming.scd2 import ChangeFeedScd2
+
+    spark = _spark(args)
+    try:
+        ChangeFeedScd2.create_target(
+            spark, args.table, args.source, n_buckets=args.n_buckets
+        )
+    except FileExistsError:
+        IceliteTable.load(spark, args.table)  # resume into the existing log
+    pipe = ChangeFeedScd2(
+        spark=spark, source_path=args.source, table_path=args.table,
+        checkpoint_dir=args.checkpoint, name=args.name,
+        max_commits_per_batch=args.max_commits_per_batch, shard=args.shard,
+    )
+    if args.follow:
+        q = pipe.start()
+        q.awaitTermination()
+    else:
+        pipe.run_available()
+        hist = ChangeFeedScd2.read_history(spark, args.table)
+        t = IceliteTable.load(spark, args.table)
+        print(f"scd2 at seq {t.current_seq()}: {hist.count()} versions")
+    return 0
+
+
+def cmd_scd2_read(args) -> int:
+    """Read an SCD2 version log as JSON lines: the full interval history,
+    or the reconstructed key state at --as-of-seq."""
+    from etl_rust_spark.streaming.scd2 import ChangeFeedScd2
+
+    spark = _spark(args)
+    df = (
+        ChangeFeedScd2.as_of(spark, args.table, args.as_of_seq)
+        if args.as_of_seq is not None
+        else ChangeFeedScd2.read_history(spark, args.table)
+    )
+    for row in df.toJSON().toLocalIterator(prefetchPartitions=True):
+        print(row, flush=True)
     return 0
 
 
@@ -440,7 +508,41 @@ def build_parser() -> argparse.ArgumentParser:
                         "this regex; requires --mode mor")
     i.add_argument("--follow", action="store_true",
                    help="keep tailing (default: drain available and exit)")
+    i.add_argument("--quarantine-dir", default=None,
+                   help="dead-letter sink: rows failing validation rules "
+                        "divert here as parquet with a _violations array "
+                        "instead of killing the pipeline")
+    i.add_argument("--rule", action="append", default=None,
+                   help="<name>=<sql predicate a VALID row satisfies> "
+                        "(repeatable; default rules derive from the table: "
+                        "keys/lsn non-null, op valid); requires "
+                        "--quarantine-dir")
     i.set_defaults(fn=cmd_ingest)
+
+    s2 = sub.add_parser(
+        "scd2",
+        help="SCD2 version log maintained from a table's change feed "
+             "(type-2 history: valid_from/valid_to intervals, as-of "
+             "reconstruction; O(delta) appends per batch)",
+    )
+    s2.add_argument("--source", required=True, help="source Icelite table")
+    s2.add_argument("--table", required=True, help="SCD2 version-log table")
+    s2.add_argument("--checkpoint", required=True)
+    s2.add_argument("--name", default="scd2")
+    s2.add_argument("--n-buckets", type=int, default=32)
+    s2.add_argument("--max-commits-per-batch", type=int, default=None)
+    s2.add_argument("--shard", default=None, help='consumer shard "i/k"')
+    s2.add_argument("--follow", action="store_true")
+    s2.set_defaults(fn=cmd_scd2)
+
+    s2r = sub.add_parser(
+        "scd2-read",
+        help="print an SCD2 version log as JSON lines (full interval "
+             "history, or --as-of-seq N for the state at source commit N)",
+    )
+    s2r.add_argument("--table", required=True)
+    s2r.add_argument("--as-of-seq", type=int, default=None)
+    s2r.set_defaults(fn=cmd_scd2_read)
 
     ru = sub.add_parser(
         "rollup", help="windowed aggregate table continuously upserted (mat. view)"

@@ -414,3 +414,62 @@ def test_parser_delete_where_subcommand():
                       "--at-seq", "99"])
     assert (a.cmd, a.col, a.op, a.value, a.value_type, a.at_seq) == (
         "delete-where", "ts", "<", "2024-01-01", "ts", 99)
+
+
+def test_cli_scd2_end_to_end(spark, tmp_path, capsys):
+    """Drive the SCD2 pipeline through the CLI arg path: history count
+    printed, as-of read reconstructs the source state, re-run is a
+    no-op."""
+    import datetime as dt
+    import json
+
+    from etl_rust_spark.__main__ import main
+    from etl_rust_spark.lake.format import IceliteTable
+    from etl_rust_spark.operators.apply import apply_changes, create_transcript_table
+
+    src = create_transcript_table(spark, str(tmp_path / "src"), n_buckets=4)
+    ddl = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+           "text string, tool string, ts timestamp")
+    for c, rows in enumerate([
+        [(10, "I", "c0", 0, "a0"), (11, "I", "c1", 0, "x0")],
+        [(20, "U", "c0", 0, "a1"), (21, "D", "c1", 0, None)],
+    ]):
+        df = spark.createDataFrame(
+            [(lsn, op, cv, k, "user", tx, "", dt.datetime(2025, 1, 1))
+             for lsn, op, cv, k, tx in rows], ddl)
+        apply_changes(src, df, batch_key=f"b{c}", mode="mor")
+
+    argv = [
+        "scd2", "--source", str(tmp_path / "src"),
+        "--table", str(tmp_path / "hist"), "--checkpoint", str(tmp_path / "ck"),
+        "--n-buckets", "4", "--max-commits-per-batch", "1",
+    ]
+    assert main(argv) == 0
+    assert "versions" in capsys.readouterr().out
+
+    assert main(["scd2-read", "--table", str(tmp_path / "hist"),
+                 "--as-of-seq", "1"]) == 0
+    state = {(json.loads(line)["conv_id"], json.loads(line)["text"])
+             for line in capsys.readouterr().out.strip().splitlines()}
+    assert state == {("c0", "a0"), ("c1", "x0")}
+
+    hist = IceliteTable.load(spark, str(tmp_path / "hist"))
+    seq = hist.current_seq()
+    assert main(argv) == 0  # resume: nothing new -> no commit
+    assert hist.current_seq() == seq
+
+
+def test_parser_scd2_and_quarantine_args():
+    p = build_parser()
+    a = p.parse_args(["scd2", "--source", "/s", "--table", "/t",
+                      "--checkpoint", "/c", "--max-commits-per-batch", "3",
+                      "--shard", "1/4"])
+    assert (a.cmd, a.max_commits_per_batch, a.shard) == ("scd2", 3, "1/4")
+    a = p.parse_args(["scd2-read", "--table", "/t", "--as-of-seq", "5"])
+    assert (a.cmd, a.as_of_seq) == ("scd2-read", 5)
+    a = p.parse_args(["ingest", "--wal-dir", "/w", "--table", "/t",
+                      "--checkpoint", "/c", "--quarantine-dir", "/q",
+                      "--rule", "lsn_ok=lsn IS NOT NULL",
+                      "--rule", "op_ok=op IN ('I')"])
+    assert a.quarantine_dir == "/q"
+    assert a.rule == ["lsn_ok=lsn IS NOT NULL", "op_ok=op IN ('I')"]

@@ -616,3 +616,99 @@ def test_additive_fold_matches_model(spark, ops):
                 for r in t.read(seq=s).collect()
             }
             assert got == expect(frozen), f"seq={s}"
+
+
+# ---------------------------------------------------------------------------
+# SCD2 differential (round 5): for ANY batch sequence with LSNs shuffled
+# across commits (late losing deliveries common), ChangeFeedScd2's
+# read_history must equal the effective-delivery model — running-max LSN
+# per key over commit order; losers open no interval — and as_of(s) must
+# equal the model's reconstructed state. Guards the lsn-effectiveness
+# filter: interval derivation by commit order alone passes clean fixtures
+# and breaks exactly here.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(batches=preimage_workloads(), k=st.sampled_from([1, None]))
+def test_scd2_history_matches_model(spark, batches, k):
+    import tempfile
+
+    from etl_rust_spark.streaming.scd2 import ChangeFeedScd2
+
+    with tempfile.TemporaryDirectory(prefix="scd2_prop_") as root:
+        t = create_transcript_table(spark, f"{root}/t", n_buckets=2)
+        deliveries = []  # (commit_seq, key, lsn, text, deleted)
+        for bi, batch in enumerate(batches):
+            rows = [
+                (lsn, op, key[0], key[1], "user",
+                 None if op == "D" else f"v{lsn}", "",
+                 pd.Timestamp("2025-01-01"))
+                for (key, lsn, op) in batch
+            ]
+            sdf = spark.createDataFrame(
+                pd.DataFrame(rows, columns=[
+                    "lsn", "op", "conv_id", "turn_idx", "role", "text",
+                    "tool", "ts"]),
+                schema=CHANGELOG_SCHEMA,
+            )
+            apply_changes(t, sdf, batch_key=f"b{bi}", mode="mor")
+            seq = t.current_seq()
+            best = {}
+            for (key, lsn, op) in batch:
+                if key not in best or lsn > best[key][0]:
+                    best[key] = (lsn, op)
+            for key, (lsn, op) in best.items():
+                deliveries.append(
+                    (seq, key, lsn, None if op == "D" else f"v{lsn}",
+                     op == "D")
+                )
+
+        ChangeFeedScd2.create_target(spark, f"{root}/h", f"{root}/t",
+                                     n_buckets=2)
+        ChangeFeedScd2(
+            spark=spark, source_path=f"{root}/t", table_path=f"{root}/h",
+            checkpoint_dir=f"{root}/ck", max_commits_per_batch=k,
+        ).run_available()
+
+        # model: per key, in commit order, a delivery is effective iff
+        # its lsn beats the running max; lead over effective = intervals
+        per_key = {}
+        for d in sorted(deliveries, key=lambda d: (d[0], d[1])):
+            per_key.setdefault(d[1], []).append(d)
+        want_hist, eff_by_key = set(), {}
+        for key, ds in per_key.items():
+            eff, mx = [], None
+            for (s, _, lsn, text, dead) in ds:
+                if mx is None or lsn > mx:
+                    eff.append((s, lsn, text, dead))
+                    mx = lsn
+            eff_by_key[key] = eff
+            for i, (s, lsn, text, dead) in enumerate(eff):
+                if dead:
+                    continue
+                nxt = eff[i + 1][0] if i + 1 < len(eff) else None
+                want_hist.add((key[0], key[1], s, nxt, nxt is None, text))
+        got_hist = {
+            (r["conv_id"], r["turn_idx"], r["valid_from_seq"],
+             r["valid_to_seq"], r["is_current"], r["text"])
+            for r in ChangeFeedScd2.read_history(spark, f"{root}/h").collect()
+        }
+        assert got_hist == want_hist
+
+        maxseq = t.current_seq()
+        for s in sorted({1, maxseq // 2 or 1, maxseq}):
+            want_state = {}
+            for key, eff in eff_by_key.items():
+                cur = None
+                for (cs, lsn, text, dead) in eff:
+                    if cs <= s:
+                        cur = (text, dead)
+                if cur and not cur[1]:
+                    want_state[key] = cur[0]
+            got_state = {
+                (r["conv_id"], r["turn_idx"]): r["text"]
+                for r in ChangeFeedScd2.as_of(spark, f"{root}/h", s).collect()
+            }
+            assert got_state == want_state, f"as_of({s})"

@@ -223,7 +223,9 @@ class ChangeFeedScd2:
             raise PipelineError(self.name, e) from e
 
     @staticmethod
-    def read_history(spark: SparkSession, table_path: str) -> DataFrame:
+    def read_history(
+        spark: SparkSession, table_path: str, where: list | None = None
+    ) -> DataFrame:
         """The SCD2 read surface: one row per version with
         ``valid_from_seq`` / ``valid_to_seq`` (NULL = still open) /
         ``is_current``, derived with two per-key windows over the SAME
@@ -233,13 +235,31 @@ class ChangeFeedScd2:
         state), then ``lead()`` over the survivors assigns intervals.
         Effective ``_scd_op='D'`` tombstone versions close the preceding
         interval and are then dropped — a deleted key has NO current
-        version."""
+        version.
+
+        ``where`` (same ``(col, op, value)`` conditions as
+        ``IceliteTable.read``) is the point-lookup path — "this
+        conversation's history" reads only the files whose key range can
+        hold it (bucket + stats pruning), not the whole log. Restricted
+        to KEY columns: a key's version chain is self-contained, so
+        key-pruning cannot change any surviving interval; a payload
+        predicate would hide intermediate versions and corrupt
+        ``valid_to`` — filter the RESULT instead."""
         t = IceliteTable.load(spark, table_path)
         ptr = t.pointer()
         if VALID_FROM not in ptr["key_cols"]:
             raise ValueError(f"{table_path!r} is not an SCD2 version log")
         keys = [k for k in ptr["key_cols"] if k != VALID_FROM]
-        log = t.read()
+        if where:
+            bad = [c[0] for c in where if c[0] not in keys]
+            if bad:
+                raise ValueError(
+                    f"read_history where= supports only key columns "
+                    f"{keys} (got {bad}) — a non-key predicate would hide "
+                    "intermediate versions and corrupt intervals; filter "
+                    "the returned history instead"
+                )
+        log = t.read(where=where)
         if "__deleted" in log.columns:
             log = log.drop("__deleted")
         prev = Window.partitionBy(*keys).orderBy(VALID_FROM).rowsBetween(
@@ -261,12 +281,18 @@ class ChangeFeedScd2:
         )
 
     @staticmethod
-    def as_of(spark: SparkSession, table_path: str, seq: int) -> DataFrame:
+    def as_of(
+        spark: SparkSession,
+        table_path: str,
+        seq: int,
+        where: list | None = None,
+    ) -> DataFrame:
         """Point-in-time reconstruction: the source's live key state as
         of source commit ``seq`` — every version whose validity interval
         contains ``seq``. Equals ``source.read(seq=seq)`` minus
-        tombstones whenever the pipeline has consumed past ``seq``."""
-        hist = ChangeFeedScd2.read_history(spark, table_path)
+        tombstones whenever the pipeline has consumed past ``seq``.
+        ``where`` key-prunes like ``read_history``."""
+        hist = ChangeFeedScd2.read_history(spark, table_path, where=where)
         return hist.filter(
             (F.col(VALID_FROM) <= F.lit(int(seq)))
             & (F.col(VALID_TO).isNull() | (F.col(VALID_TO) > F.lit(int(seq))))

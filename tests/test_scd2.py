@@ -230,3 +230,34 @@ def test_validation_fails_fast(spark, tmp_path):
         bad.run_available()
     with pytest.raises(ValueError, match="not an SCD2 version log"):
         ChangeFeedScd2.read_history(spark, str(tmp_path / "src"))
+
+
+def test_key_pruned_history_read(spark, tmp_path):
+    """where= on read_history is the point-lookup path: same rows as
+    filtering the full history, strictly fewer files read (bucket +
+    key-range stats pruning), and non-key predicates are refused."""
+    _source(spark, str(tmp_path / "src"))
+    ChangeFeedScd2.create_target(
+        spark, str(tmp_path / "tgt"), str(tmp_path / "src"), n_buckets=8)
+    _pipe(spark, tmp_path).run_available()
+    full = ChangeFeedScd2.read_history(spark, str(tmp_path / "tgt"))
+    pruned = ChangeFeedScd2.read_history(
+        spark, str(tmp_path / "tgt"), where=[("conv_id", "=", "c1")])
+    want = {
+        tuple(r) for r in full.filter(F.col("conv_id") == "c1")
+        .select("valid_from_seq", "valid_to_seq", "is_current", "text")
+        .collect()
+    }
+    got = {
+        tuple(r) for r in pruned
+        .select("valid_from_seq", "valid_to_seq", "is_current", "text")
+        .collect()
+    }
+    assert got == want and got
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    asof = ChangeFeedScd2.as_of(
+        spark, str(tmp_path / "tgt"), 4, where=[("conv_id", "=", "c1")])
+    assert {r["text"] for r in asof.collect()} == {"x1"}
+    with pytest.raises(ValueError, match="only key columns"):
+        ChangeFeedScd2.read_history(
+            spark, str(tmp_path / "tgt"), where=[("text", "=", "a0")])

@@ -370,6 +370,62 @@ def bench_replicate(spark, workdir: str, n_events: int) -> dict:
     }
 
 
+def bench_scd2(spark, workdir: str, src_path: str) -> dict:
+    """SCD2 history maintenance (round 5) over the replicate bench's
+    source table (reused — same feed, no second generation pass): the
+    pipeline appends every delivered change as an immutable version row
+    (cold + warm runs, same python-worker-spawn rationale as
+    cdc_replicate), then the read-side interval derivation (running-max
+    effectiveness filter + per-key lead window) is timed separately —
+    the write/read cost split that makes the MoR-style design auditable.
+    Exactness inside the benchmark: the raw version log holds exactly
+    the feed's rows, and as_of(final) equals the source's live state."""
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.lake.format import IceliteTable
+    from etl_rust_spark.streaming.scd2 import ChangeFeedScd2
+
+    src = IceliteTable.load(spark, src_path)
+    feed_rows = src.read_changes(0).count()
+    secs = []
+    for run in range(2):
+        h_path = os.path.join(workdir, f"scd2_h{run}")
+        ChangeFeedScd2.create_target(spark, h_path, src_path, n_buckets=32)
+        t0 = time.monotonic()
+        ChangeFeedScd2(
+            spark=spark, source_path=src_path, table_path=h_path,
+            checkpoint_dir=os.path.join(workdir, f"scd2_ck{run}"),
+            name=f"scd2_bench{run}",
+        ).run_available()
+        secs.append(round(time.monotonic() - t0, 3))
+    t0 = time.monotonic()
+    n_versions = ChangeFeedScd2.read_history(spark, h_path).count()
+    derive_s = round(time.monotonic() - t0, 3)
+    log_rows = IceliteTable.load(spark, h_path).read().count()
+    live = (
+        src.read()
+        .filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
+        .select("conv_id", "turn_idx", "text")
+    )
+    asof = ChangeFeedScd2.as_of(spark, h_path, src.current_seq()).select(
+        "conv_id", "turn_idx", "text"
+    )
+    bad = asof.exceptAll(live).count() + live.exceptAll(asof).count()
+    if log_rows != feed_rows or bad:
+        raise AssertionError(
+            f"cdc_scd2 mismatch: log_rows={log_rows} feed_rows={feed_rows} "
+            f"asof_diff={bad}"
+        )
+    return {
+        "feed_rows": int(feed_rows),
+        "cold_s": secs[0],
+        "warm_s": secs[1],
+        "versions": int(n_versions),
+        "derive_history_s": derive_s,
+        "feed_rows_per_sec": int(feed_rows / min(secs)),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count())
@@ -436,6 +492,8 @@ def main() -> None:
         chain_events_per_sec = int(CHAIN_EVENTS / chain_sec)
         repl = bench_replicate(spark, workdir, REPLICATE_EVENTS)
         results["cdc_replicate"] = repl["warm_s"]
+        scd2 = bench_scd2(spark, workdir, os.path.join(workdir, "repl_a"))
+        results["cdc_scd2"] = scd2["warm_s"]
         # predicate file pruning (round 3): point-conversation read via
         # manifest stats vs the same predicate as a full-scan filter
         table = best_table
@@ -486,6 +544,13 @@ def main() -> None:
                 "replicate_feed_rows": repl["feed_rows"],
                 "replicate_cold_s": repl["cold_s"],
                 "replicate_feed_rows_per_sec": repl["feed_rows_per_sec"],
+                # SCD2 history maintenance over the same feed: warm append
+                # rate + the read-side interval-derivation cost, separately
+                "scd2_feed_rows": scd2["feed_rows"],
+                "scd2_cold_s": scd2["cold_s"],
+                "scd2_versions": scd2["versions"],
+                "scd2_derive_history_s": scd2["derive_history_s"],
+                "scd2_feed_rows_per_sec": scd2["feed_rows_per_sec"],
                 "migration_users": MIGRATE_USERS,
                 "migration_records_per_sec": migration_records_per_sec,
                 # same-window machine ceiling (rows/s, pure codegen): a

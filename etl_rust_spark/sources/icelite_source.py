@@ -284,7 +284,7 @@ def _partitions_for(
     ptr = meta.pointer(end)
     data_fields = [f for f in decl.fields if f.name != "_commit_seq"]
     schema_json = json.dumps(T.StructType(data_fields).jsonValue())
-    fids = ptr.get("field_ids") or {}
+    fids = dict(ptr.get("field_ids") or {})
     legacy = ptr.get("legacy_cols")
     # Fail fast when a declared data column no longer exists under its
     # declared NAME at the end pointer (renamed or dropped mid-stream, or
@@ -300,6 +300,32 @@ def _partitions_for(
         if fids
         else {f["name"] for f in ptr["schema"]["fields"]}
     )
+    cur_seq = meta.current_seq()
+    if cur_seq != end:
+        # A recovered in-flight range (or bounded catch-up batch) can END
+        # before the table's newest commits. A column the DECLARED schema
+        # carries that was ADDED after `end` is legitimate there — every
+        # file in the range genuinely predates it, so the per-file id
+        # resolution must null-backfill, not fail. Merge the CURRENT
+        # pointer's name→id map (end's mappings win on collision: ids are
+        # stable across renames, and for a dropped-then-readded name the
+        # in-range id is the right one) and its legacy id→write-time-name
+        # stamps; only a name absent from BOTH pointers is a true
+        # mid-stream rename/drop.
+        now = meta.pointer(cur_seq)
+        now_fids = now.get("field_ids") or {}
+        for name, fid in now_fids.items():
+            fids.setdefault(name, fid)
+        now_legacy = now.get("legacy_cols")
+        if now_legacy:
+            merged = dict(now_legacy)
+            merged.update(legacy or {})
+            legacy = merged
+        current_names |= (
+            set(now_fids)
+            if now_fids
+            else {f["name"] for f in now["schema"]["fields"]}
+        )
     for fld in data_fields:
         if fld.name not in current_names:
             raise ValueError(

@@ -633,3 +633,43 @@ def test_columns_projection_resolves_renames_by_field_id(spark, tmp_path):
     proj = (spark.read.format("icelite").option("path", str(tmp_path / "t"))
             .option("columns", "conv_id,body").load())
     assert [r["body"] for r in proj.collect()] == ["old-text"]
+
+
+def test_bounded_catchup_across_rename_resolves_by_field_id(spark, tmp_path):
+    """A consumer resuming BEHIND a rename must deliver the pre-rename
+    backlog with REAL values under the new name, never silent nulls:
+    with maxCommitsPerBatch=1 the catch-up batch ENDS at a pre-rename
+    pointer while the re-inferred declared schema carries the new name —
+    the merged-pointer guard lets it through and per-file field-id
+    resolution maps the old physical column. (The old end-pointer-only
+    guard false-positived here, wedging a pure catch-up; a LIVE stream
+    with a stale declared schema still fails fast — covered above.)"""
+    register_icelite_source(spark)
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_changes(t, _batch(spark, [(1, "I", "c1", 0, "user", "v1", None)]),
+                  batch_key="b1", mode="mor")
+    drained = _drain(spark, str(tmp_path / "t"), str(tmp_path / "ck"))
+    assert len(drained) == 1
+    # backlog commit 2 under the OLD name, then rename, then commit 4
+    apply_changes(t, _batch(spark, [(2, "I", "c2", 0, "user", "v2", None)]),
+                  batch_key="b2", mode="mor")
+    t.rename_column("text", "body")
+    late = _batch(spark, [(3, "I", "c3", 0, "user", "v3", None)]) \
+        .withColumnRenamed("text", "body")
+    apply_changes(t, late, batch_key="b3", mode="mor")
+
+    rows = []
+    for _ in range(6):
+        reader = (spark.readStream.format("icelite")
+                  .option("path", str(tmp_path / "t"))
+                  .option("maxCommitsPerBatch", "1"))
+        q = (reader.load().writeStream
+             .foreachBatch(lambda df, _eid: rows.extend(df.collect()))
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        if {r["conv_id"] for r in rows} >= {"c2", "c3"}:
+            break
+    got = {r["conv_id"]: r["body"] for r in rows}
+    # the pre-rename backlog row carries its REAL value under body
+    assert got == {"c2": "v2", "c3": "v3"}

@@ -261,3 +261,77 @@ def test_key_pruned_history_read(spark, tmp_path):
     with pytest.raises(ValueError, match="only key columns"):
         ChangeFeedScd2.read_history(
             spark, str(tmp_path / "tgt"), where=[("text", "=", "a0")])
+
+
+def test_history_survives_target_compaction(spark, tmp_path):
+    """compact() on the version log folds delta files without collapsing
+    versions (every row is key-distinct) — history identical after."""
+    _source(spark, str(tmp_path / "src"))
+    ChangeFeedScd2.create_target(
+        spark, str(tmp_path / "tgt"), str(tmp_path / "src"), n_buckets=4)
+    _pipe(spark, tmp_path).run_available()
+    before = _history(spark, tmp_path)
+    tgt = IceliteTable.load(spark, str(tmp_path / "tgt"))
+    tgt.compact()
+    assert _history(spark, tmp_path) == before
+    # and the pipeline keeps appending after the fold
+    late = spark.createDataFrame(
+        [(99, "U", "c0", 0, "user", "a2", "", TS)], CHANGE_DDL)
+    apply_changes(IceliteTable.load(spark, str(tmp_path / "src")), late,
+                  batch_key="post-compact", mode="mor")
+    _pipe(spark, tmp_path).run_available()
+    assert ("c0", 0, 5, None, True, "a2") in _history(spark, tmp_path)
+
+
+def test_sharded_scd2_consumers_partition_the_history(spark, tmp_path):
+    """Two shard consumers (0/2, 1/2) maintain disjoint key slices whose
+    union equals the unsharded history — the horizontal fan-out story."""
+    src_path = str(tmp_path / "src")
+    _source(spark, src_path)
+    parts = []
+    for i in range(2):
+        ChangeFeedScd2.create_target(
+            spark, str(tmp_path / f"tgt{i}"), src_path, n_buckets=4)
+        ChangeFeedScd2(
+            spark=spark, source_path=src_path,
+            table_path=str(tmp_path / f"tgt{i}"),
+            checkpoint_dir=str(tmp_path / f"ck{i}"),
+            shard=f"{i}/2", name=f"scd2_s{i}",
+        ).run_available()
+        parts.append({
+            tuple(r) for r in ChangeFeedScd2.read_history(
+                spark, str(tmp_path / f"tgt{i}"))
+            .select("conv_id", "turn_idx", "valid_from_seq",
+                    "valid_to_seq", "is_current", "text").collect()
+        })
+    assert parts[0] & parts[1] == set()  # disjoint key slices
+    ChangeFeedScd2.create_target(
+        spark, str(tmp_path / "tgt"), src_path, n_buckets=4)
+    _pipe(spark, tmp_path).run_available()
+    assert parts[0] | parts[1] == _history(spark, tmp_path)
+
+
+def test_source_schema_evolution_flows_into_history(spark, tmp_path):
+    """A column the source gains mid-lifetime evolves the version log on
+    the next pipeline run: old versions read NULL, new versions carry it."""
+    src = _source(spark, str(tmp_path / "src"))
+    ChangeFeedScd2.create_target(
+        spark, str(tmp_path / "tgt"), str(tmp_path / "src"), n_buckets=4)
+    _pipe(spark, tmp_path).run_available()
+
+    evolved_ddl = CHANGE_DDL + ", meta string"
+    late = spark.createDataFrame(
+        [(50, "U", "c0", 0, "user", "a2", "", TS, "m1")], evolved_ddl)
+    apply_changes(src, late, batch_key="evolve", mode="mor")
+    # fresh pipeline instance, SAME checkpoint: start() re-infers the
+    # evolved stream schema; the merge evolves the version log
+    _pipe(spark, tmp_path).run_available()
+    hist = ChangeFeedScd2.read_history(spark, str(tmp_path / "tgt"))
+    assert "meta" in hist.columns
+    rows = {(r["valid_from_seq"], r["text"], r["meta"])
+            for r in hist.filter(
+                (F.col("conv_id") == "c0") & (F.col("turn_idx") == 0)
+            ).collect()}
+    assert (5, "a2", "m1") in rows          # new version carries the column
+    assert (1, "a0", None) in rows          # pre-evolution version reads NULL
+    assert (2, "a1", None) in rows

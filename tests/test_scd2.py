@@ -335,3 +335,60 @@ def test_source_schema_evolution_flows_into_history(spark, tmp_path):
     assert (5, "a2", "m1") in rows          # new version carries the column
     assert (1, "a0", None) in rows          # pre-evolution version reads NULL
     assert (2, "a1", None) in rows
+
+
+def test_temporal_join_enriches_at_event_time(spark, tmp_path):
+    """Facts join the dimension version valid AT THEIR OWN seq: before
+    the first version -> NULL, inside a deleted gap -> NULL, otherwise
+    the contemporaneous payload — never today's state."""
+    _source(spark, str(tmp_path / "src"))
+    ChangeFeedScd2.create_target(
+        spark, str(tmp_path / "tgt"), str(tmp_path / "src"), n_buckets=4)
+    _pipe(spark, tmp_path).run_available()
+    facts = spark.createDataFrame(
+        [("c1", 0, 0), ("c1", 0, 1), ("c1", 0, 3), ("c1", 0, 4),
+         ("c0", 0, 1), ("c0", 0, 2), ("nope", 9, 4)],
+        "conv_id string, turn_idx int, at long",
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"], r["at"]): r["text_asof"]
+        for r in ChangeFeedScd2.temporal_join(
+            spark, str(tmp_path / "tgt"), facts, seq_col="at").collect()
+    }
+    assert got == {
+        ("c1", 0, 0): None,       # before the first version
+        ("c1", 0, 1): "x0",
+        ("c1", 0, 3): None,       # deleted gap [3, 4)
+        ("c1", 0, 4): "x1",       # re-insert
+        ("c0", 0, 1): "a0",
+        ("c0", 0, 2): "a1",       # contemporaneous, despite later history
+        ("nope", 9, 4): None,     # unknown key
+    }
+    # the fact count never fans out (disjoint intervals: <=1 match/row)
+    assert ChangeFeedScd2.temporal_join(
+        spark, str(tmp_path / "tgt"), facts, seq_col="at").count() == 7
+
+
+def test_temporal_join_at_prior_seq_matches_preimage_feed(spark, tmp_path):
+    """Differential: joining the change feed at _commit_seq - 1 must
+    reproduce read_changes_with_preimage's _before images — two
+    independent implementations of 'the state before this commit'."""
+    src = _source(spark, str(tmp_path / "src"))
+    ChangeFeedScd2.create_target(
+        spark, str(tmp_path / "tgt"), str(tmp_path / "src"), n_buckets=4)
+    _pipe(spark, tmp_path).run_available()
+    feed = src.read_changes(0).select(
+        "conv_id", "turn_idx", "_commit_seq",
+        (F.col("_commit_seq") - 1).alias("prior"),
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"], r["_commit_seq"]): r["text_asof"]
+        for r in ChangeFeedScd2.temporal_join(
+            spark, str(tmp_path / "tgt"), feed, seq_col="prior").collect()
+    }
+    want = {}
+    for r in src.read_changes_with_preimage(0).collect():
+        b = r["_before"]
+        text = None if b is None or b["__deleted"] else b["text"]
+        want[(r["conv_id"], r["turn_idx"], r["_commit_seq"])] = text
+    assert got == want and len(got) >= 8

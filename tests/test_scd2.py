@@ -392,3 +392,16 @@ def test_temporal_join_at_prior_seq_matches_preimage_feed(spark, tmp_path):
         text = None if b is None or b["__deleted"] else b["text"]
         want[(r["conv_id"], r["turn_idx"], r["_commit_seq"])] = text
     assert got == want and len(got) >= 8
+
+
+def test_source_rollback_fails_the_pipeline_loud(spark, tmp_path):
+    """A rollback commit in the consumed range must fail the pipeline
+    with the re-sync instruction (un-delivery is inexpressible in a
+    change feed — same contract as read_changes), never silently skip."""
+    src = _source(spark, str(tmp_path / "src"))
+    ChangeFeedScd2.create_target(
+        spark, str(tmp_path / "tgt"), str(tmp_path / "src"), n_buckets=4)
+    _pipe(spark, tmp_path).run_available()
+    src.rollback(2)
+    with pytest.raises(Exception, match="rollback"):
+        _pipe(spark, tmp_path).run_available()

@@ -143,6 +143,36 @@ def cmd_scd2(args) -> int:
     return 0
 
 
+def cmd_enrich(args) -> int:
+    """Deployable stream enrichment: fact change feed + pinned dim
+    time-travel snapshot per micro-batch → enriched target."""
+    from etl_rust_spark.lake.format import IceliteTable
+    from etl_rust_spark.streaming.enrich import ChangeFeedEnrich
+
+    spark = _spark(args)
+    try:
+        ChangeFeedEnrich.create_target(
+            spark, args.table, args.facts, args.dim,
+            suffix=args.suffix, n_buckets=args.n_buckets,
+        )
+    except FileExistsError:
+        IceliteTable.load(spark, args.table)  # resume into the existing table
+    pipe = ChangeFeedEnrich(
+        spark=spark, fact_path=args.facts, dim_path=args.dim,
+        table_path=args.table, checkpoint_dir=args.checkpoint,
+        suffix=args.suffix, name=args.name,
+        max_commits_per_batch=args.max_commits_per_batch, shard=args.shard,
+    )
+    if args.follow:
+        q = pipe.start()
+        q.awaitTermination()
+    else:
+        pipe.run_available()
+        t = IceliteTable.load(spark, args.table)
+        print(f"enriched at seq {t.current_seq()}: {t.read().count()} rows")
+    return 0
+
+
 def cmd_scd2_read(args) -> int:
     """Read an SCD2 version log as JSON lines: the full interval history,
     or the reconstructed key state at --as-of-seq."""
@@ -534,6 +564,25 @@ def build_parser() -> argparse.ArgumentParser:
     s2.add_argument("--shard", default=None, help='consumer shard "i/k"')
     s2.add_argument("--follow", action="store_true")
     s2.set_defaults(fn=cmd_scd2)
+
+    en = sub.add_parser(
+        "enrich",
+        help="maintain a fact table's enriched replica: change-feed tail "
+             "+ pinned dim time-travel snapshot per micro-batch "
+             "(deterministic replay)",
+    )
+    en.add_argument("--facts", required=True, help="fact Icelite table")
+    en.add_argument("--dim", required=True, help="dimension Icelite table")
+    en.add_argument("--table", required=True, help="enriched target table")
+    en.add_argument("--checkpoint", required=True)
+    en.add_argument("--suffix", default="_dim",
+                    help="suffix for dim payload columns in the target")
+    en.add_argument("--name", default="enrich")
+    en.add_argument("--n-buckets", type=int, default=32)
+    en.add_argument("--max-commits-per-batch", type=int, default=None)
+    en.add_argument("--shard", default=None, help='consumer shard "i/k"')
+    en.add_argument("--follow", action="store_true")
+    en.set_defaults(fn=cmd_enrich)
 
     s2r = sub.add_parser(
         "scd2-read",

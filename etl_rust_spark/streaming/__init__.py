@@ -3,6 +3,7 @@ from etl_rust_spark.streaming.driver import (
     PipelineManager,
     WindowedRollupIngest,
 )
+from etl_rust_spark.streaming.enrich import ChangeFeedEnrich
 from etl_rust_spark.streaming.scd2 import ChangeFeedScd2
 from etl_rust_spark.streaming.joins import (
     dedup_within_watermark,
@@ -11,6 +12,7 @@ from etl_rust_spark.streaming.joins import (
 )
 
 __all__ = [
+    "ChangeFeedEnrich",
     "ChangeFeedScd2",
     "ChangelogIngest",
     "PipelineManager",

@@ -1,0 +1,230 @@
+"""ChangeFeedEnrich — deployable stream enrichment: tail a FACT table's
+change feed and maintain a target of facts enriched with a DIMENSION
+table's state, exactly-once.
+
+The reference enriches inline per record (its transform hook,
+/root/reference/src/etl/processor.rs:119 — whatever the dim holds at
+that instant, unrecorded and unreplayable). Here the dimension read is
+a PINNED Icelite time-travel snapshot per micro-batch: the first attempt
+at an epoch records ``dim.current_seq()`` in the checkpoint dir
+(atomic tmp+rename), and every replay of that epoch re-reads the SAME
+snapshot — so crash/replay produces bit-identical enrichment (the
+processing-time temporal join made deterministic; Flink's lookup join
+can't replay like this). Event-time-correct enrichment against a
+versioned dim is the sibling ``ChangeFeedScd2.temporal_join``.
+
+Scale shape: the dim read is key-pruned when a micro-batch touches few
+dimension keys — distinct batch keys (bounded by the batch, counted
+executor-side first) become per-column IN predicates that prune dim
+files by bucket + key-range stats, so a small batch against a huge dim
+reads O(batch keys) files, not O(dim). Batches touching more than
+``key_prune_threshold`` keys fall back to the full snapshot join (at
+that width the scan amortizes).
+
+Delete propagation: fact tombstones ride the feed with ``__deleted``
+set and merge into the target as tombstones — the enriched replica
+mirrors fact deletes. Retention: the dim must retain the pinned
+snapshot for the life of an epoch's replay window (expire_snapshots
+keep_last); an expired pin fails loud on replay rather than silently
+enriching against newer state.
+
+Like ChangeFeedRollup, resume on the SAME checkpoint (the ledger +
+pins make replays no-ops); a relocated checkpoint re-enriches under
+fresh pins and fresh batch keys.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_rust_spark.lake.format import IceliteTable
+from etl_rust_spark.streaming.driver import PipelineError, _checkpoint_run_id
+
+
+@dataclass
+class ChangeFeedEnrich:
+    spark: SparkSession
+    fact_path: str
+    dim_path: str
+    table_path: str
+    checkpoint_dir: str
+    suffix: str = "_dim"
+    name: str = "enrich"
+    max_commits_per_batch: int | None = None
+    shard: str | None = None
+    key_prune_threshold: int = 10_000
+
+    @classmethod
+    def create_target(
+        cls,
+        spark: SparkSession,
+        path: str,
+        fact_path: str,
+        dim_path: str,
+        suffix: str = "_dim",
+        n_buckets: int = 32,
+    ) -> IceliteTable:
+        """Derive the enriched target: the full fact schema (keys,
+        payload, seq guard) plus every non-key dim payload column
+        suffixed. Fact keys/bucketing/seq carry over, so the target is a
+        drop-in replica of the fact table with extra columns."""
+        fact = IceliteTable.load(spark, fact_path)
+        fptr = fact.pointer()
+        if not fptr.get("seq_col"):
+            raise ValueError("ChangeFeedEnrich requires a seq_col fact table")
+        dim = IceliteTable.load(spark, dim_path)
+        dptr = dim.pointer()
+        dkeys = list(dptr["key_cols"])
+        fact_names = {f.name for f in fact.schema.fields}
+        missing = [k for k in dkeys if k not in fact_names]
+        if missing:
+            raise ValueError(
+                f"dim key column(s) {missing} not in the fact schema — "
+                "enrichment joins on the dim's keys"
+            )
+        fields = list(fact.schema.fields)
+        for f in dim.schema.fields:
+            if f.name in dkeys or f.name in ("__deleted",) or (
+                f.name == dptr.get("seq_col")
+            ):
+                continue
+            fields.append(T.StructField(f"{f.name}{suffix}", f.dataType, True))
+        return IceliteTable.create(
+            spark, path, T.StructType(fields),
+            key_cols=list(fptr["key_cols"]),
+            bucket_key=fptr["bucket_key"],
+            n_buckets=n_buckets,
+            order_cols=list(fptr["order_cols"]),
+            seq_col=fptr["seq_col"],
+        )
+
+    def _pin(self, epoch_id: int, dim: IceliteTable) -> int:
+        """The dim snapshot this epoch enriches against: first attempt
+        records current_seq, replays read it back — deterministic."""
+        path = os.path.join(self.checkpoint_dir, f"enrich-pin-{epoch_id}.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return int(json.load(f)["dim_seq"])
+        seq = dim.current_seq()
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"dim_seq": seq}, f)
+        os.replace(tmp, path)
+        return seq
+
+    def start(self):
+        from etl_rust_spark.sources import register_icelite_source
+
+        register_icelite_source(self.spark)
+        target = IceliteTable.load(self.spark, self.table_path)
+        tptr = target.pointer()
+        dim = IceliteTable.load(self.spark, self.dim_path)
+        dptr = dim.pointer()
+        dkeys = list(dptr["key_cols"])
+        dim_seq_col = dptr.get("seq_col")
+        payload = [
+            f.name for f in dim.schema.fields
+            if f.name not in dkeys and f.name != "__deleted"
+            and f.name != dim_seq_col
+        ]
+        run_id = _checkpoint_run_id(self.checkpoint_dir)
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+
+        fact_keys = tuple(tptr["key_cols"])
+        fact_seq = tptr["seq_col"]
+
+        def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+            from etl_rust_spark.operators.apply import dedup_max_lsn
+
+            # a bounded catch-up batch spans several fact commits, so a
+            # key can arrive with multiple versions; merge requires ONE
+            # row per key — collapse to the max-LSN winner first (the
+            # same kernel the WAL ingest uses; tombstones ride the
+            # struct, so a delete that outranks an earlier upsert wins)
+            batch_df = dedup_max_lsn(
+                batch_df.drop("_commit_seq"), fact_keys, lsn_col=fact_seq
+            )
+            pin = self._pin(epoch_id, dim)
+            where = None
+            distinct_keys = batch_df.select(*dkeys).distinct()
+            if distinct_keys.count() <= self.key_prune_threshold:
+                vals = distinct_keys.collect()
+                if vals:
+                    # per-column IN is a SUPERSET of the composite key
+                    # set — the equi-join filters exactly; the point is
+                    # the file pruning, not the row filter
+                    where = [
+                        (k, "in", sorted({r[k] for r in vals}))
+                        for k in dkeys
+                    ]
+                else:
+                    where = [(dkeys[0], "in", [])]
+            state = dim.read(seq=pin, where=where)
+            if "__deleted" in state.columns:
+                state = state.filter(
+                    ~F.coalesce(F.col("__deleted"), F.lit(False))
+                )
+            state = state.select(
+                *[F.col(k).alias(f"__d_{k}") for k in dkeys],
+                *[F.col(c).alias(f"{c}{self.suffix}") for c in payload],
+            )
+            cond = [batch_df[k] == state[f"__d_{k}"] for k in dkeys]
+            enriched = (
+                batch_df
+                .join(state, on=cond, how="left")
+                .drop(*[f"__d_{k}" for k in dkeys])
+                .withColumn("op", F.lit("U"))
+            )
+            target.merge(
+                enriched,
+                batch_key=f"{self.name}:{run_id}:{epoch_id}",
+                seq_col=tptr["seq_col"], mode="mor",
+                source=f"enrich:{self.name}",
+            )
+
+        r = (
+            self.spark.readStream.format("icelite")
+            .option("path", self.fact_path)
+        )
+        if self.max_commits_per_batch is not None:
+            r = r.option("maxCommitsPerBatch", str(self.max_commits_per_batch))
+        if self.shard is not None:
+            r = r.option("shard", self.shard)
+        return (
+            r.load()
+            .writeStream.queryName(self.name)
+            .foreachBatch(_apply)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    def run_available(self, max_drains: int = 64) -> None:
+        """Drain to quiescence (same bounded-catch-up loop as the other
+        change-feed pipelines)."""
+        target = IceliteTable.load(self.spark, self.table_path)
+        try:
+            for _ in range(max_drains):
+                before = target.current_seq()
+                q = self.start()
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+                    q.awaitTermination()
+                if target.current_seq() == before:
+                    return
+            raise RuntimeError(
+                f"enrich {self.name!r} still catching up after "
+                f"{max_drains} drains"
+            )
+        except PipelineError:
+            raise
+        except Exception as e:
+            raise PipelineError(self.name, e) from e

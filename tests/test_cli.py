@@ -473,3 +473,51 @@ def test_parser_scd2_and_quarantine_args():
                       "--rule", "op_ok=op IN ('I')"])
     assert a.quarantine_dir == "/q"
     assert a.rule == ["lsn_ok=lsn IS NOT NULL", "op_ok=op IN ('I')"]
+
+
+def test_cli_enrich_end_to_end(spark, tmp_path, capsys):
+    """Drive the enrichment pipeline through the CLI arg path: facts get
+    the dim label, unknown keys NULL, re-run is a no-op."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from etl_rust_spark.__main__ import main
+    from etl_rust_spark.lake.format import IceliteTable
+    from etl_rust_spark.operators.apply import apply_changes, create_transcript_table
+
+    dim = IceliteTable.create(
+        spark, str(tmp_path / "dim"),
+        T.StructType([T.StructField("conv_id", T.StringType()),
+                      T.StructField("label", T.StringType()),
+                      T.StructField("dlsn", T.LongType())]),
+        key_cols=("conv_id",), bucket_key="conv_id", n_buckets=2,
+        seq_col="dlsn",
+    )
+    dim.merge(
+        spark.createDataFrame([("c0", "gold", 1)],
+                              "conv_id string, label string, dlsn long")
+        .withColumn("op", F.lit("U")),
+        batch_key="d0", seq_col="dlsn", mode="mor",
+    )
+    facts = create_transcript_table(spark, str(tmp_path / "facts"), n_buckets=2)
+    ddl = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+           "text string, tool string, ts timestamp")
+    apply_changes(facts, spark.createDataFrame(
+        [(10, "I", "c0", 0, "user", "a0", "", dt.datetime(2025, 1, 1)),
+         (11, "I", "c9", 0, "user", "o", "", dt.datetime(2025, 1, 1))], ddl),
+        batch_key="f0", mode="mor")
+    argv = [
+        "enrich", "--facts", str(tmp_path / "facts"),
+        "--dim", str(tmp_path / "dim"), "--table", str(tmp_path / "tgt"),
+        "--checkpoint", str(tmp_path / "ck"), "--n-buckets", "2",
+    ]
+    assert main(argv) == 0
+    assert "enriched at seq" in capsys.readouterr().out
+    tgt = IceliteTable.load(spark, str(tmp_path / "tgt"))
+    got = {r["conv_id"]: r["label_dim"] for r in tgt.read().collect()}
+    assert got == {"c0": "gold", "c9": None}
+    seq = tgt.current_seq()
+    assert main(argv) == 0
+    assert tgt.current_seq() == seq

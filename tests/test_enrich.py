@@ -1,0 +1,192 @@
+"""ChangeFeedEnrich — fact change feed + pinned dim time-travel snapshot
+→ enriched target, exactly-once. Proofs: enrichment equals a snapshot
+oracle (unknown keys → NULL), per-epoch pins freeze the dim state a
+batch saw (later dim updates only affect later batches; replays are
+no-ops), fact deletes propagate as tombstones, and a dim key missing
+from the fact schema fails fast."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_rust_spark.lake.format import IceliteTable
+from etl_rust_spark.operators.apply import apply_changes, create_transcript_table
+from etl_rust_spark.streaming.enrich import ChangeFeedEnrich
+
+CHANGE_DDL = (
+    "lsn long, op string, conv_id string, turn_idx int, role string, "
+    "text string, tool string, ts timestamp"
+)
+TS = dt.datetime(2025, 1, 1)
+
+
+def _dim(spark, path):
+    d = IceliteTable.create(
+        spark, path,
+        T.StructType([
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("label", T.StringType()),
+            T.StructField("dlsn", T.LongType()),
+        ]),
+        key_cols=("conv_id",), bucket_key="conv_id", n_buckets=4,
+        order_cols=("conv_id",), seq_col="dlsn",
+    )
+    return d
+
+
+def _dim_upsert(spark, d, rows, key):
+    df = spark.createDataFrame(rows, "conv_id string, label string, dlsn long")
+    d.merge(df.withColumn("op", F.lit("U")), batch_key=key,
+            seq_col="dlsn", mode="mor")
+
+
+def _facts(spark, path, commits):
+    t = create_transcript_table(spark, path, n_buckets=4)
+    for i, rows in enumerate(commits):
+        df = spark.createDataFrame(
+            [(lsn, op, c, k, "user", tx, "", TS) for lsn, op, c, k, tx in rows],
+            CHANGE_DDL,
+        )
+        apply_changes(t, df, batch_key=f"f{i}", mode="mor")
+    return t
+
+
+def _pipe(spark, tmp_path, k=None):
+    return ChangeFeedEnrich(
+        spark=spark, fact_path=str(tmp_path / "facts"),
+        dim_path=str(tmp_path / "dim"), table_path=str(tmp_path / "tgt"),
+        checkpoint_dir=str(tmp_path / "ck"), max_commits_per_batch=k,
+    )
+
+
+def _live(spark, tmp_path):
+    t = IceliteTable.load(spark, str(tmp_path / "tgt"))
+    return {
+        (r["conv_id"], r["turn_idx"]): (r["text"], r["label_dim"])
+        for r in t.read()
+        .filter(~F.coalesce(F.col("__deleted"), F.lit(False))).collect()
+    }
+
+
+def test_enrichment_matches_snapshot_oracle(spark, tmp_path):
+    d = _dim(spark, str(tmp_path / "dim"))
+    _dim_upsert(spark, d, [("c0", "gold", 1), ("c1", "silver", 2)], "d0")
+    _facts(spark, str(tmp_path / "facts"), [
+        [(10, "I", "c0", 0, "a0"), (11, "I", "c1", 0, "x0"),
+         (12, "I", "c9", 0, "orphan")],
+    ])
+    ChangeFeedEnrich.create_target(
+        spark, str(tmp_path / "tgt"), str(tmp_path / "facts"),
+        str(tmp_path / "dim"), n_buckets=4)
+    _pipe(spark, tmp_path).run_available()
+    assert _live(spark, tmp_path) == {
+        ("c0", 0): ("a0", "gold"),
+        ("c1", 0): ("x0", "silver"),
+        ("c9", 0): ("orphan", None),   # no dim row -> NULL enrichment
+    }
+
+
+def test_pins_freeze_dim_state_per_epoch(spark, tmp_path):
+    import glob
+
+    d = _dim(spark, str(tmp_path / "dim"))
+    _dim_upsert(spark, d, [("c0", "v1", 1)], "d0")
+    facts = _facts(spark, str(tmp_path / "facts"), [
+        [(10, "I", "c0", 0, "a0")],
+    ])
+    ChangeFeedEnrich.create_target(
+        spark, str(tmp_path / "tgt"), str(tmp_path / "facts"),
+        str(tmp_path / "dim"), n_buckets=4)
+    pipe = _pipe(spark, tmp_path, k=1)
+    pipe.run_available()
+    assert _live(spark, tmp_path)[("c0", 0)] == ("a0", "v1")
+
+    # dim evolves, then a LATER fact commit on a DIFFERENT key: the new
+    # batch sees v2, the already-enriched row keeps its pinned v1
+    _dim_upsert(spark, d, [("c0", "v2", 3), ("c1", "v2", 4)], "d1")
+    apply_changes(facts, spark.createDataFrame(
+        [(20, "I", "c1", 0, "user", "x0", "", TS)], CHANGE_DDL),
+        batch_key="f1", mode="mor")
+    pipe.run_available()
+    assert _live(spark, tmp_path) == {
+        ("c0", 0): ("a0", "v1"),   # frozen at its epoch's pin
+        ("c1", 0): ("x0", "v2"),
+    }
+    pins = sorted(glob.glob(str(tmp_path / "ck" / "enrich-pin-*.json")))
+    assert len(pins) >= 2
+
+    # nothing new: replay is a no-op (no target commit, pins unchanged)
+    tgt = IceliteTable.load(spark, str(tmp_path / "tgt"))
+    seq = tgt.current_seq()
+    pipe.run_available()
+    assert tgt.current_seq() == seq
+
+
+def test_fact_delete_propagates(spark, tmp_path):
+    d = _dim(spark, str(tmp_path / "dim"))
+    _dim_upsert(spark, d, [("c0", "gold", 1)], "d0")
+    _facts(spark, str(tmp_path / "facts"), [
+        [(10, "I", "c0", 0, "a0"), (11, "I", "c0", 1, "b0")],
+        [(20, "D", "c0", 0, None)],
+    ])
+    ChangeFeedEnrich.create_target(
+        spark, str(tmp_path / "tgt"), str(tmp_path / "facts"),
+        str(tmp_path / "dim"), n_buckets=4)
+    _pipe(spark, tmp_path).run_available()
+    live = _live(spark, tmp_path)
+    assert ("c0", 0) not in live and live[("c0", 1)] == ("b0", "gold")
+
+
+def test_dim_key_missing_from_fact_fails_fast(spark, tmp_path):
+    _facts(spark, str(tmp_path / "facts"), [[(10, "I", "c0", 0, "a0")]])
+    bad = IceliteTable.create(
+        spark, str(tmp_path / "dim"),
+        T.StructType([
+            T.StructField("user_id", T.StringType()),
+            T.StructField("label", T.StringType()),
+            T.StructField("dlsn", T.LongType()),
+        ]),
+        key_cols=("user_id",), bucket_key="user_id", n_buckets=2,
+        seq_col="dlsn",
+    )
+    assert bad is not None
+    with pytest.raises(ValueError, match="not in the fact schema"):
+        ChangeFeedEnrich.create_target(
+            spark, str(tmp_path / "tgt"), str(tmp_path / "facts"),
+            str(tmp_path / "dim"))
+
+
+def test_segmentation_invariance_with_static_dim(spark, tmp_path):
+    """With a static dim, k=1 vs unbounded feed segmentation must yield
+    the same enriched state (guards the in-batch max-LSN collapse: a
+    multi-commit batch carries several versions of a key)."""
+    d = _dim(spark, str(tmp_path / "dim"))
+    _dim_upsert(spark, d, [("c0", "gold", 1), ("c1", "silver", 2)], "d0")
+    src_path = str(tmp_path / "facts")
+    _facts(spark, src_path, [
+        [(10, "I", "c0", 0, "a0"), (11, "I", "c1", 0, "x0")],
+        [(20, "U", "c0", 0, "a1"), (21, "D", "c1", 0, None)],
+        [(30, "I", "c1", 0, "x1")],
+    ])
+    states = []
+    for tag, k in (("one", 1), ("all", None)):
+        ChangeFeedEnrich.create_target(
+            spark, str(tmp_path / f"tgt_{tag}"), src_path,
+            str(tmp_path / "dim"), n_buckets=4)
+        ChangeFeedEnrich(
+            spark=spark, fact_path=src_path, dim_path=str(tmp_path / "dim"),
+            table_path=str(tmp_path / f"tgt_{tag}"),
+            checkpoint_dir=str(tmp_path / f"ck_{tag}"),
+            max_commits_per_batch=k, name=f"enrich_{tag}",
+        ).run_available()
+        t = IceliteTable.load(spark, str(tmp_path / f"tgt_{tag}"))
+        states.append({
+            (r["conv_id"], r["turn_idx"]): (r["text"], r["label_dim"])
+            for r in t.read()
+            .filter(~F.coalesce(F.col("__deleted"), F.lit(False))).collect()
+        })
+    assert states[0] == states[1] == {
+        ("c0", 0): ("a1", "gold"), ("c1", 0): ("x1", "silver"),
+    }

@@ -281,6 +281,93 @@ class ChangeFeedScd2:
         )
 
     @staticmethod
+    def read_history_with_times(
+        spark: SparkSession,
+        table_path: str,
+        source_path: str,
+        where: list | None = None,
+    ) -> DataFrame:
+        """The interval history stamped with the SOURCE's commit
+        wall-clock: ``valid_from_ts`` / ``valid_to_ts`` from the source
+        lineage table's ``committed_at`` (distributed read, survives
+        snapshot expiry — the shared clock a CROSS-TABLE event-time
+        join needs, since ``valid_from_seq`` only orders within one
+        table's commit domain). Second granularity: two source commits
+        inside one second leave the superseded version with an EMPTY
+        time interval (from == to), so by-time lookups resolve to the
+        later version — the correct "state at that instant" answer, and
+        still at most one match per key per instant."""
+        hist = ChangeFeedScd2.read_history(spark, table_path, where=where)
+        lin = (
+            IceliteTable.load(spark, source_path)
+            .lineage()
+            .select(
+                F.col("commit_seq").alias("__lseq"),
+                F.col("committed_at").cast("timestamp").alias("__lts"),
+            )
+        )
+        hist = (
+            hist.join(
+                F.broadcast(lin), hist[VALID_FROM] == lin["__lseq"], "left"
+            )
+            .withColumnRenamed("__lts", "valid_from_ts")
+            .drop("__lseq")
+        )
+        lin2 = lin.select(
+            F.col("__lseq").alias("__lseq2"), F.col("__lts").alias("__lts2")
+        )
+        return (
+            hist.join(
+                F.broadcast(lin2), hist[VALID_TO] == lin2["__lseq2"], "left"
+            )
+            .withColumnRenamed("__lts2", "valid_to_ts")
+            .drop("__lseq2")
+        )
+
+    @staticmethod
+    def temporal_join_by_time(
+        spark: SparkSession,
+        table_path: str,
+        source_path: str,
+        df: DataFrame,
+        ts_col: str,
+        suffix: str = "_asof",
+        where: list | None = None,
+    ) -> DataFrame:
+        """Event-time temporal join — each fact row joins the dimension
+        version whose WALL-CLOCK validity interval contains the fact's
+        own ``ts_col`` (``valid_from_ts <= t < valid_to_ts``). This is
+        the cross-table twin of ``temporal_join``: facts from ANY table
+        enrich against the dim state that was committed when they
+        happened, using the one clock both sides share. Same plan shape
+        (equi hash join on keys, interval residual, no fan-out; empty
+        same-second intervals can never match)."""
+        hist = ChangeFeedScd2.read_history_with_times(
+            spark, table_path, source_path, where=where
+        )
+        ptr = IceliteTable.load(spark, table_path).pointer()
+        keys = [k for k in ptr["key_cols"] if k != VALID_FROM]
+        payload = [
+            c for c in hist.columns
+            if c not in keys + [VALID_FROM, VALID_TO, "valid_from_ts",
+                                "valid_to_ts", "is_current"]
+        ]
+        dim = hist.select(
+            *[F.col(k).alias(f"__dim_{k}") for k in keys],
+            "valid_from_ts", "valid_to_ts",
+            *[F.col(c).alias(f"{c}{suffix}") for c in payload],
+        )
+        cond = [df[k] == dim[f"__dim_{k}"] for k in keys]
+        cond.append(dim["valid_from_ts"] <= df[ts_col])
+        cond.append(
+            dim["valid_to_ts"].isNull() | (dim["valid_to_ts"] > df[ts_col])
+        )
+        joined = df.join(dim, on=cond, how="left")
+        return joined.drop(
+            *[f"__dim_{k}" for k in keys], "valid_from_ts", "valid_to_ts"
+        )
+
+    @staticmethod
     def temporal_join(
         spark: SparkSession,
         table_path: str,

@@ -405,3 +405,105 @@ def test_source_rollback_fails_the_pipeline_loud(spark, tmp_path):
     src.rollback(2)
     with pytest.raises(Exception, match="rollback"):
         _pipe(spark, tmp_path).run_available()
+
+
+def _slow_source(spark, path):
+    """Source whose commits land in DISTINCT wall-clock seconds, so the
+    lineage clock separates versions (committed_at is second-granular)."""
+    import time as _time
+
+    t = create_transcript_table(spark, path, n_buckets=4)
+    for i, rows in enumerate([
+        [(10, "I", "c0", 0, "a0")],
+        [(20, "U", "c0", 0, "a1")],
+        [(30, "D", "c0", 0, None)],
+    ]):
+        df = spark.createDataFrame(
+            [(lsn, op, c, k, "user", txt, "", TS)
+             for lsn, op, c, k, txt in rows], CHANGE_DDL)
+        apply_changes(t, df, batch_key=f"s{i}", mode="mor")
+        _time.sleep(1.1)
+    return t
+
+
+def test_history_with_times_stamps_match_lineage(spark, tmp_path):
+    src = _slow_source(spark, str(tmp_path / "src"))
+    ChangeFeedScd2.create_target(
+        spark, str(tmp_path / "tgt"), str(tmp_path / "src"), n_buckets=4)
+    _pipe(spark, tmp_path).run_available()
+    lin = {r["commit_seq"]: r["committed_at"]
+           for r in src.lineage().select("commit_seq", "committed_at")
+           .collect()}
+    rows = ChangeFeedScd2.read_history_with_times(
+        spark, str(tmp_path / "tgt"), str(tmp_path / "src")).collect()
+    assert rows
+    for r in rows:
+        assert r["valid_from_ts"] is not None
+        assert r["valid_from_ts"].strftime("%Y-%m-%dT%H:%M:%SZ") == \
+            lin[r["valid_from_seq"]]
+        if r["valid_to_seq"] is None:
+            assert r["valid_to_ts"] is None
+        else:
+            assert r["valid_to_ts"].strftime("%Y-%m-%dT%H:%M:%SZ") == \
+                lin[r["valid_to_seq"]]
+
+
+def test_temporal_join_by_time_matches_seq_join(spark, tmp_path):
+    """With commits in distinct seconds, joining facts at a commit's
+    wall-clock must equal joining at its seq — the two clocks agree."""
+    src = _slow_source(spark, str(tmp_path / "src"))
+    ChangeFeedScd2.create_target(
+        spark, str(tmp_path / "tgt"), str(tmp_path / "src"), n_buckets=4)
+    _pipe(spark, tmp_path).run_available()
+    lin = {r["commit_seq"]: r["ts"]
+           for r in src.lineage().select(
+               "commit_seq",
+               F.col("committed_at").cast("timestamp").alias("ts")).collect()}
+    facts = spark.createDataFrame(
+        [("c0", 0, s, lin[s]) for s in (1, 2, 3)],
+        "conv_id string, turn_idx int, at long, ts timestamp",
+    )
+    by_seq = {
+        r["at"]: r["text_asof"]
+        for r in ChangeFeedScd2.temporal_join(
+            spark, str(tmp_path / "tgt"), facts, seq_col="at").collect()
+    }
+    by_time = {
+        r["at"]: r["text_asof"]
+        for r in ChangeFeedScd2.temporal_join_by_time(
+            spark, str(tmp_path / "tgt"), str(tmp_path / "src"),
+            facts, ts_col="ts").collect()
+    }
+    assert by_seq == by_time == {1: "a0", 2: "a1", 3: None}
+
+
+def test_same_second_versions_resolve_to_latest(spark, tmp_path):
+    """The normal fixture commits all land within ~a second: by-time
+    lookups at that instant must return the LATEST version valid then,
+    with exactly one match per fact (empty intervals never join)."""
+    src = _source(spark, str(tmp_path / "src"))
+    ChangeFeedScd2.create_target(
+        spark, str(tmp_path / "tgt"), str(tmp_path / "src"), n_buckets=4)
+    _pipe(spark, tmp_path).run_available()
+    last_ts = max(
+        r["ts"] for r in src.lineage().select(
+            F.col("committed_at").cast("timestamp").alias("ts")).collect()
+    )
+    facts = spark.createDataFrame(
+        [("c0", 0, last_ts), ("c0", 1, last_ts), ("c1", 0, last_ts),
+         ("c2", 0, last_ts)],
+        "conv_id string, turn_idx int, ts timestamp",
+    )
+    out = ChangeFeedScd2.temporal_join_by_time(
+        spark, str(tmp_path / "tgt"), str(tmp_path / "src"),
+        facts, ts_col="ts")
+    assert out.count() == 4  # one row per fact, never a fan-out
+    got = {(r["conv_id"], r["turn_idx"]): r["text_asof"]
+           for r in out.collect()}
+    # equals the final as-of state (everything shares the clock second)
+    want = {(r["conv_id"], r["turn_idx"]): r["text"]
+            for r in ChangeFeedScd2.as_of(
+                spark, str(tmp_path / "tgt"), src.current_seq())
+            .select("conv_id", "turn_idx", "text").collect()}
+    for k, v in got.items():
+        assert v == want.get(k), (k, v, want.get(k))

@@ -426,6 +426,74 @@ def bench_scd2(spark, workdir: str, src_path: str) -> dict:
     }
 
 
+def bench_enrich(spark, workdir: str, src_path: str) -> dict:
+    """Stream enrichment (round 5) over the replicate bench's fact feed:
+    a 50k-row dim table (seed-stable), pinned-snapshot enrichment of
+    every delivered fact, cold + warm runs like the other feed
+    pipelines. Exactness inside the benchmark: enriched live state
+    equals facts live state joined to the dim (exceptAll both ways)."""
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.lake.format import IceliteTable
+    from etl_rust_spark.streaming.enrich import ChangeFeedEnrich
+
+    src = IceliteTable.load(spark, src_path)
+    dim_path = os.path.join(workdir, "enrich_dim")
+    dim = IceliteTable.create(
+        spark, dim_path,
+        spark.range(1).select(
+            F.lit("x").alias("conv_id"), F.lit("x").alias("label"),
+            F.lit(0).cast("long").alias("dlsn"),
+        ).schema,
+        key_cols=("conv_id",), bucket_key="conv_id", n_buckets=32,
+        order_cols=("conv_id",), seq_col="dlsn",
+    )
+    dim.merge(
+        spark.range(50_000).select(
+            F.format_string("conv-%08d", F.col("id")).alias("conv_id"),
+            F.when(F.col("id") % 2 == 0, "even").otherwise("odd")
+            .alias("label"),
+            (F.col("id") + 1).alias("dlsn"),
+            F.lit("U").alias("op"),
+        ),
+        batch_key="dim0", seq_col="dlsn", mode="mor",
+    )
+    feed_rows = src.read_changes(0).count()
+    secs = []
+    for run in range(2):
+        t_path = os.path.join(workdir, f"enrich_t{run}")
+        ChangeFeedEnrich.create_target(
+            spark, t_path, src_path, dim_path, n_buckets=32)
+        t0 = time.monotonic()
+        ChangeFeedEnrich(
+            spark=spark, fact_path=src_path, dim_path=dim_path,
+            table_path=t_path,
+            checkpoint_dir=os.path.join(workdir, f"enrich_ck{run}"),
+            name=f"enrich_bench{run}",
+        ).run_available()
+        secs.append(round(time.monotonic() - t0, 3))
+    tgt = IceliteTable.load(spark, t_path)
+    live_t = tgt.read().filter(
+        ~F.coalesce(F.col("__deleted"), F.lit(False)))
+    want = (
+        src.read().filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
+        .join(
+            dim.read().select("conv_id", F.col("label").alias("label_dim")),
+            "conv_id", "left",
+        )
+        .select(*live_t.columns)
+    )
+    bad = live_t.exceptAll(want).count() + want.exceptAll(live_t).count()
+    if bad:
+        raise AssertionError(f"cdc_enrich mismatch: {bad} rows differ")
+    return {
+        "feed_rows": int(feed_rows),
+        "cold_s": secs[0],
+        "warm_s": secs[1],
+        "feed_rows_per_sec": int(feed_rows / min(secs)),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count())
@@ -494,6 +562,8 @@ def main() -> None:
         results["cdc_replicate"] = repl["warm_s"]
         scd2 = bench_scd2(spark, workdir, os.path.join(workdir, "repl_a"))
         results["cdc_scd2"] = scd2["warm_s"]
+        enr = bench_enrich(spark, workdir, os.path.join(workdir, "repl_a"))
+        results["cdc_enrich"] = enr["warm_s"]
         # predicate file pruning (round 3): point-conversation read via
         # manifest stats vs the same predicate as a full-scan filter
         table = best_table
@@ -551,6 +621,8 @@ def main() -> None:
                 "scd2_versions": scd2["versions"],
                 "scd2_derive_history_s": scd2["derive_history_s"],
                 "scd2_feed_rows_per_sec": scd2["feed_rows_per_sec"],
+                "enrich_cold_s": enr["cold_s"],
+                "enrich_feed_rows_per_sec": enr["feed_rows_per_sec"],
                 "migration_users": MIGRATE_USERS,
                 "migration_records_per_sec": migration_records_per_sec,
                 # same-window machine ceiling (rows/s, pure codegen): a

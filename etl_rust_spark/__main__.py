@@ -322,6 +322,21 @@ def cmd_rollback(args) -> int:
     return 0
 
 
+def cmd_rewrite_manifests(args) -> int:
+    from etl_rust_spark.lake.format import IceliteTable
+
+    t = IceliteTable.load(_spark(args), args.table)
+    before = t.describe()["n_manifests"]
+    snap = t.rewrite_manifests(
+        target_files_per_manifest=args.target_files_per_manifest
+    )
+    print(
+        f"manifests {before} -> {len(snap['manifests'])} at seq {snap['seq']}"
+        " (metadata-only; no data files touched)"
+    )
+    return 0
+
+
 def cmd_rebucket(args) -> int:
     from etl_rust_spark.lake.format import IceliteTable
 
@@ -349,6 +364,14 @@ def cmd_maintain(args) -> int:
     if health["max_files_per_bucket"] > args.compact_threshold:
         snap = t.compact(min_files_per_bucket=args.compact_threshold)
         did["compacted_to_seq"] = snap["seq"]
+    if (
+        args.manifest_threshold is not None
+        and t.describe()["n_manifests"] > args.manifest_threshold
+    ):
+        # files healthy but metadata fragmented: fold manifests without
+        # a data rewrite (compaction above may already have folded them)
+        snap = t.rewrite_manifests()
+        did["manifests_rewritten_to_seq"] = snap["seq"]
     if args.keep_last is not None:
         did["expired"] = len(t.expire_snapshots(keep_last=args.keep_last))
     if args.orphan_grace_sec is not None:
@@ -653,6 +676,18 @@ def build_parser() -> argparse.ArgumentParser:
     rk.add_argument("--to-seq", type=int, required=True)
     rk.set_defaults(fn=cmd_rollback)
 
+    rw = sub.add_parser(
+        "rewrite-manifests",
+        help="fold many small per-commit manifests into few large ones "
+        "(metadata-only; no data rewrite)",
+    )
+    rw.add_argument("--table", required=True)
+    rw.add_argument(
+        "--target-files-per-manifest", type=int, default=4096,
+        help="max file entries per consolidated manifest (default 4096)",
+    )
+    rw.set_defaults(fn=cmd_rewrite_manifests)
+
     rb = sub.add_parser("rebucket", help="rewrite under a new bucket count")
     rb.add_argument("--table", required=True)
     rb.add_argument("--n-buckets", type=int, required=True)
@@ -675,6 +710,11 @@ def build_parser() -> argparse.ArgumentParser:
     mt.add_argument(
         "--orphan-grace-sec", type=float, default=None,
         help="remove crash orphans older than this (skip GC if unset)",
+    )
+    mt.add_argument(
+        "--manifest-threshold", type=int, default=None,
+        help="rewrite (consolidate) manifests when more than this many "
+        "are live — metadata-only, no data rewrite (skip if unset)",
     )
     mt.set_defaults(fn=cmd_maintain)
 

@@ -1911,7 +1911,9 @@ class IceliteTable:
                     "express un-delivery; incremental consumers must "
                     "re-sync from a snapshot at or after the rollback"
                 )
-            if rec["source"] in ("compact", "rebucket", "rename", "drop"):
+            if rec["source"] in (
+                "compact", "rebucket", "rename", "drop", "rewrite_manifests"
+            ):
                 continue  # rewrites / metadata-only: not changes
             if rec["files_removed"] > 0:
                 raise ValueError(
@@ -2227,6 +2229,68 @@ class IceliteTable:
                 "zorder": list(zorder) if zorder else None,
                 "zorder_files_per_bucket": int(files_per_bucket) if zorder else None,
             },
+        )
+        return self.snapshot()
+
+    def rewrite_manifests(self, target_files_per_manifest: int = 4096) -> dict:
+        """Metadata-only manifest consolidation — Iceberg's
+        ``rewrite_manifests`` procedure re-expressed over the pointer
+        model: fold the accumulated per-commit manifest chunks into few
+        large ones WITHOUT touching a single data file. An append-heavy
+        merge-on-read table gains one manifest per commit; every read
+        opens them all and every commit re-lists them in the pointer, so
+        metadata work creeps toward O(commits since last compaction).
+        Data compaction folds manifests too — but at the price of a data
+        rewrite; this is the cheap move when the FILES are healthy
+        (well-sized deltas) and only the metadata is fragmented.
+
+        File entries carry over VERBATIM (paths, footer stats, delta/base
+        kind, write-time id→name maps — so field-id resolution, MoR fold
+        triggers, and stats pruning are byte-identical after the rewrite),
+        sorted by bucket so each consolidated manifest covers a narrow
+        bucket range: the pointer's per-manifest bucket summary keeps
+        letting CoW merges and partial compaction skip whole manifests
+        unopened. Commits through the optimistic-rebase path, so racing
+        appends commute (their new manifests survive the rebase); the
+        change feed and streaming source skip the commit
+        (``source='rewrite_manifests'`` — a rewrite is not a change);
+        time travel to pre-rewrite snapshots resolves through the old
+        manifest files until ``expire_snapshots`` reclaims them. Main-only
+        like all maintenance. The reference needs no analog (its sink is
+        Postgres, example/src/main.rs:305-622); a 10^6-commit lake table
+        does."""
+        self._require_main("rewrite_manifests")
+        t0 = time.monotonic()
+        ptr = self.pointer()
+        k = max(1, int(target_files_per_manifest))
+        entries = self._files(ptr)
+        n_target = max(1, -(-len(entries) // k))  # ceil; ≥1 even when empty
+        if len(ptr["manifests"]) <= n_target:
+            return self.snapshot()  # already consolidated — no-op
+        entries.sort(key=lambda e: (e["bucket"], e["path"]))
+        commit_seq = ptr["seq"] + 1
+        tok = uuid.uuid4().hex[:8]  # collision-free across racing writers
+        rewritten = [
+            self._write_manifest_file(
+                f"manifest-{commit_seq:08d}-rw{i:04d}-{tok}.json",
+                entries[i * k : (i + 1) * k],
+            )
+            for i in range(n_target)
+        ]
+        lineage_rec = {
+            "commit_seq": commit_seq, "batch_key": None,
+            "source": "rewrite_manifests",
+            "n_changes": 0, "n_upserts": 0, "n_deletes": 0,
+            "touched_buckets": [], "files_added": 0, "files_removed": 0,
+            "rows_written": 0,
+            "manifests_before": len(ptr["manifests"]),
+            "manifests_after": n_target,
+            "wall_ms": round((time.monotonic() - t0) * 1000.0, 3),
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        self._commit_rebasing(
+            ptr, T.StructType.fromJson(ptr["schema"]), rewritten, [],
+            None, lineage_rec, None,
         )
         return self.snapshot()
 

@@ -59,7 +59,8 @@ _MANIFEST_DIR = "_manifests"  # keep in sync with lake.format
 _LINEAGE_DIR = "_lineage"
 
 # lineage sources that rewrite or touch only metadata — never changes
-_NON_CHANGE_SOURCES = ("compact", "rebucket", "rename", "drop")
+_NON_CHANGE_SOURCES = ("compact", "rebucket", "rename", "drop",
+                       "rewrite_manifests")
 
 
 # --------------------------------------------------------------------------

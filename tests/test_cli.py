@@ -521,3 +521,53 @@ def test_cli_enrich_end_to_end(spark, tmp_path, capsys):
     seq = tgt.current_seq()
     assert main(argv) == 0
     assert tgt.current_seq() == seq
+
+
+def test_cli_rewrite_manifests_and_maintain_threshold(spark, tmp_path, capsys):
+    """`rewrite-manifests` consolidates metadata without a data rewrite,
+    and `maintain --manifest-threshold` runs it as part of the one-shot
+    service when the live manifest count exceeds the threshold."""
+    import datetime as dt
+    import json
+
+    from etl_rust_spark.operators.apply import apply_changes, create_transcript_table
+
+    p = build_parser()
+    tpath = str(tmp_path / "t")
+    t = create_transcript_table(spark, tpath, n_buckets=2)
+    sch = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+           "text string, tool string, ts timestamp")
+    for i in range(5):
+        rows = [(10 * i + k, "I", f"c{k}", i, "user", f"t{i}.{k}", "",
+                 dt.datetime(2025, 1, 1)) for k in range(3)]
+        apply_changes(t, spark.createDataFrame(rows, sch),
+                      batch_key=f"b{i}", mode="mor")
+    rows_before = t.read().count()
+    files_before = sorted(e["path"] for e in t._files(t.pointer()))
+    assert t.describe()["n_manifests"] == 5
+
+    args = p.parse_args(["rewrite-manifests", "--table", tpath])
+    assert args.fn(args) == 0
+    out = capsys.readouterr().out
+    assert "5 -> 1" in out
+    assert t.describe()["n_manifests"] == 1
+    assert sorted(e["path"] for e in t._files(t.pointer())) == files_before
+    assert t.read().count() == rows_before
+
+    # grow fragmentation again; maintain with a manifest threshold folds
+    # it even though no bucket crosses the compaction threshold
+    for i in range(5, 9):
+        rows = [(10 * i + k, "I", f"c{k}", i, "user", f"t{i}.{k}", "",
+                 dt.datetime(2025, 1, 1)) for k in range(3)]
+        apply_changes(t, spark.createDataFrame(rows, sch),
+                      batch_key=f"b{i}", mode="mor")
+    args = p.parse_args([
+        "maintain", "--table", tpath, "--compact-threshold", "99",
+        "--manifest-threshold", "2",
+    ])
+    assert args.fn(args) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert "compacted_to_seq" not in rep
+    assert "manifests_rewritten_to_seq" in rep
+    assert rep["after"]["n_manifests"] == 1
+    assert t.read().count() == t.read().dropDuplicates(["conv_id", "turn_idx"]).count()

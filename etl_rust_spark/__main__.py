@@ -292,11 +292,21 @@ def cmd_compact(args) -> int:
     from etl_rust_spark.lake.format import IceliteTable
 
     t = IceliteTable.load(_spark(args), args.table)
-    snap = t.compact(
-        min_files_per_bucket=args.min_files_per_bucket,
-        zorder=args.zorder.split(",") if args.zorder else None,
-        files_per_bucket=args.files_per_bucket,
-    )
+    if getattr(args, "deltas_only", False):
+        if args.zorder:
+            raise SystemExit("--deltas-only cannot z-order (base untouched)")
+        snap = t.compact_deltas(
+            min_delta_files_per_bucket=(
+                args.min_files_per_bucket
+                if args.min_files_per_bucket is not None else 4
+            ),
+        )
+    else:
+        snap = t.compact(
+            min_files_per_bucket=args.min_files_per_bucket,
+            zorder=args.zorder.split(",") if args.zorder else None,
+            files_per_bucket=args.files_per_bucket,
+        )
     print(f"compacted to seq {snap['seq']} ({len(snap['files'])} live files)")
     return 0
 
@@ -364,6 +374,15 @@ def cmd_maintain(args) -> int:
     if health["max_files_per_bucket"] > args.compact_threshold:
         snap = t.compact(min_files_per_bucket=args.compact_threshold)
         did["compacted_to_seq"] = snap["seq"]
+    elif args.delta_threshold is not None:
+        # buckets below the full-compaction threshold may still carry a
+        # delta trickle worth folding cheaply (base never rewritten)
+        seq_now = t.current_seq()
+        snap = t.compact_deltas(
+            min_delta_files_per_bucket=args.delta_threshold
+        )
+        if snap["seq"] != seq_now:
+            did["delta_compacted_to_seq"] = snap["seq"]
     if (
         args.manifest_threshold is not None
         and t.describe()["n_manifests"] > args.manifest_threshold
@@ -661,6 +680,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="comma-separated numeric/temporal columns for morton-ordered layout",
     )
     k.add_argument("--files-per-bucket", type=int, default=4)
+    k.add_argument(
+        "--deltas-only", action="store_true",
+        help="minor compaction: fold only each hot bucket's delta files "
+        "(base files never rewritten; write cost bounded by delta bytes)",
+    )
     k.set_defaults(fn=cmd_compact)
 
     e = sub.add_parser("expire", help="expire old snapshots")
@@ -715,6 +739,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--manifest-threshold", type=int, default=None,
         help="rewrite (consolidate) manifests when more than this many "
         "are live — metadata-only, no data rewrite (skip if unset)",
+    )
+    mt.add_argument(
+        "--delta-threshold", type=int, default=None,
+        help="minor-compact buckets holding more than this many DELTA "
+        "files when full compaction did not fire (skip if unset)",
     )
     mt.set_defaults(fn=cmd_maintain)
 

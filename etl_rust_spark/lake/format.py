@@ -2075,18 +2075,35 @@ class IceliteTable:
             return json.load(f)
 
     # ------------------------------------------------------------- maintain
-    def _filter_manifests(self, ptr: dict, tset: set[int], commit_seq: int):
+    def _filter_manifests(
+        self,
+        ptr: dict,
+        tset: set[int],
+        commit_seq: int,
+        only_deltas: bool = False,
+    ):
         """Drop ``tset`` buckets' entries from the manifest list: untouched
         manifests carry forward by reference; intersecting ones are
-        rewritten filtered. Returns (kept manifests, removed file entries).
-        Shared by CoW merge and partial compaction."""
+        rewritten filtered. ``only_deltas`` restricts the drop to
+        delta-kind entries (minor compaction: base files survive in
+        place). Returns (kept manifests, removed file entries).
+        Shared by CoW merge and partial/minor compaction."""
+        def _goes(e: dict) -> bool:
+            return e["bucket"] in tset and (
+                not only_deltas or e.get("kind", "base") == "delta"
+            )
+
         keep, removed = [], []
         tok = uuid.uuid4().hex[:8]  # collision-free across racing writers
         for i, m in enumerate(ptr["manifests"]):
             if tset & set(m["buckets"]):
                 entries = self._read_manifest(m["name"])
-                removed.extend(e for e in entries if e["bucket"] in tset)
-                survivors = [e for e in entries if e["bucket"] not in tset]
+                gone = [e for e in entries if _goes(e)]
+                if not gone:
+                    keep.append(m)
+                    continue
+                removed.extend(gone)
+                survivors = [e for e in entries if not _goes(e)]
                 if survivors:
                     keep.append(
                         self._write_manifest_file(
@@ -2229,6 +2246,83 @@ class IceliteTable:
                 "zorder": list(zorder) if zorder else None,
                 "zorder_files_per_bucket": int(files_per_bucket) if zorder else None,
             },
+        )
+        return self.snapshot()
+
+    def compact_deltas(self, min_delta_files_per_bucket: int = 4) -> dict:
+        """MINOR compaction (the LSM move; Hudi's log-file compaction
+        analog): fold each over-fragmented bucket's DELTA files into one
+        fresh delta file per bucket — base files are never read or
+        rewritten. Write amplification is bounded by the bucket's DELTA
+        bytes, not its total bytes: at 100 TB a hot bucket is typically
+        one large sorted base file plus a trickle of small micro-batch
+        deltas, and full partial compaction (``compact(min_files_per_
+        bucket=...)``) would rewrite the giant base just to fold the
+        trickle. This folds only the trickle.
+
+        Exactness: read-time resolution is per-key max-seq last-writer-
+        wins (or the declared additive fold) over base ∪ deltas, and both
+        resolutions are associative — collapsing the delta rows of a key
+        to their local winner (or combined partial) first cannot change
+        the global winner against the untouched base. Tombstone winners
+        are KEPT in the folded output (they may shadow base rows).
+        Commits as ``source='compact'`` with ``minor=true`` in lineage,
+        so every change-feed consumer skips it like any compaction;
+        rebases over concurrent appends (their manifests are untouched).
+        Reference analog: the reference's sink has no file layout to
+        maintain (Postgres upserts, example/src/main.rs:305-622)."""
+        self._require_main("compact_deltas")
+        t0 = time.monotonic()
+        ptr = self.pointer()
+        if not ptr.get("seq_col"):
+            raise ValueError("compact_deltas requires a seq_col table")
+        schema = T.StructType.fromJson(ptr["schema"])
+        commit_seq = ptr["seq"] + 1
+        per_bucket: dict[int, int] = {}
+        for f in self._files(ptr):
+            if f.get("kind", "base") == "delta":
+                per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+        target = {
+            b for b, n in per_bucket.items() if n > min_delta_files_per_bucket
+        }
+        if not target:
+            return self.snapshot()
+        keep_manifests, removed = self._filter_manifests(
+            ptr, target, commit_seq, only_deltas=True
+        )
+        df = self._read_file_groups(removed, schema, ptr)
+        df = _resolve_versions(df, ptr, schema)
+        commit_dir = os.path.join(
+            self.path, _DATA_DIR, f"commit-{commit_seq:08d}-{uuid.uuid4().hex[:8]}"
+        )
+        bexpr = _bucket_expr(ptr["bucket_key"], ptr["n_buckets"])
+        (
+            df.withColumn("__bucket", bexpr)
+            .repartition(F.col("__bucket"))
+            .sortWithinPartitions("__bucket", *ptr["order_cols"])
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(commit_dir)
+        )
+        new_files, rows_written, per_bucket_rows = self._scan_commit_dir(commit_dir)
+        for f in new_files:
+            f["kind"] = "delta"  # folded winners still resolve against base
+        lineage_rec = {
+            "commit_seq": commit_seq, "batch_key": None, "source": "compact",
+            "minor": True,
+            "n_changes": 0, "n_upserts": 0, "n_deletes": 0,
+            "touched_buckets": sorted(per_bucket_rows),
+            "files_added": len(new_files),
+            "files_removed": len(removed), "rows_written": int(rows_written),
+            "per_bucket_rows": {
+                str(k): int(v) for k, v in per_bucket_rows.items()
+            },
+            "wall_ms": round((time.monotonic() - t0) * 1000.0, 3),
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        self._commit_rebasing(
+            ptr, schema, keep_manifests, new_files, None, lineage_rec,
+            commit_dir,
         )
         return self.snapshot()
 

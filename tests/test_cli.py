@@ -571,3 +571,71 @@ def test_cli_rewrite_manifests_and_maintain_threshold(spark, tmp_path, capsys):
     assert "manifests_rewritten_to_seq" in rep
     assert rep["after"]["n_manifests"] == 1
     assert t.read().count() == t.read().dropDuplicates(["conv_id", "turn_idx"]).count()
+
+
+def test_cli_minor_compaction_and_maintain_delta_threshold(spark, tmp_path, capsys):
+    """`compact --deltas-only` folds only delta files (base untouched),
+    and `maintain --delta-threshold` fires the minor pass when full
+    compaction's bucket threshold is not crossed."""
+    import datetime as dt
+    import json
+
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.operators.apply import apply_changes, create_transcript_table
+
+    p = build_parser()
+    tpath = str(tmp_path / "t")
+    t = create_transcript_table(spark, tpath, n_buckets=2)
+    sch = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+           "text string, tool string, ts timestamp")
+    apply_changes(t, spark.createDataFrame(
+        [(k, "I", f"c{k}", 0, "user", f"base{k}", "", dt.datetime(2025, 1, 1))
+         for k in range(8)], sch), batch_key="b0", mode="mor")
+    t.compact()
+    base = sorted(e["path"] for e in t._files(t.pointer())
+                  if e.get("kind", "base") == "base")
+    for i in range(1, 5):
+        apply_changes(t, spark.createDataFrame(
+            [(100 * i + k, "U", f"c{k}", 0, "user", f"u{i}.{k}", "",
+              dt.datetime(2025, 1, 1)) for k in range(4)], sch),
+            batch_key=f"b{i}", mode="mor")
+    rows = t.read().filter(~F.coalesce(F.col("__deleted"), F.lit(False))).count()
+
+    args = p.parse_args(
+        ["compact", "--table", tpath, "--deltas-only",
+         "--min-files-per-bucket", "1"]
+    )
+    assert args.fn(args) == 0
+    capsys.readouterr()
+    assert sorted(e["path"] for e in t._files(t.pointer())
+                  if e.get("kind", "base") == "base") == base
+    per_bucket: dict = {}
+    for e in t._files(t.pointer()):
+        if e.get("kind", "base") == "delta":
+            per_bucket[e["bucket"]] = per_bucket.get(e["bucket"], 0) + 1
+    assert per_bucket and all(n == 1 for n in per_bucket.values())
+    assert t.read().filter(
+        ~F.coalesce(F.col("__deleted"), F.lit(False))
+    ).count() == rows
+
+    # grow a fresh trickle; maintain's minor path folds it when the full
+    # threshold is not crossed
+    for i in range(5, 8):
+        apply_changes(t, spark.createDataFrame(
+            [(100 * i + k, "U", f"c{k}", 0, "user", f"u{i}.{k}", "",
+              dt.datetime(2025, 1, 1)) for k in range(4)], sch),
+            batch_key=f"b{i}", mode="mor")
+    args = p.parse_args([
+        "maintain", "--table", tpath, "--compact-threshold", "99",
+        "--delta-threshold", "1",
+    ])
+    assert args.fn(args) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert "compacted_to_seq" not in rep
+    assert "delta_compacted_to_seq" in rep
+    # re-run: healthy now, no new commit
+    seq = t.current_seq()
+    assert args.fn(args) == 0
+    rep2 = json.loads(capsys.readouterr().out)
+    assert "delta_compacted_to_seq" not in rep2 and t.current_seq() == seq

@@ -4616,6 +4616,148 @@ def source_entropy_by_lang(spark, sf_dir):
     )
 
 
+@query(
+    "daily_volume_anomalies",
+    """
+    WITH d AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, day, CAST(n AS BIGINT) AS n,
+           CAST(COALESCE(SUM(n) OVER w, 0) AS BIGINT) AS trail_sum,
+           CAST(COUNT(*) OVER w AS BIGINT) AS trail_days,
+           (COUNT(*) OVER w >= 3
+            AND n * COUNT(*) OVER w > 2 * COALESCE(SUM(n) OVER w, 0))
+             AS is_spike,
+           (COUNT(*) OVER w >= 3
+            AND 2 * n * COUNT(*) OVER w < COALESCE(SUM(n) OVER w, 0))
+             AS is_drop
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    """,
+)
+def daily_volume_anomalies(spark, sf_dir):
+    """Ingest-volume anomaly screen: each (event_type, day) count against
+    its OWN trailing 7-day window (RANGE frame excluding the current day,
+    so a spike never dilutes its own baseline; value-based frame skips
+    missing days). Spike/drop thresholds are cross-multiplied — ``n *
+    trail_days > 2 * trail_sum`` — so the comparison is pure integer
+    arithmetic, hash-exact across engines (a division-based z-score
+    would not be). Windows warm up: fewer than 3 trailing days flags
+    nothing. The window is PARTITIONED by event_type over pre-aggregated
+    daily rows (calendar-bounded, never corpus-sized tasks); the heavy
+    lifting is the keyed daily count beneath. The pipeline-governance
+    alarm a CDC ingest runs nightly: a doubled crawl, a dead source."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.date_trunc("day", F.col("ts").cast("timestamp")).cast("long")
+                / 86400
+            )
+            .cast("long")
+            .alias("day")
+        ),
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type").orderBy("day").rangeBetween(-7, -1)
+    )
+    trail_sum = F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long")
+    trail_days = F.count(F.lit(1)).over(w).cast("long")
+    return d.select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n"),
+        trail_sum.alias("trail_sum"),
+        trail_days.alias("trail_days"),
+        (
+            (trail_days >= 3) & (F.col("n") * trail_days > 2 * trail_sum)
+        ).alias("is_spike"),
+        (
+            (trail_days >= 3) & (2 * F.col("n") * trail_days < trail_sum)
+        ).alias("is_drop"),
+    )
+
+
+@query(
+    "weekly_type_mix_drift",
+    """
+    WITH c AS (
+      SELECT CAST(floor(epoch(date_trunc('week', ts)) / 86400) AS BIGINT)
+               AS week,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    t AS (SELECT week, SUM(n) AS total FROM c GROUP BY week),
+    j AS (
+      SELECT c.week, c.event_type, c.n, t.total,
+             LAG(c.n) OVER w AS prev_n,
+             LAG(t.total) OVER w AS prev_total
+      FROM c JOIN t ON c.week = t.week
+      WINDOW w AS (PARTITION BY c.event_type ORDER BY c.week))
+    SELECT week, event_type, CAST(n AS BIGINT) AS n,
+           CAST(total AS BIGINT) AS total,
+           CAST(COALESCE(prev_n, 0) AS BIGINT) AS prev_n,
+           CAST(COALESCE(prev_total, 0) AS BIGINT) AS prev_total,
+           (prev_n IS NOT NULL
+            AND 2 * n * prev_total > 3 * prev_n * total) AS share_grew,
+           (prev_n IS NOT NULL
+            AND 3 * n * prev_total < 2 * prev_n * total) AS share_shrank
+    FROM j
+    """,
+)
+def weekly_type_mix_drift(spark, sf_dir):
+    """Event-mix drift: each (week, event_type) share of the week's
+    traffic against the type's previously OBSERVED week (lag over the
+    per-type week series — gap weeks compare to the last seen one, by
+    design). Thresholds are cross-multiplied shares — ``2 * n *
+    prev_total > 3 * prev_n * total`` means the share grew past 1.5× —
+    so the whole screen is integer arithmetic, hash-exact cross-engine.
+    Plan shape: one keyed weekly count, a broadcast of per-week totals
+    (calendar-bounded), and a lag window partitioned by event_type over
+    weekly rows. The mixture-drift alarm for training-data pipelines:
+    a source swap shows up here before it shows up in eval curves."""
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy(
+        (
+            F.floor(
+                F.date_trunc("week", F.col("ts").cast("timestamp")).cast("long")
+                / 86400
+            )
+            .cast("long")
+            .alias("week")
+        ),
+        "event_type",
+    ).agg(F.count("*").alias("n"))
+    t = c.groupBy("week").agg(F.sum("n").alias("total"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    j = (
+        c.join(F.broadcast(t), "week")
+        .withColumn("prev_n", F.lag("n").over(w))
+        .withColumn("prev_total", F.lag("total").over(w))
+    )
+    grew = (
+        F.col("prev_n").isNotNull()
+        & (2 * F.col("n") * F.col("prev_total") > 3 * F.col("prev_n") * F.col("total"))
+    )
+    shrank = (
+        F.col("prev_n").isNotNull()
+        & (3 * F.col("n") * F.col("prev_total") < 2 * F.col("prev_n") * F.col("total"))
+    )
+    return j.select(
+        "week",
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("total").cast("long").alias("total"),
+        F.coalesce(F.col("prev_n"), F.lit(0)).cast("long").alias("prev_n"),
+        F.coalesce(F.col("prev_total"), F.lit(0)).cast("long").alias("prev_total"),
+        grew.alias("share_grew"),
+        shrank.alias("share_shrank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-correctness window ordering (round-robin gate rotation)
 # ---------------------------------------------------------------------------

@@ -122,7 +122,8 @@ def evolution_ops(draw):
     n = draw(st.integers(min_value=2, max_value=7))
     for _ in range(n):
         kind = draw(st.sampled_from(["merge", "merge", "merge", "rename", "drop",
-                                     "add", "compact"]))
+                                     "add", "compact", "compact_deltas",
+                                     "rewrite_manifests"]))
         if kind == "merge":
             ops.append(("merge",
                         draw(st.lists(st.sampled_from(_EVO_KEYS), min_size=1,
@@ -134,8 +135,8 @@ def evolution_ops(draw):
             ops.append(("drop", draw(st.integers(0, 1000))))
         elif kind == "add":
             ops.append(("add", draw(st.sampled_from(_EVO_KEYS))))
-        else:
-            ops.append(("compact",))
+        else:  # compact / compact_deltas / rewrite_manifests — no args
+            ops.append((kind,))
     return ops
 
 
@@ -222,6 +223,12 @@ def test_field_id_evolution_matches_model(spark, ops):
                 i = op[1] % len(fields)
                 t.drop_column(fields[i][0])
                 fields.pop(i)
+            elif op[0] == "compact_deltas":
+                # minor compaction: rewrites/folds nothing visible — the
+                # model is untouched by any maintenance op
+                t.compact_deltas(min_delta_files_per_bucket=0)
+            elif op[0] == "rewrite_manifests":
+                t.rewrite_manifests()
             else:
                 t.compact()
 
@@ -256,7 +263,8 @@ def stream_evolution_ops(draw):
     n = draw(st.integers(min_value=2, max_value=6))
     for _ in range(n):
         kind = draw(st.sampled_from(
-            ["merge", "merge", "merge", "rename", "drop", "add", "compact"]
+            ["merge", "merge", "merge", "rename", "drop", "add", "compact",
+             "compact_deltas", "rewrite_manifests"]
         ))
         if kind == "merge":
             ops.append(("merge",
@@ -269,8 +277,8 @@ def stream_evolution_ops(draw):
             ops.append(("drop", draw(st.integers(0, 1000))))
         elif kind == "add":
             ops.append(("add", draw(st.sampled_from(_EVO_KEYS))))
-        else:
-            ops.append(("compact",))
+        else:  # maintenance ops the SOURCE must skip mid-stream
+            ops.append((kind,))
     return ops
 
 
@@ -392,6 +400,10 @@ def test_stream_source_matches_read_changes_under_evolution(spark, ops):
                 i = op[1] % len(fields)
                 t.drop_column(fields[i])
                 fields.pop(i)
+            elif op[0] == "compact_deltas":
+                t.compact_deltas(min_delta_files_per_bucket=0)
+            elif op[0] == "rewrite_manifests":
+                t.rewrite_manifests()
             else:
                 t.compact()
             consume(state)

@@ -371,6 +371,28 @@ def cmd_maintain(args) -> int:
     t = IceliteTable.load(_spark(args), args.table)
     health = t.describe()
     did: dict = {"before": health}
+    if args.retention_days is not None:
+        # row-level TTL as a first-class CDC event (delete_where), BEFORE
+        # compaction so the tombstones can fold in the same service run.
+        # The batch key quantizes the cutoff to a day: a same-day cron
+        # re-run replays into the exactly-once ledger as a no-op; the
+        # next day's run carries a fresh key and purges the next slice.
+        import datetime as _dt
+        import time as _time
+
+        cutoff_day = int(
+            (_time.time() - args.retention_days * 86400.0) // 86400
+        )
+        cutoff = _dt.datetime.fromtimestamp(
+            cutoff_day * 86400, tz=_dt.timezone.utc
+        ).replace(tzinfo=None)
+        rec = t.delete_where(
+            [(args.retention_ts_col, "<", cutoff)],
+            batch_key=f"retention:{args.retention_ts_col}:{cutoff_day}",
+            source="retention",
+        )
+        did["retention_cutoff"] = cutoff.isoformat()
+        did["retention_deleted"] = int(rec["n_deletes"]) if rec else 0
     if health["max_files_per_bucket"] > args.compact_threshold:
         snap = t.compact(min_files_per_bucket=args.compact_threshold)
         did["compacted_to_seq"] = snap["seq"]
@@ -744,6 +766,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--delta-threshold", type=int, default=None,
         help="minor-compact buckets holding more than this many DELTA "
         "files when full compaction did not fire (skip if unset)",
+    )
+    mt.add_argument(
+        "--retention-days", type=float, default=None,
+        help="tombstone rows whose --retention-ts-col is older than this "
+        "many days (delete_where through the change feed; skip if unset)",
+    )
+    mt.add_argument(
+        "--retention-ts-col", default="ts",
+        help="timestamp column the retention cutoff applies to",
     )
     mt.set_defaults(fn=cmd_maintain)
 

@@ -639,3 +639,50 @@ def test_cli_minor_compaction_and_maintain_delta_threshold(spark, tmp_path, caps
     assert args.fn(args) == 0
     rep2 = json.loads(capsys.readouterr().out)
     assert "delta_compacted_to_seq" not in rep2 and t.current_seq() == seq
+
+
+def test_cli_maintain_retention_policy(spark, tmp_path, capsys):
+    """`maintain --retention-days` tombstones rows older than the cutoff
+    through delete_where (a change-feed-visible CDC event), and a
+    same-day re-run replays as an exactly-once no-op."""
+    import datetime as dt
+    import json
+
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.lake.format import IceliteTable
+    from etl_rust_spark.operators.apply import apply_changes, create_transcript_table
+
+    p = build_parser()
+    tpath = str(tmp_path / "t")
+    t = create_transcript_table(spark, tpath, n_buckets=2)
+    sch = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+           "text string, tool string, ts timestamp")
+    now = dt.datetime.utcnow()
+    old = now - dt.timedelta(days=30)
+    rows = (
+        [(k, "I", f"old{k}", 0, "user", "stale", "", old) for k in range(4)]
+        + [(100 + k, "I", f"new{k}", 0, "user", "fresh", "", now)
+           for k in range(4)]
+    )
+    apply_changes(t, spark.createDataFrame(rows, sch),
+                  batch_key="b0", mode="mor")
+    feed_before = t.read_changes(0).count()
+
+    args = p.parse_args([
+        "maintain", "--table", tpath, "--compact-threshold", "99",
+        "--retention-days", "7",
+    ])
+    assert args.fn(args) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["retention_deleted"] == 4
+    live = t.read().filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
+    assert {r["conv_id"] for r in live.collect()} == {f"new{k}" for k in range(4)}
+    # deletes are change-feed events — downstream consumers see them
+    assert t.read_changes(0).count() == feed_before + 4
+
+    # same-day re-run: ledger no-op, no new commit
+    seq = t.current_seq()
+    assert args.fn(args) == 0
+    rep2 = json.loads(capsys.readouterr().out)
+    assert rep2["retention_deleted"] == 0 and t.current_seq() == seq

@@ -701,7 +701,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--zorder", default=None,
         help="comma-separated numeric/temporal columns for morton-ordered layout",
     )
-    k.add_argument("--files-per-bucket", type=int, default=4)
+    k.add_argument(
+        "--files-per-bucket", type=int, default=None,
+        help="target files per compacted bucket: with --zorder the "
+        "morton-range split (default 4); without, a key-range split "
+        "capping file size (default: one file per bucket)",
+    )
     k.add_argument(
         "--deltas-only", action="store_true",
         help="minor compaction: fold only each hot bucket's delta files "

@@ -2172,9 +2172,18 @@ class IceliteTable:
         ``compact()`` calls keep the clustered layout (pointer
         ``zorder``/``zorder_files_per_bucket``) — otherwise the nightly
         maintenance job would silently destroy the clustering the
-        expensive OPTIMIZE run paid for. Pass ``zorder=[]`` to clear."""
+        expensive OPTIMIZE run paid for. Pass ``zorder=[]`` to clear.
+
+        ``files_per_bucket`` WITHOUT zorder splits each compacted bucket
+        into ~that many files, range-partitioned on the ORDER columns
+        (each file covers a tight, disjoint key range, so per-file stats
+        keep point lookups at ~one file per bucket). One file per bucket
+        — the default — is right until buckets outgrow a single file; at
+        100 TB a 64-bucket table compacts to multi-GB files and the split
+        is the knob that caps file size without a full rebucket."""
         self._require_main("compact")
         ptr = self.pointer()
+        split = files_per_bucket  # explicit request (pre-default capture)
         if zorder is None:
             zorder = ptr.get("zorder") or None
             if files_per_bucket is None:
@@ -2218,6 +2227,22 @@ class IceliteTable:
                 .repartitionByRange(n_parts, F.col("__bucket"), F.col("__z"))
                 .sortWithinPartitions("__bucket", "__z")
                 .drop("__z")
+            )
+        elif split and int(split) > 1:
+            # plain (non-zorder) multi-file layout: range-partition on
+            # (bucket, order cols) so each file holds a contiguous slice
+            # of its bucket's key space — stats stay tight, point lookups
+            # still prune to ~one file. partitionBy re-splits any sampled
+            # range that straddles a bucket boundary.
+            n_parts = max(1, len(target or range(ptr["n_buckets"]))) * int(split)
+            writer = (
+                df.withColumn("__bucket", bexpr)
+                .repartitionByRange(
+                    n_parts,
+                    F.col("__bucket"),
+                    *[F.col(c) for c in ptr["order_cols"]],
+                )
+                .sortWithinPartitions("__bucket", *ptr["order_cols"])
             )
         else:
             writer = (

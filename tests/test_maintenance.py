@@ -525,3 +525,46 @@ def test_delete_where_guards(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not supported on additive"):
         t.delete_where([("k", "=", "a")])
+
+
+def test_compact_files_per_bucket_splits_without_zorder(spark, tmp_path):
+    """Plain compaction with an explicit files_per_bucket splits each
+    bucket into key-range files (file-size cap without a rebucket);
+    per-file key ranges stay disjoint enough that a point lookup prunes
+    to a strict subset of the bucket's files. Default compaction still
+    folds to one file per bucket."""
+    from pyspark.sql import functions as F
+
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=2)
+    rows = [
+        (k, "I", f"conv-{k:04d}", 0, "user", f"text {k}", "", TS)
+        for k in range(400)
+    ]
+    apply_changes(
+        table, spark.createDataFrame(rows, CHANGE_SCHEMA),
+        batch_key="b0", mode="mor",
+    )
+    before = table.read().count()
+    table.compact(files_per_bucket=4)
+    files = table._files(table.pointer())
+    per_bucket: dict = {}
+    for e in files:
+        per_bucket[e["bucket"]] = per_bucket.get(e["bucket"], 0) + 1
+    assert max(per_bucket.values()) > 1  # buckets actually split
+    assert table.read().count() == before
+    # point lookup prunes within the split bucket
+    probe = table.read_keys(["conv-0007"])
+    assert probe.count() == 1
+    bucket_files = max(per_bucket.values())
+    assert 0 < len(probe.inputFiles()) < bucket_files
+    # zorder layout persistence is untouched by the one-shot split
+    assert table.pointer().get("zorder") is None
+    # a later DEFAULT compaction folds back to one file per bucket
+    apply_changes(table, _batch(spark, "zz", 9000), batch_key="b1", mode="mor")
+    table.compact()
+    per_bucket2: dict = {}
+    for e in table._files(table.pointer()):
+        per_bucket2[e["bucket"]] = per_bucket2.get(e["bucket"], 0) + 1
+    assert max(per_bucket2.values()) == 1
+    live = table.read().filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
+    assert live.count() == before + 4

@@ -1,0 +1,184 @@
+"""spark-submit e2e drive: WAL ingest -> oracle equality, restart no-op,
+time travel, pruning, change-feed replay, rename metadata-only, WAP, the
+icelite streaming source, and the round-5 rewrite_manifests surface."""
+import os
+import shutil
+import sys
+import tempfile
+
+import pandas as pd
+from pyspark.sql import SparkSession, functions as F
+
+from etl_rust_spark.changelog import (
+    CHANGELOG_SCHEMA,
+    ChangelogConfig,
+    generate_changelog_pandas,
+    replay_oracle_pandas,
+    write_wal_segments,
+)
+from etl_rust_spark.lake.format import IceliteTable, _dedup_by_seq
+from etl_rust_spark.operators.apply import (
+    apply_changes,
+    create_transcript_table,
+    read_transcripts,
+)
+from etl_rust_spark.streaming.driver import ChangelogIngest
+
+root = tempfile.mkdtemp(prefix="drive_verify_")
+wal = os.path.join(root, "wal")
+tbl = os.path.join(root, "t")
+ck = os.path.join(root, "ck")
+
+spark = SparkSession.builder.getOrCreate()
+spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+log = generate_changelog_pandas(ChangelogConfig(
+    n_events=1200, n_conversations=40, turns_per_conv=12,
+    dup_fraction=0.05, delete_fraction=0.08, seed=7,
+))
+write_wal_segments(log, wal, 6, spark)
+table = create_transcript_table(spark, tbl, n_buckets=8)
+ChangelogIngest(
+    spark=spark, wal_dir=wal, table_path=tbl, checkpoint_dir=ck,
+    schema=CHANGELOG_SCHEMA, mode="mor",
+).run_available()
+
+got = read_transcripts(table).toPandas()
+want = replay_oracle_pandas(log)
+key = ["conv_id", "turn_idx"]
+got = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+want = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+common = [c for c in want.columns if c in got.columns]
+pd.testing.assert_frame_equal(got[common], want[common], check_dtype=False)
+print("OK ingest == oracle", len(got))
+
+# same-checkpoint restart with nothing new: metadata no-op
+seq0 = table.current_seq()
+ChangelogIngest(
+    spark=spark, wal_dir=wal, table_path=tbl, checkpoint_dir=ck,
+    schema=CHANGELOG_SCHEMA, mode="mor",
+).run_available()
+assert table.current_seq() == seq0, "restart was not a no-op"
+print("OK restart no-op at seq", seq0)
+
+# time travel + lineage accounting
+assert table.read(seq=1).count() > 0
+lin = table.lineage().toPandas().sort_values("commit_seq").reset_index(drop=True)
+assert lin["commit_seq"].is_monotonic_increasing and lin["commit_seq"].max() == seq0, (len(lin), seq0, lin["commit_seq"].tolist())
+print("OK time travel + lineage", len(lin))
+
+# predicate file pruning
+full = table.read()
+some_conv = got["conv_id"].iloc[0]
+pruned = table.read(where=[("conv_id", "=", some_conv)])
+assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+assert pruned.count() == full.filter(F.col("conv_id") == some_conv).count()
+print("OK pruning", len(pruned.inputFiles()), "/", len(full.inputFiles()))
+
+# change feed replay == live state
+ptr = table.pointer()
+feed = table.read_changes(0)
+replayed = _dedup_by_seq(
+    feed.drop("_commit_seq"), ptr["key_cols"], ptr["seq_col"],
+    table.schema,
+)
+live = table.read()
+assert replayed.exceptAll(live).count() == 0
+assert live.exceptAll(replayed).count() == 0
+print("OK feed replay == live state", live.count())
+
+# ---- round-5: rewrite_manifests through the deployed surface ----
+n_manifests_before = table.describe()["n_manifests"]
+files_before = sorted(e["path"] for e in table._files(table.pointer()))
+live_before = live.toPandas().sort_values(key).reset_index(drop=True)
+snap = table.rewrite_manifests()
+assert len(snap["manifests"]) < n_manifests_before
+assert sorted(e["path"] for e in table._files(table.pointer())) == files_before
+after = table.read().toPandas().sort_values(key).reset_index(drop=True)
+pd.testing.assert_frame_equal(
+    live_before[sorted(live_before.columns)], after[sorted(after.columns)],
+    check_dtype=False,
+)
+# feed across the rewrite commit: skipped, same rows
+assert table.read_changes(0).count() == feed.count()
+# pruning still works off carried-over stats
+pruned2 = table.read(where=[("conv_id", "=", some_conv)])
+assert 0 < len(pruned2.inputFiles()) < len(files_before)
+print("OK rewrite_manifests", n_manifests_before, "->", len(snap["manifests"]))
+
+# minor (delta-only) compaction: base untouched, reads identical
+table.compact()
+base_paths = sorted(
+    e["path"] for e in table._files(table.pointer())
+    if e.get("kind", "base") == "base"
+)
+extra_log = log.copy()
+extra_log["lsn"] = extra_log["lsn"] + 1_000_000
+for j in range(3):
+    chunk = extra_log.iloc[j * 100 : (j + 1) * 100]
+    apply_changes(table, spark.createDataFrame(chunk),
+                  batch_key=f"mc-{j}", mode="mor")
+pre = table.read().toPandas().sort_values(key).reset_index(drop=True)
+table.compact_deltas(min_delta_files_per_bucket=0)
+assert sorted(
+    e["path"] for e in table._files(table.pointer())
+    if e.get("kind", "base") == "base"
+) == base_paths
+post = table.read().toPandas().sort_values(key).reset_index(drop=True)
+pd.testing.assert_frame_equal(
+    pre[sorted(pre.columns)], post[sorted(post.columns)], check_dtype=False
+)
+print("OK minor compaction: base verbatim, reads identical")
+
+# file-size-capped compaction: explicit files_per_bucket splits buckets
+table.compact(files_per_bucket=3)
+per_bucket = {}
+for e in table._files(table.pointer()):
+    per_bucket[e["bucket"]] = per_bucket.get(e["bucket"], 0) + 1
+assert max(per_bucket.values()) > 1
+post_split = table.read().toPandas().sort_values(key).reset_index(drop=True)
+pd.testing.assert_frame_equal(
+    pre[sorted(pre.columns)], post_split[sorted(post_split.columns)],
+    check_dtype=False,
+)
+print("OK files_per_bucket split: buckets split, reads identical")
+
+# rename is metadata-only; ingest after rename unions cleanly
+files_pre = sorted(e["path"] for e in table._files(table.pointer()))
+table.rename_column("text", "body")
+assert sorted(e["path"] for e in table._files(table.pointer())) == files_pre
+assert table.read().filter(F.col("body").isNotNull()).count() > 0
+print("OK rename metadata-only")
+
+# WAP: stage, audit, publish
+extra = log.head(50).copy()
+extra["lsn"] = extra["lsn"] + 10_000_000
+batch = spark.createDataFrame(extra)
+seq_b = table.current_seq()
+apply_changes(table, batch.withColumnRenamed("text", "body"),
+              batch_key="wap-1", mode="mor", stage_as="qa")
+assert table.current_seq() == seq_b
+assert table.read_staged("qa").count() > 0
+table.publish_staged("qa")
+assert table.current_seq() == seq_b + 1 and table.is_applied("wap-1")
+print("OK WAP stage/audit/publish")
+
+# icelite streaming source drains the commit log exactly once
+from etl_rust_spark.sources.icelite_source import register_icelite_source
+
+register_icelite_source(spark)
+seen = []
+q = (
+    spark.readStream.format("icelite").option("path", tbl).load()
+    .writeStream.foreachBatch(lambda df, eid: seen.append(df.count()))
+    .option("checkpointLocation", os.path.join(root, "src_ck"))
+    .trigger(availableNow=True).start()
+)
+q.awaitTermination(120)
+total_feed = table.read_changes(0).count()
+assert sum(seen) == total_feed, (seen, total_feed)
+print("OK streaming source drained", sum(seen))
+
+shutil.rmtree(root, ignore_errors=True)
+print("DRIVE VERIFY: ALL OK")
+sys.exit(0)

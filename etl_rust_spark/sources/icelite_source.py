@@ -87,6 +87,39 @@ class _TableMeta:
         with open(os.path.join(self.mdir, f"snap-{seq:08d}.json")) as f:
             return json.load(f)
 
+    def seq_as_of(self, ts_epoch: float) -> int:
+        """Latest snapshot committed at or before ``ts_epoch`` (mirror of
+        IceliteTable.seq_as_of, mtime fallback for pre-stamp pointers).
+
+        A timestamp predating the table's creation resolves to 0 (the
+        full feed — snapshot 0 proves nothing was missed). But when
+        ``expire_snapshots`` has removed the early history, a timestamp
+        older than the OLDEST RETAINED snapshot raises: the feed cannot
+        prove completeness from that instant, so the consumer must
+        resync from a snapshot rather than silently receive a later
+        slice."""
+        best, oldest = None, None
+        for p in glob.glob(os.path.join(self.mdir, "snap-*.json")):
+            s = int(os.path.basename(p)[5:13])
+            try:
+                ptr = self.pointer(s)
+            except FileNotFoundError:
+                continue
+            at = ptr.get("committed_at_epoch") or os.path.getmtime(p)
+            if at <= ts_epoch and (best is None or s > best):
+                best = s
+            if oldest is None or s < oldest:
+                oldest = s
+        if best is not None:
+            return best
+        if oldest == 0:
+            return 0  # table created after ts: everything follows it
+        raise ValueError(
+            f"no retained snapshot committed at or before epoch {ts_epoch} "
+            "— the requested start predates the retention window; resync "
+            "from a snapshot instead"
+        )
+
     def manifest(self, name: str) -> list:
         with open(os.path.join(self.mdir, name)) as f:
             return json.load(f)
@@ -344,6 +377,42 @@ def _partitions_for(
     ]
 
 
+def _epoch(val: str) -> float:
+    """Timestamp option value: epoch seconds, or an ISO date/datetime
+    interpreted as UTC (the session convention)."""
+    try:
+        return float(val)
+    except ValueError:
+        import calendar as _cal
+        import datetime as _dt
+
+        d = _dt.datetime.fromisoformat(val)
+        return _cal.timegm(d.utctimetuple()) + d.microsecond / 1e6
+
+
+def _opt(options, *keys):
+    for k in keys:
+        v = options.get(k)
+        if v is not None:
+            return v
+    return None
+
+
+def _since_seq(options, meta: "_TableMeta") -> int:
+    """Resolve the consumer's start: ``sinceSeq`` (a commit sequence) or
+    ``sinceTimestamp`` (epoch seconds / ISO-UTC — the Kafka
+    startingOffsetsByTimestamp analog, resolved through the snapshot
+    commit clock: changes committed AFTER the latest snapshot at-or-
+    before the timestamp). Mutually exclusive."""
+    seq = _opt(options, "sinceseq", "sinceSeq")
+    ts = _opt(options, "sincetimestamp", "sinceTimestamp")
+    if seq is not None and ts is not None:
+        raise ValueError("pass sinceSeq OR sinceTimestamp, not both")
+    if ts is not None:
+        return meta.seq_as_of(_epoch(ts))
+    return int(seq) if seq is not None else 0
+
+
 class _IceliteStreamReader(DataSourceStreamReader):
     """Streaming reader with bounded admission: ``maxCommitsPerBatch``
     clamps how many table commits one micro-batch may span — the B1/B2
@@ -371,7 +440,7 @@ class _IceliteStreamReader(DataSourceStreamReader):
             raise ValueError("icelite source requires .option('path', <table>)")
         self.meta = _TableMeta(path)
         self.decl = decl
-        self.start_seq = int(options.get("sinceseq", options.get("sinceSeq", 0)))
+        self.start_seq = _since_seq(options, self.meta)
         mcb = options.get("maxcommitsperbatch", options.get("maxCommitsPerBatch"))
         self.max_commits = int(mcb) if mcb is not None else None
         self.shard = _parse_shard(options)
@@ -422,9 +491,17 @@ class _IceliteBatchReader(DataSourceReader):
             raise ValueError("icelite source requires .option('path', <table>)")
         self.meta = _TableMeta(path)
         self.decl = decl
-        self.since = int(options.get("sinceseq", options.get("sinceSeq", 0)))
+        self.since = _since_seq(options, self.meta)
         until = options.get("untilseq", options.get("untilSeq"))
-        self.until = int(until) if until is not None else self.meta.current_seq()
+        until_ts = _opt(options, "untiltimestamp", "untilTimestamp")
+        if until is not None and until_ts is not None:
+            raise ValueError("pass untilSeq OR untilTimestamp, not both")
+        if until_ts is not None:
+            self.until = self.meta.seq_as_of(_epoch(until_ts))
+        else:
+            self.until = (
+                int(until) if until is not None else self.meta.current_seq()
+            )
         self.shard = _parse_shard(options)
 
     def partitions(self):

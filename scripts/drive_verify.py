@@ -179,6 +179,15 @@ total_feed = table.read_changes(0).count()
 assert sum(seen) == total_feed, (seen, total_feed)
 print("OK streaming source drained", sum(seen))
 
+# sinceTimestamp start: pre-creation instant == the full feed; the
+# commit-clock boundary matches the seq-based read
+got_ts = (
+    spark.read.format("icelite").option("path", tbl)
+    .option("sinceTimestamp", "100.0").load().count()
+)
+assert got_ts == total_feed, (got_ts, total_feed)
+print("OK sinceTimestamp start", got_ts)
+
 shutil.rmtree(root, ignore_errors=True)
 print("DRIVE VERIFY: ALL OK")
 sys.exit(0)

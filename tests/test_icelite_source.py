@@ -673,3 +673,58 @@ def test_bounded_catchup_across_rename_resolves_by_field_id(spark, tmp_path):
     got = {r["conv_id"]: r["body"] for r in rows}
     # the pre-rename backlog row carries its REAL value under body
     assert got == {"c2": "v2", "c3": "v3"}
+
+
+def test_since_timestamp_resolves_via_commit_clock(spark, tmp_path):
+    """sinceTimestamp (Kafka startingOffsetsByTimestamp analog): the
+    consumer starts AFTER the latest snapshot committed at or before the
+    given wall-clock instant — batch and stream agree with the seq-based
+    read at the resolved boundary; a pre-retention timestamp fails loud;
+    passing both selectors is rejected."""
+    import time as _time
+
+    register_icelite_source(spark)
+    tpath = str(tmp_path / "t")
+    t = create_transcript_table(spark, tpath, n_buckets=2)
+    apply_changes(t, _batch(spark, [(1, "I", "c0", 0, "u", "a", None)]),
+                  batch_key="b1", mode="mor")
+    _time.sleep(0.3)
+    t_mid = _time.time()
+    _time.sleep(0.3)
+    apply_changes(t, _batch(spark, [(2, "I", "c1", 0, "u", "b", None)]),
+                  batch_key="b2", mode="mor")
+    apply_changes(t, _batch(spark, [(3, "I", "c2", 0, "u", "c", None)]),
+                  batch_key="b3", mode="mor")
+
+    base = spark.read.format("icelite").option("path", tpath)
+    got = base.option("sinceTimestamp", str(t_mid)).load()
+    assert {r["conv_id"] for r in got.collect()} == {"c1", "c2"}
+    # untilTimestamp bounds the other end of the batch range
+    bounded = (
+        base.option("sinceTimestamp", "0")
+        .option("untilTimestamp", str(t_mid)).load()
+    )
+    assert {r["conv_id"] for r in bounded.collect()} == {"c0"}
+
+    # the STREAM resolves the same start and resumes exactly-once
+    rows = []
+    q = (
+        spark.readStream.format("icelite").option("path", tpath)
+        .option("sinceTimestamp", str(t_mid)).load()
+        .writeStream.foreachBatch(lambda df, _e: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert {r["conv_id"] for r in rows} == {"c1", "c2"}
+
+    # once expiry removes the early history, a timestamp older than the
+    # oldest retained snapshot cannot prove completeness — fail loud
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(Exception, match="retention window"):
+        base.option("sinceTimestamp", "1.0").load().collect()
+    with pytest.raises(Exception, match="not both"):
+        (
+            base.option("sinceTimestamp", str(t_mid))
+            .option("sinceSeq", "0").load().collect()
+        )

@@ -295,16 +295,38 @@ _OPS = {
 }
 
 
+def _where_groups(conds: list) -> list:
+    """Normalize a ``where`` spec to DNF groups (the pyarrow ``filters``
+    convention): a list of (col, op, val) tuples is ONE AND-group; a
+    list of such lists is an OR of AND-groups. Returns list of groups."""
+    if not conds:
+        return []
+    if all(
+        isinstance(g, (list, tuple)) and len(g) > 0
+        and isinstance(g[0], (list, tuple))
+        for g in conds
+    ):
+        return [list(g) for g in conds]
+    return [list(conds)]
+
+
 def _where_filter(conds: list):
     """The EXACT Spark predicate for a `where` spec (stats pruning is a
-    superset; this filter makes results exact)."""
-    pred = None
-    for col, op, val in conds:
-        if op not in _OPS:
-            raise ValueError(f"unsupported where op: {op!r} (use {sorted(_OPS)})")
-        p = _OPS[op](F.col(col), val)
-        pred = p if pred is None else (pred & p)
-    return pred
+    superset; this filter makes results exact). Accepts both the AND
+    form and the DNF (list-of-lists) form."""
+    out = None
+    for group in _where_groups(conds):
+        pred = None
+        for col, op, val in group:
+            if op not in _OPS:
+                raise ValueError(
+                    f"unsupported where op: {op!r} (use {sorted(_OPS)})"
+                )
+            p = _OPS[op](F.col(col), val)
+            pred = p if pred is None else (pred & p)
+        if pred is not None:
+            out = pred if out is None else (out | pred)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -782,7 +804,9 @@ class IceliteTable:
 
         ``where`` is a list of ``(col, op, value)`` conditions (ops: = < <=
         > >= between in — value a 2-tuple for between, an iterable for
-        in), ANDed. Files whose
+        in), ANDed — or, pyarrow-``filters``-style, a list of such lists
+        forming an OR of AND-groups (DNF); a file is then skipped only
+        when every group provably excludes it. Files whose
         per-column [min, max] manifest stats provably exclude the predicate
         are dropped BEFORE ``spark.read.parquet`` — the Iceberg
         manifest-pruning move; the exact predicate is then applied as a
@@ -830,13 +854,29 @@ class IceliteTable:
         has_delta = any(f.get("kind", "base") == "delta" for f in files)
         pred = _where_filter(where) if where else None
         if where:
+            # DNF pruning: a file is skippable only when EVERY OR-group's
+            # prunable (under MoR: key-column) conditions exclude it. A
+            # group whose prunable subset is empty may match any file, so
+            # no file can be excluded at all — fall through to the exact
+            # filter. Restricting a group to a subset of its conditions
+            # only WEAKENS it (more files survive), so this stays
+            # conservative under merge-on-read exactly like the AND path.
             key_cols = {ptr["bucket_key"], *ptr["key_cols"]}
-            prunable = [
-                c for c in where if (not has_delta) or c[0] in key_cols
-            ]
-            if prunable:
+            groups, ok = [], True
+            for g in _where_groups(where):
+                pg = [c for c in g if (not has_delta) or c[0] in key_cols]
+                if not pg:
+                    ok = False
+                    break
+                groups.append(pg)
+            if ok and groups:
                 by_name = {f.name: f.dataType for f in schema.fields}
-                files = self._prune_files(files, prunable, by_name, ptr)
+                survivors: set[int] = set()
+                for g in groups:
+                    survivors.update(
+                        id(f) for f in self._prune_files(files, g, by_name, ptr)
+                    )
+                files = [f for f in files if id(f) in survivors]
         if not files:
             return self.spark.createDataFrame([], schema)
         df = self._read_file_groups(files, schema, ptr)

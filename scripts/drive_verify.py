@@ -75,6 +75,17 @@ assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
 assert pruned.count() == full.filter(F.col("conv_id") == some_conv).count()
 print("OK pruning", len(pruned.inputFiles()), "/", len(full.inputFiles()))
 
+# DNF (OR-of-ANDs) where: exact vs plain filter, pruning conservative
+c_a, c_b = got["conv_id"].iloc[0], got["conv_id"].iloc[-1]
+dnf = [[("conv_id", "=", c_a)], [("conv_id", "=", c_b)]]
+got_dnf = table.read(where=dnf)
+want_dnf = full.filter(
+    (F.col("conv_id") == c_a) | (F.col("conv_id") == c_b)
+)
+assert got_dnf.exceptAll(want_dnf).count() == 0
+assert want_dnf.exceptAll(got_dnf).count() == 0
+print("OK DNF where", got_dnf.count())
+
 # change feed replay == live state
 ptr = table.pointer()
 feed = table.read_changes(0)

@@ -388,3 +388,68 @@ def test_footer_stats_distributed_path_over_64_files(spark, tmp_path):
     assert sum(f["rows"] for f in files) == 800
     assert all(f["stats"]["conv_id"][0] is not None for f in files)
     assert all(f["kmin"] == f["stats"]["conv_id"][0] for f in files)
+
+
+def test_dnf_where_prunes_union_of_groups(spark, tmp_path):
+    """read(where=[[...],[...]]) — the pyarrow-filters DNF form: files
+    skipped only when EVERY OR-group excludes them, results exactly the
+    OR of the groups' AND predicates."""
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.operators.apply import apply_changes, create_transcript_table
+
+    sch = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+           "text string, tool string, ts timestamp")
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=8)
+    # per-commit key locality (the natural CDC arrival shape): each batch
+    # covers a disjoint conv range, so per-file key stats are narrow
+    for b in range(4):
+        rows = [
+            (k, "I", f"conv-{k:03d}", 0, "user", f"text {k}", "", None)
+            for k in range(b * 16, (b + 1) * 16)
+        ]
+        apply_changes(table, spark.createDataFrame(rows, sch),
+                      batch_key=f"b{b}", mode="mor")
+    full = table.read()
+    n_files = len(full.inputFiles())
+
+    dnf = [
+        [("conv_id", "=", "conv-003")],
+        [("conv_id", "between", ("conv-050", "conv-052"))],
+    ]
+    got = table.read(where=dnf)
+    want = full.filter(
+        (F.col("conv_id") == "conv-003")
+        | F.col("conv_id").between("conv-050", "conv-052")
+    )
+    assert sorted(r["conv_id"] for r in got.collect()) == sorted(
+        r["conv_id"] for r in want.collect()
+    )
+    assert got.count() == 4
+    # pruning fired: strictly fewer files than the table holds
+    assert 0 < len(got.inputFiles()) < n_files
+
+    # under MoR deltas, a group carrying only NON-key conditions cannot
+    # exclude any file — everything survives, but the result stays exact
+    apply_changes(
+        table,
+        spark.createDataFrame(
+            [(1000, "U", "conv-003", 0, "user", "updated", "", None)], sch
+        ),
+        batch_key="b-upd", mode="mor",
+    )
+    mixed = [
+        [("conv_id", "=", "conv-003")],
+        [("text", "=", "text 50")],  # non-key under deltas: no pruning
+    ]
+    got2 = table.read(where=mixed)
+    assert len(got2.inputFiles()) == len(table.read().inputFiles())
+    texts = {r["conv_id"]: r["text"] for r in got2.collect()}
+    assert texts == {"conv-003": "updated", "conv-050": "text 50"}
+
+    # delete_where composes with DNF: both groups' keys tombstone
+    table.delete_where(dnf)
+    live = table.read().filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
+    assert live.filter(F.col("conv_id").isin(
+        "conv-003", "conv-050", "conv-051", "conv-052")).count() == 0
+    assert live.count() == 60

@@ -689,6 +689,50 @@ class IceliteTable:
             out = out.unionByName(p)
         return out
 
+    def _bucket_of_values(self, values: list, ptr: dict, by_name: dict) -> dict:
+        """value → hash bucket for literals of the bucket key, computed
+        with the key's REAL type exactly like the writer laid files out
+        (one tiny local job). Returns {} when the values can't be typed
+        (caller falls back to stats-only pruning)."""
+        uniq = list(dict.fromkeys(values))
+        try:
+            fld = T.StructType([
+                T.StructField("__i", T.LongType()),
+                T.StructField(ptr["bucket_key"], by_name[ptr["bucket_key"]]),
+            ])
+            rows = (
+                self.spark.createDataFrame(
+                    [(i, v) for i, v in enumerate(uniq)], fld
+                )
+                .select(
+                    "__i",
+                    _bucket_expr(ptr["bucket_key"], ptr["n_buckets"]).alias("b"),
+                )
+                .collect()
+            )
+        except Exception:  # untypeable literal: never skip on a guess
+            return {}
+        by_i = {int(r["__i"]): int(r["b"]) for r in rows}
+        return {uniq[i]: b for i, b in by_i.items()}
+
+    @staticmethod
+    def _group_bucket_set(group: list, bucket_key: str, val2b: dict):
+        """Allowed buckets for one AND-group: intersection over its
+        equality/IN conditions on the bucket key (None = unrestricted).
+        Safe under merge-on-read — every version of a key hashes to the
+        same bucket, so a file in another bucket holds no version of any
+        matching key."""
+        allowed = None
+        for col, op, val in group:
+            if col != bucket_key or op not in ("=", "in"):
+                continue
+            vs = [val] if op == "=" else list(val)
+            if any(v not in val2b for v in vs):
+                continue  # untyped literal: this cond can't restrict
+            bs = {val2b[v] for v in vs}
+            allowed = bs if allowed is None else (allowed & bs)
+        return allowed
+
     def _prune_files(
         self, files: list, conds: list, by_name: dict, ptr: dict
     ) -> list:
@@ -871,10 +915,34 @@ class IceliteTable:
                 groups.append(pg)
             if ok and groups:
                 by_name = {f.name: f.dataType for f in schema.fields}
+                # hash-bucket pruning for =/IN on the bucket key (the
+                # read_keys move, applied to where=): works even when
+                # per-file stats are wide (post-compaction hash-mixed
+                # files), and is MoR-safe — a key's versions never leave
+                # its bucket. One tiny typed job for all literals.
+                bk = ptr["bucket_key"]
+                eq_vals = [
+                    v
+                    for g in groups
+                    for col, op, val in g
+                    if col == bk and op in ("=", "in")
+                    for v in ([val] if op == "=" else list(val))
+                ]
+                val2b = (
+                    self._bucket_of_values(eq_vals, ptr, by_name)
+                    if eq_vals
+                    else {}
+                )
                 survivors: set[int] = set()
                 for g in groups:
+                    allowed = self._group_bucket_set(g, bk, val2b)
+                    cand = (
+                        files
+                        if allowed is None
+                        else [f for f in files if f["bucket"] in allowed]
+                    )
                     survivors.update(
-                        id(f) for f in self._prune_files(files, g, by_name, ptr)
+                        id(f) for f in self._prune_files(cand, g, by_name, ptr)
                     )
                 files = [f for f in files if id(f) in survivors]
         if not files:

@@ -453,3 +453,57 @@ def test_dnf_where_prunes_union_of_groups(spark, tmp_path):
     assert live.filter(F.col("conv_id").isin(
         "conv-003", "conv-050", "conv-051", "conv-052")).count() == 0
     assert live.count() == 60
+
+
+def test_bucket_pruning_on_where_equality(spark, tmp_path):
+    """=/IN on the bucket key in read(where=) prunes by HASH BUCKET like
+    read_keys — effective even after compaction leaves hash-mixed files
+    whose min/max stats span the whole key range, and MoR-safe (a key's
+    versions never leave its bucket)."""
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.operators.apply import apply_changes, create_transcript_table
+
+    sch = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+           "text string, tool string, ts timestamp")
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=8)
+    rows = [
+        (k, "I", f"conv-{k:03d}", 0, "user", f"text {k}", "", None)
+        for k in range(64)
+    ]
+    apply_changes(table, spark.createDataFrame(rows, sch),
+                  batch_key="b0", mode="mor")
+    table.compact()  # hash-mixed files: stats ranges are wide
+    n_files = len(table.read().inputFiles())
+    assert n_files == 8
+
+    got = table.read(where=[("conv_id", "=", "conv-003")])
+    assert got.count() == 1
+    assert len(got.inputFiles()) == 1  # one bucket's single file
+
+    got_in = table.read(
+        where=[("conv_id", "in", ["conv-003", "conv-050"])]
+    )
+    assert got_in.count() == 2
+    assert 1 <= len(got_in.inputFiles()) <= 2
+
+    # a later delta doesn't break it: bucket pruning is version-complete
+    apply_changes(
+        table,
+        spark.createDataFrame(
+            [(1000, "U", "conv-003", 0, "user", "updated", "", None)], sch
+        ),
+        batch_key="b1", mode="mor",
+    )
+    got2 = table.read(where=[("conv_id", "=", "conv-003")])
+    rows2 = got2.collect()
+    assert len(rows2) == 1 and rows2[0]["text"] == "updated"
+    assert len(got2.inputFiles()) < len(table.read().inputFiles())
+
+    # DNF groups each carry their own bucket restriction
+    dnf = table.read(where=[
+        [("conv_id", "=", "conv-003")],
+        [("conv_id", "=", "conv-050")],
+    ])
+    assert dnf.count() == 2
+    assert len(dnf.inputFiles()) <= 4

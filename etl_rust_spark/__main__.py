@@ -489,10 +489,17 @@ def cmd_changes(args) -> int:
     from etl_rust_spark.lake.format import IceliteTable
 
     t = IceliteTable.load(_spark(args), args.table)
+    since = args.since
+    if args.since_timestamp is not None:
+        # source semantics, not table time travel: pre-creation instants
+        # mean the FULL feed; pre-retention instants fail loud
+        from etl_rust_spark.sources.icelite_source import _TableMeta, _epoch
+
+        since = _TableMeta(args.table).seq_as_of(_epoch(args.since_timestamp))
     feed = (
-        t.read_changes_with_preimage(args.since)
+        t.read_changes_with_preimage(since)
         if args.preimage
-        else t.read_changes(args.since)
+        else t.read_changes(since)
     )
     feed.orderBy("_commit_seq").show(args.limit, truncate=False)
     return 0
@@ -527,11 +534,11 @@ def cmd_tail(args) -> int:
         for row in df.toJSON().toLocalIterator(prefetchPartitions=True):
             print(row, flush=True)
 
-    src = (
-        spark.readStream.format("icelite")
-        .option("path", args.table)
-        .option("sinceSeq", str(args.since))
-    )
+    src = spark.readStream.format("icelite").option("path", args.table)
+    if args.since_timestamp is not None:
+        src = src.option("sinceTimestamp", args.since_timestamp)
+    else:
+        src = src.option("sinceSeq", str(args.since))
     if args.max_commits_per_batch:
         # source-side bound: a backlog drains in ceil(N/k) micro-batches
         src = src.option("maxCommitsPerBatch", str(args.max_commits_per_batch))
@@ -832,6 +839,10 @@ def build_parser() -> argparse.ArgumentParser:
     tl.add_argument("--table", required=True)
     tl.add_argument("--checkpoint", required=True)
     tl.add_argument("--since", type=int, default=0)
+    tl.add_argument("--since-timestamp", default=None,
+                    help="start AFTER the latest snapshot at-or-before "
+                         "this instant (epoch seconds or ISO-UTC) "
+                         "instead of --since")
     tl.add_argument("--once", action="store_true",
                     help="drain available commits and exit")
     tl.add_argument("--interval", default="5 seconds")
@@ -851,6 +862,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="attach Debezium-style _before images to each change")
     ch.add_argument("--table", required=True)
     ch.add_argument("--since", type=int, default=0)
+    ch.add_argument("--since-timestamp", default=None,
+                    help="resolve the start from a wall-clock instant "
+                         "(epoch seconds or ISO-UTC) instead of --since")
     ch.add_argument("--limit", type=int, default=50)
     ch.set_defaults(fn=cmd_changes)
     return p

@@ -686,3 +686,42 @@ def test_cli_maintain_retention_policy(spark, tmp_path, capsys):
     assert args.fn(args) == 0
     rep2 = json.loads(capsys.readouterr().out)
     assert rep2["retention_deleted"] == 0 and t.current_seq() == seq
+
+
+def test_cli_changes_and_tail_since_timestamp(spark, tmp_path, capsys):
+    """--since-timestamp resolves the feed start from the commit clock on
+    both the batch (`changes`) and streaming (`tail`) consumers."""
+    import datetime as dt
+    import time as _time
+
+    from etl_rust_spark.operators.apply import apply_changes, create_transcript_table
+
+    p = build_parser()
+    tpath = str(tmp_path / "t")
+    t = create_transcript_table(spark, tpath, n_buckets=2)
+    sch = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+           "text string, tool string, ts timestamp")
+    apply_changes(t, spark.createDataFrame(
+        [(1, "I", "early", 0, "u", "a", "", dt.datetime(2025, 1, 1))], sch),
+        batch_key="b1", mode="mor")
+    _time.sleep(0.3)
+    mid = _time.time()
+    _time.sleep(0.3)
+    apply_changes(t, spark.createDataFrame(
+        [(2, "I", "late", 0, "u", "b", "", dt.datetime(2025, 1, 1))], sch),
+        batch_key="b2", mode="mor")
+
+    args = p.parse_args(
+        ["changes", "--table", tpath, "--since-timestamp", str(mid)]
+    )
+    assert args.fn(args) == 0
+    out = capsys.readouterr().out
+    assert "late" in out and "early" not in out
+
+    args = p.parse_args([
+        "tail", "--table", tpath, "--checkpoint", str(tmp_path / "ck"),
+        "--since-timestamp", str(mid), "--once",
+    ])
+    assert args.fn(args) == 0
+    out = capsys.readouterr().out
+    assert '"late"' in out and "early" not in out

@@ -72,21 +72,42 @@ class IceliteCatalog:
         shutil.rmtree(self._path(name))
 
     def register_views(
-        self, names: list[str] | None = None, prefix: str = ""
+        self,
+        names: list[str] | None = None,
+        prefix: str = "",
+        as_of=None,
+        tag: str | None = None,
     ) -> list[str]:
         """Expose tables as session temp views (``prefix + name``) of
         their CURRENT snapshot, enabling plain ``spark.sql`` across the
         lake. Returns the registered view names; re-register after new
-        commits to advance the snapshot."""
+        commits to advance the snapshot.
+
+        ``as_of`` (datetime-UTC / epoch seconds) or ``tag`` registers
+        HISTORICAL views instead — every named table projected at the
+        same wall-clock instant (per-table ``seq_as_of``) or at its
+        snapshot carrying the named tag: "query the lake exactly as the
+        March training run saw it" in plain SQL, across joins. Tables
+        created after the instant (or missing the tag) fail loud rather
+        than silently contributing current data to a historical query."""
+        if as_of is not None and tag is not None:
+            raise ValueError("pass as_of OR tag, not one of each")
         registered = []
         for n in names if names is not None else self.list_tables():
             view = f"{prefix}{n}"
-            self.load(n).read().createOrReplaceTempView(view)
+            t = self.load(n)
+            if tag is not None:
+                df = t.read(tag=tag)
+            elif as_of is not None:
+                df = t.read(as_of=as_of)
+            else:
+                df = t.read()
+            df.createOrReplaceTempView(view)
             registered.append(view)
         return registered
 
     def sql(self, query: str, **register_kwargs) -> DataFrame:
-        """Convenience: register all views at their current snapshots,
-        then run ``spark.sql(query)``."""
+        """Convenience: register all views (current, ``as_of=`` instant,
+        or ``tag=`` pin), then run ``spark.sql(query)``."""
         self.register_views(**register_kwargs)
         return self.spark.sql(query)

@@ -94,3 +94,51 @@ def test_catalog_prefix_and_subset_registration(spark, tmp_path):
     views = cat.register_views(names=["convs"], prefix="lake_")
     assert views == ["lake_convs"]
     assert spark.sql("SELECT count(*) AS n FROM lake_convs").first()["n"] == 1
+
+
+def test_catalog_historical_views_as_of_and_tag(spark, tmp_path):
+    """register_views(as_of=) / (tag=) projects every table at the same
+    historical instant (or named pin) — a cross-table time-travel SQL
+    surface; tables missing the tag fail loud instead of silently
+    contributing current rows to a historical query."""
+    import time
+
+    cat = IceliteCatalog(spark, str(tmp_path / "lake"))
+    a, b = _mk(cat, "convs"), _mk(cat, "labels")
+    _apply(spark, a, [(1, "I", "c1", 0, "user", "v1", "", TS)], "a0")
+    _apply(spark, b, [(1, "I", "c1", 0, "user", "gold", "", TS)], "b0")
+    a.tag_snapshot("march_run")
+    b.tag_snapshot("march_run")
+    time.sleep(0.3)
+    t_mid = time.time()
+    time.sleep(0.3)
+    _apply(spark, a, [(2, "U", "c1", 0, "user", "v2", "", TS)], "a1")
+    _apply(spark, b, [(2, "U", "c1", 0, "user", "silver", "", TS)], "b1")
+
+    # current views see the updates
+    cat.register_views()
+    cur = spark.sql(
+        "SELECT c.text AS t, l.text AS lab FROM convs c "
+        "JOIN labels l ON c.conv_id = l.conv_id AND c.turn_idx = l.turn_idx"
+    ).first()
+    assert (cur["t"], cur["lab"]) == ("v2", "silver")
+
+    # the same join at the historical instant sees only the old rows
+    cat.register_views(as_of=t_mid)
+    old = spark.sql(
+        "SELECT c.text AS t, l.text AS lab FROM convs c "
+        "JOIN labels l ON c.conv_id = l.conv_id AND c.turn_idx = l.turn_idx"
+    ).first()
+    assert (old["t"], old["lab"]) == ("v1", "gold")
+
+    # tag-pinned lake: the reproducibility surface
+    cat.register_views(tag="march_run")
+    tagged = spark.sql("SELECT text FROM convs").collect()
+    assert [r["text"] for r in tagged] == ["v1"]
+
+    # a table without the tag fails loud
+    _mk(cat, "extras")
+    with pytest.raises(FileNotFoundError, match="march_run"):
+        cat.register_views(names=["extras"], tag="march_run")
+    with pytest.raises(ValueError, match="not one of each"):
+        cat.register_views(as_of=t_mid, tag="march_run")

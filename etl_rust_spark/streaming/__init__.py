@@ -5,6 +5,7 @@ from etl_rust_spark.streaming.driver import (
 )
 from etl_rust_spark.streaming.enrich import ChangeFeedEnrich
 from etl_rust_spark.streaming.scd2 import ChangeFeedScd2
+from etl_rust_spark.streaming.transform import ChangeFeedTransform
 from etl_rust_spark.streaming.joins import (
     dedup_within_watermark,
     interval_join,
@@ -14,6 +15,7 @@ from etl_rust_spark.streaming.joins import (
 __all__ = [
     "ChangeFeedEnrich",
     "ChangeFeedScd2",
+    "ChangeFeedTransform",
     "ChangelogIngest",
     "PipelineManager",
     "WindowedRollupIngest",

@@ -1,0 +1,213 @@
+"""ChangeFeedTransform — the generic deployable table→table MATERIALIZED
+TRANSFORM: tail a source table's change feed and maintain a target whose
+rows are a row-wise (possibly 1→N fan-out) function of the source's live
+rows, exactly-once.
+
+This is the missing generic among the pipeline family: ChangeFeedRollup
+materializes additive aggregates, ChangeFeedScd2 version history,
+ChangeFeedEnrich a dimension join — this one materializes ANY
+deterministic per-row derivation (document → chunks, text → LSH band
+rows, event → feature rows). The reference's analog is the inline
+transform hook (/root/reference/src/etl/processor.rs:119), which derives
+rows in flight but maintains no derived TABLE a consumer can read,
+replay, or time-travel.
+
+Semantics: at quiescence the target equals ``transform(source live
+rows)`` — exactly. Each micro-batch:
+
+1. collapses the delivered changes to per-source-key max-seq winners
+   (a bounded catch-up batch carries several versions of a key);
+2. applies ``transform`` to the UPSERT winners only — the output must
+   carry the target's key columns and the source's seq column (keep it
+   from the input row; it is the LWW guard on every derived row);
+3. REPLACES each touched source key's derived group: existing live
+   target rows of the batch's source keys (a key-pruned read — the
+   target's bucket key must be one of the source's key columns, so the
+   lookup is O(batch keys), not O(target)) that are NOT in the new
+   derived set become tombstones carrying the winner's seq — an update
+   that shrinks a group (a shorter document → fewer chunks) deletes the
+   excess rows; a source DELETE tombstones the whole group;
+4. merges derived rows + tombstones under a run-id-namespaced batch key
+   (exactly-once; crash replays are ledger no-ops).
+
+Late data is safe by construction: every derived row and tombstone
+carries its source winner's seq, so a batch that delivers an OLDER
+version of a key than the target already materialized loses the per-row
+LWW merge and leaves the newer derived group untouched — the same
+argument as the WAL ingest kernel, lifted through the fan-out.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_rust_spark.lake.format import IceliteTable
+from etl_rust_spark.streaming.driver import _checkpoint_run_id
+
+
+@dataclass
+class ChangeFeedTransform:
+    spark: SparkSession
+    source_path: str
+    table_path: str
+    checkpoint_dir: str
+    transform: Callable[[DataFrame], DataFrame]
+    name: str = "feed_transform"
+    max_commits_per_batch: int | None = None
+    shard: str | None = None
+    key_prune_threshold: int = 10_000
+
+    def _validate(self, sptr: dict, tptr: dict) -> None:
+        skeys = list(sptr["key_cols"])
+        tkeys = list(tptr["key_cols"])
+        if not sptr.get("seq_col"):
+            raise ValueError("ChangeFeedTransform requires a seq_col source")
+        if tptr.get("seq_col") != sptr["seq_col"]:
+            raise ValueError(
+                "target seq_col must match the source's "
+                f"({sptr['seq_col']!r}) — derived rows carry the source "
+                "winner's seq as their LWW guard"
+            )
+        missing = [k for k in skeys if k not in tkeys]
+        if missing:
+            raise ValueError(
+                f"target key_cols must include the source keys (missing "
+                f"{missing}) — group replacement and delete propagation "
+                "find derived rows by source-key prefix"
+            )
+        if tptr["bucket_key"] not in skeys:
+            raise ValueError(
+                "target bucket_key must be one of the source key columns "
+                "— per-batch group lookups are key-pruned through it"
+            )
+        if tptr.get("agg_cols"):
+            raise ValueError(
+                "additive targets accumulate, they cannot be replaced — "
+                "use ChangeFeedRollup for aggregate materialization"
+            )
+
+    def start(self):
+        from etl_rust_spark.operators.apply import dedup_max_lsn
+        from etl_rust_spark.sources import register_icelite_source
+
+        register_icelite_source(self.spark)
+        source = IceliteTable.load(self.spark, self.source_path)
+        target = IceliteTable.load(self.spark, self.table_path)
+        sptr, tptr = source.pointer(), target.pointer()
+        self._validate(sptr, tptr)
+        skeys = tuple(sptr["key_cols"])
+        tkeys = tuple(tptr["key_cols"])
+        seq = sptr["seq_col"]
+        run_id = _checkpoint_run_id(self.checkpoint_dir)
+
+        tfields = {
+            f.name: f.dataType
+            for f in target.schema.fields
+            if f.name != "__deleted"
+        }
+        payload = [c for c in tfields if c not in (*tkeys, seq)]
+
+        def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+            winners = dedup_max_lsn(
+                batch_df.drop("_commit_seq"), skeys, lsn_col=seq
+            )
+            is_del = (
+                F.coalesce(F.col("__deleted"), F.lit(False))
+                if "__deleted" in winners.columns
+                else F.lit(False)
+            )
+            # pinned: the winner set feeds the derivation, the pruning
+            # values, AND the replacement join — compute it once
+            winners = winners.withColumn("__is_del", is_del).localCheckpoint()
+            ups = winners.filter(~F.col("__is_del")).drop(
+                "__is_del", *[c for c in ("__deleted", "op")
+                              if c in winners.columns]
+            )
+            derived = self.transform(ups)
+            missing = [c for c in (*tkeys, seq, *payload)
+                       if c not in derived.columns]
+            if missing:
+                raise ValueError(
+                    f"transform output is missing column(s) {missing} — it "
+                    "must produce every target column and carry the source "
+                    "seq column through"
+                )
+            derived = derived.localCheckpoint()
+            # group replacement: existing live derived rows of the batch's
+            # source keys that the new derivation no longer produces get
+            # tombstones at the winner's seq (covers shrink AND delete)
+            distinct_keys = winners.select(*skeys).distinct()
+            where = None
+            if distinct_keys.count() <= self.key_prune_threshold:
+                vals = distinct_keys.collect()
+                if not vals:
+                    return  # statically empty batch
+                where = [
+                    (k, "in", sorted({r[k] for r in vals})) for k in skeys
+                ]
+            existing = target.read(where=where)
+            if "__deleted" in existing.columns:
+                existing = existing.filter(
+                    ~F.coalesce(F.col("__deleted"), F.lit(False))
+                )
+            wk = winners.select(*skeys, F.col(seq).alias("__new_seq"))
+            gone = (
+                existing.select(*tkeys)
+                .join(wk, on=list(skeys), how="inner")
+                .join(derived.select(*tkeys), on=list(tkeys), how="left_anti")
+                .select(
+                    *tkeys,
+                    F.col("__new_seq").alias(seq),
+                    *[
+                        F.lit(None).cast(tfields[c]).alias(c)
+                        for c in payload
+                    ],
+                    F.lit(True).alias("__deleted"),
+                )
+            )
+            out = derived.select(*tkeys, seq, *payload).withColumn(
+                "__deleted", F.lit(False)
+            ).unionByName(gone)
+            target.merge(
+                out.withColumn("op", F.lit("U")),
+                batch_key=f"{self.name}:{run_id}:{epoch_id}",
+                seq_col=seq, mode="mor",
+                source=f"transform:{self.name}",
+            )
+
+        r = (
+            self.spark.readStream.format("icelite")
+            .option("path", self.source_path)
+        )
+        if self.max_commits_per_batch is not None:
+            r = r.option("maxCommitsPerBatch", str(self.max_commits_per_batch))
+        if self.shard is not None:
+            r = r.option("shard", self.shard)
+        return (
+            r.load()
+            .writeStream.queryName(self.name)
+            .foreachBatch(_apply)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    def run_available(self, max_drains: int = 64) -> None:
+        """Drain to quiescence (bounded catch-up loops until the target
+        stops advancing — same pattern as the sibling pipelines)."""
+        target = IceliteTable.load(self.spark, self.table_path)
+        for _ in range(max_drains):
+            before = target.current_seq()
+            q = self.start()
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                q.awaitTermination()
+            if target.current_seq() == before:
+                return
+        raise RuntimeError(f"{self.name}: did not quiesce in {max_drains} drains")

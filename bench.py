@@ -494,6 +494,72 @@ def bench_enrich(spark, workdir: str, src_path: str) -> dict:
     }
 
 
+def bench_transform(spark, workdir: str, src_path: str) -> dict:
+    """Materialized flat-map (round 5) over the replicate bench's source:
+    ChangeFeedTransform derives one chunk row per word of every
+    delivered transcript turn (1→N fan-out with group replacement),
+    cold + warm runs like the sibling feed pipelines. Exactness inside
+    the benchmark: target live state equals the transform of the
+    source's live rows (exceptAll both ways)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from etl_rust_spark.lake.format import IceliteTable
+    from etl_rust_spark.streaming.transform import ChangeFeedTransform
+
+    src = IceliteTable.load(spark, src_path)
+    feed_rows = src.read_changes(0).count()
+
+    def chunks(df):
+        return df.select(
+            "conv_id", "turn_idx", "__lsn",
+            F.posexplode(F.split(F.coalesce("text", F.lit("")), " "))
+            .alias("chunk_idx", "chunk"),
+        )
+
+    tgt_schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("chunk", T.StringType()),
+        T.StructField("__lsn", T.LongType()),
+    ])
+    secs = []
+    for run in range(2):
+        t_path = os.path.join(workdir, f"transform_t{run}")
+        IceliteTable.create(
+            spark, t_path, tgt_schema,
+            key_cols=("conv_id", "turn_idx", "chunk_idx"),
+            bucket_key="conv_id", n_buckets=32,
+            order_cols=("conv_id", "turn_idx", "chunk_idx"), seq_col="__lsn",
+        )
+        t0 = time.monotonic()
+        ChangeFeedTransform(
+            spark=spark, source_path=src_path, table_path=t_path,
+            checkpoint_dir=os.path.join(workdir, f"transform_ck{run}"),
+            transform=chunks, name=f"transform_bench{run}",
+        ).run_available()
+        secs.append(round(time.monotonic() - t0, 3))
+    tgt = IceliteTable.load(spark, t_path)
+    live_t = tgt.read().filter(
+        ~F.coalesce(F.col("__deleted"), F.lit(False))
+    ).select("conv_id", "turn_idx", "chunk_idx", "chunk", "__lsn")
+    want = chunks(
+        src.read().filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
+    ).select("conv_id", "turn_idx", "chunk_idx", "chunk", "__lsn")
+    bad = live_t.exceptAll(want).count() + want.exceptAll(live_t).count()
+    derived_rows = live_t.count()
+    if bad:
+        raise AssertionError(f"cdc_transform mismatch: {bad} rows differ")
+    return {
+        "feed_rows": int(feed_rows),
+        "derived_rows": int(derived_rows),
+        "cold_s": secs[0],
+        "warm_s": secs[1],
+        "feed_rows_per_sec": int(feed_rows / min(secs)),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count())
@@ -564,6 +630,8 @@ def main() -> None:
         results["cdc_scd2"] = scd2["warm_s"]
         enr = bench_enrich(spark, workdir, os.path.join(workdir, "repl_a"))
         results["cdc_enrich"] = enr["warm_s"]
+        trf = bench_transform(spark, workdir, os.path.join(workdir, "repl_a"))
+        results["cdc_transform"] = trf["warm_s"]
         # predicate file pruning (round 3): point-conversation read via
         # manifest stats vs the same predicate as a full-scan filter
         table = best_table
@@ -623,6 +691,9 @@ def main() -> None:
                 "scd2_feed_rows_per_sec": scd2["feed_rows_per_sec"],
                 "enrich_cold_s": enr["cold_s"],
                 "enrich_feed_rows_per_sec": enr["feed_rows_per_sec"],
+                "transform_cold_s": trf["cold_s"],
+                "transform_derived_rows": trf["derived_rows"],
+                "transform_feed_rows_per_sec": trf["feed_rows_per_sec"],
                 "migration_users": MIGRATE_USERS,
                 "migration_records_per_sec": migration_records_per_sec,
                 # same-window machine ceiling (rows/s, pure codegen): a

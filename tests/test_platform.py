@@ -1,8 +1,8 @@
 """Platform test: the whole CDC system running CONCURRENTLY — one WAL
-ingest feeding a fact table while three live downstream consumers tail
-its change feed (SCD2 history, additive rollup, dim enrichment), all on
-one SparkSession — then every table is verified against an independent
-oracle. The system-level analog of the reference's multi-pipeline
+ingest feeding a fact table while four live downstream consumers tail
+its change feed (SCD2 history, additive rollup, dim enrichment, and a
+materialized chunk transform), all on one SparkSession — then every
+table is verified against an independent oracle. The system-level analog of the reference's multi-pipeline
 manager (/root/reference/src/etl/manager.rs:76-102), with the part the
 reference cannot do: each hop is exactly-once and replayable."""
 
@@ -24,6 +24,7 @@ from etl_rust_spark.operators.apply import create_transcript_table, read_transcr
 from etl_rust_spark.streaming.driver import ChangeFeedRollup, ChangelogIngest
 from etl_rust_spark.streaming.enrich import ChangeFeedEnrich
 from etl_rust_spark.streaming.scd2 import ChangeFeedScd2
+from etl_rust_spark.streaming.transform import ChangeFeedTransform
 from tests.conftest import assert_pdf_equal
 
 
@@ -60,6 +61,24 @@ def test_concurrent_pipelines_all_converge(spark, tmp_path):
     ChangeFeedEnrich.create_target(
         spark, str(tmp_path / "enr"), facts_path, str(tmp_path / "dim"),
         n_buckets=4)
+    IceliteTable.create(
+        spark, str(tmp_path / "chunks"),
+        T.StructType([T.StructField("conv_id", T.StringType()),
+                      T.StructField("turn_idx", T.IntegerType()),
+                      T.StructField("chunk_idx", T.IntegerType()),
+                      T.StructField("chunk", T.StringType()),
+                      T.StructField("__lsn", T.LongType())]),
+        key_cols=("conv_id", "turn_idx", "chunk_idx"), bucket_key="conv_id",
+        n_buckets=4, order_cols=("conv_id", "turn_idx", "chunk_idx"),
+        seq_col="__lsn",
+    )
+
+    def _chunks(df):
+        return df.select(
+            "conv_id", "turn_idx", "__lsn",
+            F.posexplode(F.split(F.coalesce("text", F.lit("")), " "))
+            .alias("chunk_idx", "chunk"),
+        )
 
     ingest = ChangelogIngest(
         spark=spark, wal_dir=wal, table_path=facts_path,
@@ -80,9 +99,16 @@ def test_concurrent_pipelines_all_converge(spark, tmp_path):
         table_path=str(tmp_path / "enr"), checkpoint_dir=str(tmp_path / "ck_enr"),
         name="plat_enr",
     )
+    trf = ChangeFeedTransform(
+        spark=spark, source_path=facts_path,
+        table_path=str(tmp_path / "chunks"),
+        checkpoint_dir=str(tmp_path / "ck_trf"), transform=_chunks,
+        name="plat_trf",
+    )
 
     facts = IceliteTable.load(spark, facts_path)
-    queries = [ingest.start(), scd2.start(), roll.start(), enr.start()]
+    queries = [ingest.start(), scd2.start(), roll.start(), enr.start(),
+               trf.start()]
     try:
         deadline = time.monotonic() + 420
         feed_rows = None
@@ -102,9 +128,19 @@ def test_concurrent_pipelines_all_converge(spark, tmp_path):
                         F.sum("n_changes").alias("s")).collect()[0]["s"]
                         if roll_t.current_seq() > 0 else 0)
                     if hist_n == feed_rows and roll_sum == feed_rows:
-                        # enriched target holds one row per fact KEY
+                        # enriched target holds one row per fact KEY;
+                        # chunk target equals the live-state derivation
                         n_keys = facts.read().count()
-                        if enr_rows == n_keys:
+                        live_f = facts.read().filter(
+                            ~F.coalesce(F.col("__deleted"), F.lit(False)))
+                        want_ch = _chunks(live_f).count()
+                        got_ch = (
+                            IceliteTable.load(spark, str(tmp_path / "chunks"))
+                            .read()
+                            .filter(~F.coalesce(F.col("__deleted"),
+                                                F.lit(False)))
+                            .count())
+                        if enr_rows == n_keys and got_ch == want_ch:
                             break
             except Exception:
                 pass  # pointer mid-swap during concurrent commits; retry
@@ -149,3 +185,15 @@ def test_concurrent_pipelines_all_converge(spark, tmp_path):
                .filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
                .collect()}
     assert got_enr == want_enr
+
+    # chunk target == transform of facts live rows, exactly
+    live_f = facts.read().filter(
+        ~F.coalesce(F.col("__deleted"), F.lit(False)))
+    want_ch = _chunks(live_f).select(
+        "conv_id", "turn_idx", "chunk_idx", "chunk", "__lsn")
+    got_ch = (
+        IceliteTable.load(spark, str(tmp_path / "chunks")).read()
+        .filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
+        .select("conv_id", "turn_idx", "chunk_idx", "chunk", "__lsn"))
+    assert got_ch.exceptAll(want_ch).count() == 0
+    assert want_ch.exceptAll(got_ch).count() == 0

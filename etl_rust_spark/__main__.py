@@ -263,6 +263,56 @@ def cmd_feed_rollup(args) -> int:
     return 0
 
 
+def cmd_feed_transform(args) -> int:
+    """Deployable table→table materialized transform: tail a source's
+    change feed and maintain a target equal to selectExpr(...) over the
+    source's live rows (1→N fan-out + group replacement, exactly-once).
+    The target's schema is inferred from the expressions; pass --keys
+    (and --bucket-key, one of the source's key columns) on first run to
+    create it."""
+    from etl_rust_spark.lake.format import IceliteTable
+    from etl_rust_spark.streaming.transform import ChangeFeedTransform
+
+    spark = _spark(args)
+    exprs = args.expr
+
+    def transform(df):
+        return df.selectExpr(*exprs)
+
+    src = IceliteTable.load(spark, args.source)
+    if args.keys:
+        keys = args.keys.split(",")
+        out_schema = transform(
+            spark.createDataFrame([], src.schema)
+        ).schema
+        try:
+            IceliteTable.create(
+                spark, args.table, out_schema, key_cols=keys,
+                bucket_key=args.bucket_key or keys[0],
+                n_buckets=args.n_buckets, order_cols=keys,
+                seq_col=src.pointer()["seq_col"],
+            )
+        except FileExistsError:
+            pass  # resume into the existing target
+    pipe = ChangeFeedTransform(
+        spark=spark, source_path=args.source, table_path=args.table,
+        checkpoint_dir=args.checkpoint, transform=transform,
+        name=args.name, max_commits_per_batch=args.max_commits_per_batch,
+        shard=args.shard,
+    )
+    if args.follow:
+        q = pipe.start()
+        q.awaitTermination()
+    else:
+        pipe.run_available()
+        t = IceliteTable.load(spark, args.table)
+        print(
+            f"feed transform at seq {t.current_seq()}: "
+            f"{t.read().count()} derived rows (incl. tombstones)"
+        )
+    return 0
+
+
 def cmd_delete_where(args) -> int:
     """Predicate delete (GDPR/retention job): tombstone every live key
     matching the condition; deletes flow to consumers via the change
@@ -589,6 +639,31 @@ def build_parser() -> argparse.ArgumentParser:
     fr.add_argument("--shard", default=None, help='consumer shard "i/k"')
     fr.add_argument("--follow", action="store_true")
     fr.set_defaults(fn=cmd_feed_rollup)
+
+    ft = sub.add_parser(
+        "feed-transform",
+        help="materialized transform maintained from a table's change "
+             "feed: target == selectExpr(...) over the source's live "
+             "rows (1→N fan-out, group replacement, exactly-once)",
+    )
+    ft.add_argument("--source", required=True, help="source Icelite table")
+    ft.add_argument("--table", required=True, help="derived target table")
+    ft.add_argument("--checkpoint", required=True)
+    ft.add_argument("--expr", action="append", required=True,
+                    help="selectExpr projection (repeatable); must produce "
+                         "the target keys and carry the source seq column")
+    ft.add_argument("--keys", default=None,
+                    help="comma-separated target key columns — creates the "
+                         "target (schema inferred from --expr) if missing")
+    ft.add_argument("--bucket-key", default=None,
+                    help="target bucket key (default: first of --keys; "
+                         "must be one of the source's key columns)")
+    ft.add_argument("--name", default="feed_transform")
+    ft.add_argument("--n-buckets", type=int, default=32)
+    ft.add_argument("--max-commits-per-batch", type=int, default=None)
+    ft.add_argument("--shard", default=None, help='consumer shard "i/k"')
+    ft.add_argument("--follow", action="store_true")
+    ft.set_defaults(fn=cmd_feed_transform)
 
     i = sub.add_parser("ingest", help="tail WAL segments into the table")
     i.add_argument("--wal-dir", required=True)

@@ -725,3 +725,63 @@ def test_cli_changes_and_tail_since_timestamp(spark, tmp_path, capsys):
     assert args.fn(args) == 0
     out = capsys.readouterr().out
     assert '"late"' in out and "early" not in out
+
+
+def test_cli_feed_transform_end_to_end(spark, tmp_path, capsys):
+    """`feed-transform` deploys the materialized transform from SQL
+    expressions: target == selectExpr over source live rows, target
+    auto-created on first run, re-run a metadata no-op, group
+    replacement on update."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.lake.format import IceliteTable
+    from etl_rust_spark.operators.apply import apply_changes, create_transcript_table
+
+    p = build_parser()
+    src_path = str(tmp_path / "src")
+    t = create_transcript_table(spark, src_path, n_buckets=2)
+    sch = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+           "text string, tool string, ts timestamp")
+    apply_changes(t, spark.createDataFrame(
+        [(1, "I", "c0", 0, "u", "alpha beta gamma", "", dt.datetime(2025, 1, 1)),
+         (2, "I", "c1", 0, "u", "one two", "", dt.datetime(2025, 1, 1))], sch),
+        batch_key="b1", mode="mor")
+
+    argv = [
+        "feed-transform", "--source", src_path,
+        "--table", str(tmp_path / "chunks"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--expr", "conv_id", "--expr", "turn_idx", "--expr", "__lsn",
+        "--expr", "posexplode(split(text, ' ')) AS (chunk_idx, chunk)",
+        "--keys", "conv_id,turn_idx,chunk_idx",
+    ]
+    args = p.parse_args(argv)
+    assert args.fn(args) == 0
+    capsys.readouterr()
+    tgt = IceliteTable.load(spark, str(tmp_path / "chunks"))
+    live = tgt.read()
+    if "__deleted" in live.columns:
+        live = live.filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
+    assert {(r["conv_id"], r["chunk_idx"], r["chunk"]) for r in live.collect()} == {
+        ("c0", 0, "alpha"), ("c0", 1, "beta"), ("c0", 2, "gamma"),
+        ("c1", 0, "one"), ("c1", 1, "two"),
+    }
+
+    # re-run with nothing new: metadata no-op
+    seq = tgt.current_seq()
+    assert args.fn(args) == 0
+    capsys.readouterr()
+    assert tgt.current_seq() == seq
+
+    # update shrinks c0's group; the CLI pipeline replaces it
+    apply_changes(t, spark.createDataFrame(
+        [(5, "U", "c0", 0, "u", "solo", "", dt.datetime(2025, 1, 1))], sch),
+        batch_key="b2", mode="mor")
+    assert args.fn(args) == 0
+    capsys.readouterr()
+    live = tgt.read().filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
+    assert {(r["conv_id"], r["chunk"]) for r in live.collect()} == {
+        ("c0", "solo"), ("c1", "one"), ("c1", "two"),
+    }

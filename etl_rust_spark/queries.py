@@ -4758,6 +4758,83 @@ def weekly_type_mix_drift(spark, sf_dir):
     )
 
 
+@query(
+    "locf_value_fill",
+    """
+    SELECT user_id, event_id,
+           CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v,
+           last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled
+    FROM events
+    """,
+)
+def locf_value_fill(spark, sf_dir):
+    """Last-observation-carried-forward — the OTHER standard time-series
+    densification (gapfill_daily zero-fills a calendar; LOCF carries the
+    last valid reading through invalid ones): error events mask their
+    value to NULL, and ``last(v, ignorenulls=True)`` over each user's
+    ordered history fills it with the most recent good reading (NULL
+    before the first one — no invented data). The carried value is the
+    stored double, untouched by arithmetic, so it is bit-identical
+    cross-engine. Per-user window over ordered rows, ties broken by
+    event_id; no global window."""
+    e = _t(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        v.alias("v"),
+        F.last(v, ignorenulls=True).over(w).alias("filled"),
+    )
+
+
+@query(
+    "unpivot_lineitem_metrics",
+    """
+    WITH u AS (
+      SELECT metric, value FROM (
+        SELECT l_quantity AS quantity, l_extendedprice AS extendedprice,
+               l_discount AS discount, l_tax AS tax
+        FROM lineitem
+      ) UNPIVOT (value FOR metric IN (quantity, extendedprice, discount, tax)))
+    SELECT metric, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+           round(MIN(value), 6) AS lo, round(MAX(value), 6) AS hi
+    FROM u GROUP BY metric
+    """,
+)
+def unpivot_lineitem_metrics(spark, sf_dir):
+    """UNPIVOT — the wide→long reshape (the inverse of the pivot family
+    already covered): four measure columns melt into (metric, value)
+    rows via ``stack``, then a keyed profile per metric. The melt is
+    pure codegen (no shuffle — stack is a generator expression); the
+    4× row expansion flows straight into a 4-group map-side-combined
+    aggregate, so nothing wide ever materializes. Sums route through
+    DECIMAL (order-free), min/max are order-free by definition."""
+    li = _t(spark, sf_dir, "lineitem")
+    u = li.select(
+        F.expr(
+            "stack(4, 'quantity', l_quantity, 'extendedprice', "
+            "l_extendedprice, 'discount', l_discount, 'tax', l_tax) "
+            "AS (metric, value)"
+        )
+    )
+    return u.groupBy("metric").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(_dec("value", 18, 2)).cast("decimal(18,2)").alias("total"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-correctness window ordering (round-robin gate rotation)
 # ---------------------------------------------------------------------------

@@ -4759,6 +4759,53 @@ def weekly_type_mix_drift(spark, sf_dir):
 
 
 @query(
+    "grouping_sets_orders",
+    """
+    SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+                ELSE o_orderpriority END AS priority,
+           CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+                ELSE o_orderstatus END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(18,2)) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), ())
+    """,
+)
+def grouping_sets_orders(spark, sf_dir):
+    """Arbitrary GROUPING SETS — the asymmetric aggregation lattice
+    neither ROLLUP (`rollup_orders`) nor CUBE (`cube_source_lang`) can
+    express: (priority, status) detail plus per-priority subtotals plus
+    the grand total, and nothing else (no per-status slice). Spark 4's
+    ``DataFrame.groupingSets`` expands the sets map-side into one
+    shuffled aggregation; subtotal rows are GROUPING()-labeled, the same
+    NULL-vs-subtotal disambiguation as the cube entry."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderpriority", "o_orderstatus",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(_dec("o_totalprice", 18, 2))
+            .cast("decimal(18,2)").alias("revenue"),
+            F.grouping("o_orderpriority").alias("__gp"),
+            F.grouping("o_orderstatus").alias("__gs"),
+        )
+        .select(
+            F.when(F.col("__gp") == 1, "ALL")
+            .otherwise(F.col("o_orderpriority")).alias("priority"),
+            F.when(F.col("__gs") == 1, "ALL")
+            .otherwise(F.col("o_orderstatus")).alias("status"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@query(
     "locf_value_fill",
     """
     SELECT user_id, event_id,

@@ -522,8 +522,11 @@ def cmd_remove_orphans(args) -> int:
     from etl_rust_spark.lake.format import IceliteTable
 
     t = IceliteTable.load(_spark(args), args.table)
-    removed = t.remove_orphans(grace_sec=args.grace_sec)
-    print(f"removed {len(removed)} orphaned files")
+    removed = t.remove_orphans(grace_sec=args.grace_sec, dry_run=args.dry_run)
+    verb = "would remove" if args.dry_run else "removed"
+    print(f"{verb} {len(removed)} orphaned files")
+    for p in removed if args.dry_run else ():
+        print(p)
     return 0
 
 
@@ -893,6 +896,8 @@ def build_parser() -> argparse.ArgumentParser:
     ro = sub.add_parser("remove-orphans", help="delete crash debris")
     ro.add_argument("--table", required=True)
     ro.add_argument("--grace-sec", type=float, default=3600.0)
+    ro.add_argument("--dry-run", action="store_true",
+                    help="list what would be deleted; touch nothing")
     ro.set_defaults(fn=cmd_remove_orphans)
 
     ln = sub.add_parser("lineage", help="show the lineage ledger")

@@ -596,6 +596,8 @@ class IceliteTable:
             "applied_batches": ptr.get("applied_count", 0),
             "n_manifests": len(ptr["manifests"]),
             "agg_cols": ptr.get("agg_cols"),
+            # smallest since_seq a change-feed consumer can resume from
+            "earliest_changes_seq": self.earliest_changes_seq(),
         }
 
     # ------------------------------------------------- field-id resolution
@@ -1985,6 +1987,40 @@ class IceliteTable:
             per_bucket[b] = per_bucket.get(b, 0) + n
         return files, total, per_bucket
 
+    def earliest_changes_seq(self) -> int:
+        """The smallest ``since_seq`` a change-feed consumer can still
+        resume from: ``read_changes(s)`` succeeds for every s at or
+        above it. Retention moves it forward — a data commit whose
+        per-commit manifests compaction folded and ``expire_snapshots``
+        reclaimed is no longer individually replayable, and a rollback
+        commit is a hard feed barrier (un-delivery is inexpressible) —
+        so a consumer that fell behind compares its checkpoint against
+        this BEFORE resuming, instead of discovering the 'changes
+        expired' error mid-stream. O(commits) metadata walk, newest to
+        oldest, no data I/O."""
+        cur = self.current_seq()
+        earliest = cur
+        for s in range(cur, 0, -1):
+            rec = self._lineage_record(s)
+            if rec is None or rec["source"] == "rollback":
+                break  # expired history / feed barrier: cannot span s
+            if rec["source"] in (
+                "compact", "rebucket", "rename", "drop", "rewrite_manifests"
+            ):
+                earliest = s - 1
+                continue
+            if rec["files_removed"] > 0:
+                break  # copy-on-write commit: no per-file feed across it
+            if rec["files_added"] > 0:
+                names = self._added_manifests(s)
+                if not names or not all(
+                    os.path.exists(os.path.join(self._manifest_dir, n))
+                    for n in names
+                ):
+                    break  # this commit's changes have been expired
+            earliest = s - 1
+        return earliest
+
     def read_changes(self, since_seq: int, until_seq: int | None = None) -> DataFrame:
         """Incremental change feed: the rows COMMITTED by snapshots
         (since_seq, until_seq] — the downstream-consumer API (a feature
@@ -2925,14 +2961,19 @@ class IceliteTable:
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
 
-    def remove_orphans(self, grace_sec: float = 3600.0) -> list[str]:
+    def remove_orphans(
+        self, grace_sec: float = 3600.0, dry_run: bool = False
+    ) -> list[str]:
         """Delete files under the table dir that NO existing snapshot
         references and that are older than ``grace_sec`` — crash-orphan
         cleanup (aborted commit attempts leave data dirs, manifests,
         ledger chunks; rebasing losers clean up after themselves, a crash
         cannot). The grace window protects in-flight writers whose files
         are not yet referenced. O(files on disk) directory walk — a
-        maintenance job, Iceberg's ``remove_orphan_files`` analog."""
+        maintenance job, Iceberg's ``remove_orphan_files`` analog.
+        ``dry_run`` returns what WOULD be deleted without touching
+        anything (Iceberg's same-named knob) — the operator preview
+        before the first GC on a production table."""
         self._require_main("remove_orphans")
         now = time.time()
         live_data: set[str] = set()
@@ -2966,8 +3007,10 @@ class IceliteTable:
         removed: list[str] = []
 
         def _rm(p: str) -> None:
-            os.remove(p)
             removed.append(p)
+            if dry_run:
+                return
+            os.remove(p)
             self._manifest_cache.pop(os.path.basename(p), None)
             self._archive_cache.pop(os.path.basename(p), None)
 
@@ -3007,14 +3050,17 @@ class IceliteTable:
                 _rm(p)
         # drop data dirs left empty (grace-aged, so never an in-flight
         # writer's dir — its mtime refreshes as files land)
-        for d in glob.glob(os.path.join(self.path, _DATA_DIR, "commit-*")):
-            if (
-                not glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
-                and now - os.path.getmtime(d) > grace_sec
-            ):
-                import shutil
+        if not dry_run:
+            for d in glob.glob(os.path.join(self.path, _DATA_DIR, "commit-*")):
+                if (
+                    not glob.glob(
+                        os.path.join(d, "**", "*.parquet"), recursive=True
+                    )
+                    and now - os.path.getmtime(d) > grace_sec
+                ):
+                    import shutil
 
-                shutil.rmtree(d, ignore_errors=True)
+                    shutil.rmtree(d, ignore_errors=True)
         return removed
 
     def delete_where(

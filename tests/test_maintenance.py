@@ -568,3 +568,53 @@ def test_compact_files_per_bucket_splits_without_zorder(spark, tmp_path):
     assert max(per_bucket2.values()) == 1
     live = table.read().filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
     assert live.count() == before + 4
+
+
+def test_earliest_changes_seq_tracks_retention(spark, tmp_path):
+    """earliest_changes_seq: the smallest resumable change-feed start,
+    advancing as compaction + expiry reclaim per-commit history — the
+    number a lagging consumer checks BEFORE resuming."""
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    for i in range(4):
+        apply_changes(table, _batch(spark, f"c{i}", i * 100),
+                      batch_key=f"b{i}", mode="mor")
+    assert table.earliest_changes_seq() == 0
+    assert table.read_changes(0).count() == 16
+
+    # compaction alone folds nothing away — originals remain replayable
+    table.compact()
+    assert table.earliest_changes_seq() == 0
+    assert table.read_changes(0).count() == 16
+
+    # expiry reclaims the folded commits' manifests: resume point moves
+    table.expire_snapshots(keep_last=1)
+    e = table.earliest_changes_seq()
+    assert e == 4  # (4, 5] spans only the compaction commit — still legal
+    assert table.read_changes(e).count() == 0
+    with pytest.raises(ValueError, match="expired"):
+        table.read_changes(e - 1).count()
+    assert table.describe()["earliest_changes_seq"] == e
+
+    # new commits after the fold are replayable from the new floor
+    apply_changes(table, _batch(spark, "c9", 900), batch_key="b9", mode="mor")
+    assert table.earliest_changes_seq() == 4
+    assert table.read_changes(4).count() == 4
+
+
+def test_remove_orphans_dry_run_touches_nothing(spark, tmp_path):
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(table, _batch(spark, "c0", 0), batch_key="b0", mode="mor")
+    base = str(tmp_path / "t")
+    odir = os.path.join(base, "data", "commit-00000099-deadbeef", "__bucket=0")
+    os.makedirs(odir)
+    orphan = os.path.join(odir, "part-000.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    past = time.time() - 7200
+    os.utime(orphan, (past, past))
+
+    would = table.remove_orphans(grace_sec=3600, dry_run=True)
+    assert orphan in would
+    assert os.path.exists(orphan)  # preview deleted nothing
+    assert sorted(table.remove_orphans(grace_sec=3600)) == sorted(would)
+    assert not os.path.exists(orphan)

@@ -724,3 +724,96 @@ def test_scd2_history_matches_model(spark, batches, k):
                 for r in ChangeFeedScd2.as_of(spark, f"{root}/h", s).collect()
             }
             assert got_state == want_state, f"as_of({s})"
+
+
+# ---------------------------------------------------------------------------
+# Pruned-read differential (round 5): for ANY where spec — AND lists or
+# DNF lists-of-lists, any mix of key (stats+bucket-prunable) and non-key
+# columns, over a DELTA-carrying table and a COMPACTED one — read(where=)
+# must equal the plain filter of the full read. A wrong file skip is
+# SILENT row loss, so this is the armor over the stats/bucket/DNF pruning
+# stack (the AND path, the per-group DNF path, hash-bucket =/IN pruning,
+# and the MoR key-column restriction all get exercised by draw).
+# ---------------------------------------------------------------------------
+
+_PRUNE_CONVS = [f"conv-{i:03d}" for i in range(8)]
+
+
+@st.composite
+def where_specs(draw):
+    def one_cond(draw):
+        col = draw(st.sampled_from(["conv_id", "conv_id", "__lsn", "text"]))
+        if col == "conv_id":
+            op = draw(st.sampled_from(["=", "in", "between", "<", ">="]))
+            if op == "in":
+                return (col, op, draw(st.lists(
+                    st.sampled_from(_PRUNE_CONVS), min_size=0, max_size=3)))
+            if op == "between":
+                a, b = sorted([draw(st.sampled_from(_PRUNE_CONVS)),
+                               draw(st.sampled_from(_PRUNE_CONVS))])
+                return (col, op, (a, b))
+            return (col, op, draw(st.sampled_from(_PRUNE_CONVS)))
+        if col == "__lsn":
+            op = draw(st.sampled_from(["<", "<=", ">", ">=", "="]))
+            return (col, op, draw(st.integers(-5, 40)))
+        return (col, "=", draw(st.sampled_from(["t-3", "t-11", "zzz"])))
+
+    n_groups = draw(st.integers(1, 3))
+    groups = [
+        [one_cond(draw) for _ in range(draw(st.integers(1, 2)))]
+        for _ in range(n_groups)
+    ]
+    if n_groups == 1 and draw(st.booleans()):
+        return groups[0]  # exercise the plain AND form too
+    return groups
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(spec=where_specs(), compacted=st.booleans())
+def test_pruned_read_matches_plain_filter(spark, tmp_path_factory, spec,
+                                          compacted):
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.lake.format import _where_filter
+
+    global _PRUNE_TABLES
+    try:
+        tables = _PRUNE_TABLES
+    except NameError:
+        tables = _PRUNE_TABLES = {}
+    if not tables:
+        import datetime as dt
+
+        sch = ("lsn long, op string, conv_id string, turn_idx int, "
+               "role string, text string, tool string, ts timestamp")
+        for kind in ("mor", "compacted"):
+            root = tmp_path_factory.mktemp(f"prune_{kind}")
+            t = create_transcript_table(spark, str(root / "t"), n_buckets=4)
+            lsn = 0
+            for b in range(3):  # per-commit key locality + one delete
+                rows = []
+                for c in _PRUNE_CONVS[b * 3:(b + 1) * 3] or _PRUNE_CONVS[:2]:
+                    for turn in range(3):
+                        rows.append((lsn, "I", c, turn, "user",
+                                     f"t-{lsn}", "", dt.datetime(2025, 1, 1)))
+                        lsn += 1
+                apply_changes(t, spark.createDataFrame(rows, sch),
+                              batch_key=f"b{b}", mode="mor")
+            apply_changes(
+                t,
+                spark.createDataFrame(
+                    [(99, "D", _PRUNE_CONVS[0], 1, None, None, None, None)],
+                    sch),
+                batch_key="bdel", mode="mor")
+            if kind == "compacted":
+                t.compact()
+            tables[kind] = t
+
+    table = tables["compacted" if compacted else "mor"]
+    got = table.read(where=spec)
+    want = table.read().filter(_where_filter(spec))
+    key = lambda r: (r["conv_id"], r["turn_idx"], r["__lsn"])  # noqa: E731
+    g = sorted(map(key, got.collect()))
+    w = sorted(map(key, want.collect()))
+    assert g == w, f"spec={spec} compacted={compacted}\ngot={g}\nwant={w}"

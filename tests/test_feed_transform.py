@@ -183,3 +183,65 @@ def test_transform_validations_fail_fast(spark, tmp_path):
     )
     with pytest.raises(Exception, match="missing column"):
         p3.run_available()
+
+
+def test_sigkill_mid_transform_then_restart_is_exactly_once(spark, tmp_path):
+    """OS-level crash recovery through the deployable CLI: a real
+    `feed-transform` process is SIGKILLed while derived commits land,
+    then the IDENTICAL command reruns on the same checkpoint. The replay
+    must converge to target == transform(source live rows) with unique
+    batch keys and one run id across the restart (the replayed in-flight
+    epoch is a ledger no-op)."""
+    import subprocess
+    import sys
+    import time as _time
+
+    src = _mk_source(spark, str(tmp_path / "src"))
+    _mk_target(spark, str(tmp_path / "tgt"))
+    for i in range(8):
+        _merge(spark, src,
+               [(f"d{i}-{j}", " ".join(f"w{j}x{k}" for k in range(j + 1)),
+                 i * 100 + j) for j in range(20)],
+               f"b{i}")
+
+    repo = str(__import__("pathlib").Path(__file__).resolve().parents[1])
+    cmd = [
+        sys.executable, "-m", "etl_rust_spark", "feed-transform",
+        "--source", str(tmp_path / "src"), "--table", str(tmp_path / "tgt"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--expr", "doc_id", "--expr", "lsn",
+        "--expr", "posexplode(split(text, ' ')) AS (chunk_idx, chunk)",
+        "--max-commits-per-batch", "1",
+    ]
+    tgt = IceliteTable.load(spark, str(tmp_path / "tgt"))
+    proc = subprocess.Popen(
+        cmd, cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.PIPE
+    )
+    deadline = _time.monotonic() + 300
+    while _time.monotonic() < deadline:
+        try:
+            if tgt.current_seq() >= 2:
+                break
+        except Exception:
+            pass
+        if proc.poll() is not None:
+            out, err = proc.communicate()
+            raise AssertionError(
+                f"transform finished before the kill: {err.decode()[-800:]}"
+            )
+        _time.sleep(0.05)
+    proc.kill()
+    proc.communicate(timeout=120)
+    assert proc.returncode != 0
+    killed_seq = tgt.current_seq()
+
+    rerun = subprocess.run(cmd, cwd=repo, capture_output=True, timeout=600)
+    assert rerun.returncode == 0, rerun.stderr.decode()[-1500:]
+    assert tgt.current_seq() > killed_seq
+
+    got = _state(tgt)
+    assert got.equals(_expected(spark, src))
+    keys = [r["batch_key"] for r in tgt.lineage().select("batch_key").collect()
+            if r["batch_key"] is not None]
+    assert len(keys) == len(set(keys))
+    assert len({k.rsplit(":", 2)[1] for k in keys}) == 1  # one run id

@@ -785,3 +785,66 @@ def test_cli_feed_transform_end_to_end(spark, tmp_path, capsys):
     assert {(r["conv_id"], r["chunk"]) for r in live.collect()} == {
         ("c0", "solo"), ("c1", "one"), ("c1", "two"),
     }
+
+
+def test_cli_maintain_full_service_composition(spark, tmp_path, capsys):
+    """One `maintain` invocation with every knob: retention tombstones
+    old rows FIRST, the compaction threshold then folds them in the same
+    pass, manifests consolidate, snapshots expire, orphans GC — and a
+    second run is a no-op. The whole nightly service as one command."""
+    import datetime as dt
+    import json
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.lake.format import IceliteTable
+    from etl_rust_spark.operators.apply import apply_changes, create_transcript_table
+
+    p = build_parser()
+    tpath = str(tmp_path / "t")
+    t = create_transcript_table(spark, tpath, n_buckets=2)
+    sch = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+           "text string, tool string, ts timestamp")
+    now = dt.datetime.utcnow()
+    old = now - dt.timedelta(days=45)
+    for i in range(6):  # fragmented: 6 commits, half stale rows
+        rows = [
+            (100 * i + k, "I", f"c{i}-{k}", 0, "user", f"t{i}.{k}", "",
+             old if k % 2 == 0 else now)
+            for k in range(4)
+        ]
+        apply_changes(t, spark.createDataFrame(rows, sch),
+                      batch_key=f"b{i}", mode="mor")
+    live_fresh = t.read().filter(F.col("ts") > old).count()
+    assert t.describe()["n_manifests"] == 6
+
+    args = p.parse_args([
+        "maintain", "--table", tpath,
+        "--retention-days", "7",
+        "--compact-threshold", "3",
+        "--manifest-threshold", "2",
+        "--delta-threshold", "1",
+        "--keep-last", "2",
+        "--orphan-grace-sec", "3600",
+    ])
+    assert args.fn(args) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["retention_deleted"] == 12
+    assert "compacted_to_seq" in rep  # the tombstones folded this pass
+    assert rep["after"]["n_manifests"] <= 2
+    assert "expired" in rep and "orphans_removed" in rep
+    live = t.read().filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
+    assert live.count() == live_fresh
+    assert live.filter(F.col("ts") <= old).count() == 0
+
+    # second run same day: ledger no-op for retention, thresholds all
+    # satisfied — no new commit
+    seq = t.current_seq()
+    assert args.fn(args) == 0
+    rep2 = json.loads(capsys.readouterr().out)
+    assert rep2["retention_deleted"] == 0
+    assert "compacted_to_seq" not in rep2
+    assert "manifests_rewritten_to_seq" not in rep2
+    assert "delta_compacted_to_seq" not in rep2
+    assert t.current_seq() == seq

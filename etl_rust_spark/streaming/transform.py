@@ -23,10 +23,12 @@ rows)`` — exactly. Each micro-batch:
 3. REPLACES each touched source key's derived group: existing live
    target rows of the batch's source keys (a key-pruned read — the
    target's bucket key must be one of the source's key columns, so the
-   lookup is O(batch keys), not O(target)) that are NOT in the new
-   derived set become tombstones carrying the winner's seq — an update
-   that shrinks a group (a shorter document → fewer chunks) deletes the
-   excess rows; a source DELETE tombstones the whole group;
+   lookup is O(batch keys), not O(target); a batch touching more than
+   ``key_prune_threshold`` keys falls back to the full-target read,
+   the same width-amortization trade as ChangeFeedEnrich) that are NOT
+   in the new derived set become tombstones carrying the winner's seq —
+   an update that shrinks a group (a shorter document → fewer chunks)
+   deletes the excess rows; a source DELETE tombstones the whole group;
 4. merges derived rows + tombstones under a run-id-namespaced batch key
    (exactly-once; crash replays are ledger no-ops).
 

@@ -1004,6 +1004,67 @@ class IceliteTable:
             df = _resolve_versions(df, ptr, schema)
         return df.filter(F.col(ptr["bucket_key"]).isin(vals))
 
+    def files_df(self, seq: int | None = None) -> DataFrame:
+        """The snapshot's live FILE inventory as a DataFrame — Iceberg's
+        ``<table>.files`` metadata table: one row per data file (path,
+        bucket, kind, rows, bytes, the per-column min/max stats as a
+        JSON string, the write-time field-id map). Pure metadata (the
+        pointer + manifests already in hand), no data I/O — the surface
+        an ops notebook uses to see skew, delta backlog, or stats
+        coverage before deciding a maintenance action; ``describe()``
+        is its scalar summary."""
+        ptr = self.pointer(seq)
+        rows = [
+            (
+                e["path"],
+                int(e["bucket"]),
+                e.get("kind", "base"),
+                int(e["rows"]),
+                int(e.get("bytes") or 0),
+                json.dumps(e.get("stats"), sort_keys=True)
+                if e.get("stats") is not None else None,
+                json.dumps(e.get("cols"), sort_keys=True)
+                if e.get("cols") is not None else None,
+            )
+            for e in self._files(ptr)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "path string, bucket int, kind string, rows long, bytes long, "
+            "stats string, cols string",
+        )
+
+    def snapshots_df(self) -> DataFrame:
+        """Retained snapshot history as a DataFrame — Iceberg's
+        ``<table>.snapshots`` / Delta's DESCRIBE HISTORY: one row per
+        retained pointer (seq, parent, snapshot id, commit wall clock,
+        live file/manifest counts, schema width). Complements
+        ``lineage()`` (which records what each commit CHANGED and
+        outlives expiry); this reads what each snapshot IS while its
+        pointer is retained."""
+        rows = []
+        for p in sorted(glob.glob(os.path.join(self._snap_dir, "snap-*.json"))):
+            s = int(os.path.basename(p)[5:13])
+            try:
+                ptr = self.pointer(s)
+            except FileNotFoundError:
+                continue
+            rows.append((
+                s,
+                ptr.get("parent_seq"),
+                ptr.get("snapshot_id"),
+                float(ptr.get("committed_at_epoch") or os.path.getmtime(p)),
+                int(sum(m["n_files"] for m in ptr["manifests"])),
+                len(ptr["manifests"]),
+                len(ptr["schema"].get("fields", [])),
+            ))
+        return self.spark.createDataFrame(
+            rows,
+            "seq long, parent_seq long, snapshot_id string, "
+            "committed_at_epoch double, n_files long, n_manifests int, "
+            "n_columns int",
+        )
+
     def lineage(self) -> DataFrame:
         """Per-commit lineage ledger as a DataFrame, read from the
         append-only ``_lineage`` table (one JSON record per commit) —

@@ -267,3 +267,39 @@ def test_file_skipping_stats_prune_within_bucket(spark, tmp_path):
     # pruning check: only files whose range covers 'conv-z0' are eligible
     eligible = [f for f in files if f["kmin"] <= "conv-z0" <= f["kmax"]]
     assert len(eligible) < len(files)
+
+
+def test_metadata_tables_files_and_snapshots(spark, tmp_path):
+    """files_df / snapshots_df — the Iceberg-style metadata tables: pure
+    pointer+manifest reads (no data I/O) that agree with describe() and
+    survive evolution (write-time cols maps surface per file)."""
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    for i in range(3):
+        apply_changes(table, _batch(spark, i, n=10), batch_key=f"b{i}",
+                      mode="mor")
+    table.rename_column("text", "body")
+
+    files = table.files_df()
+    d = table.describe()
+    assert files.count() == d["n_files"]
+    rows = files.collect()
+    assert {r["kind"] for r in rows} <= {"base", "delta"}
+    assert sum(r["rows"] for r in rows) == d["n_file_rows"]
+    import json as _json
+
+    stats = [_json.loads(r["stats"]) for r in rows if r["stats"]]
+    assert stats and all("conv_id" in s for s in stats)
+    # pre-rename files carry their write-time id→name map
+    assert any(r["cols"] and "text" in r["cols"] for r in rows)
+
+    snaps = table.snapshots_df().orderBy("seq").collect()
+    assert [r["seq"] for r in snaps] == [0, 1, 2, 3, 4]
+    assert snaps[-1]["n_files"] == d["n_files"]
+    assert snaps[-1]["n_manifests"] == d["n_manifests"]
+    assert snaps[0]["parent_seq"] is None and snaps[-1]["parent_seq"] == 3
+    # expiry shrinks the retained-history view, not lineage
+    table.expire_snapshots(keep_last=2)
+    left = [r["seq"] for r in table.snapshots_df().orderBy("seq").collect()]
+    assert left == [3, 4]
+    # time-travel files view at a retained past snapshot
+    assert table.files_df(seq=3).count() > 0

@@ -32,11 +32,16 @@ rows)`` — exactly. Each micro-batch:
 4. merges derived rows + tombstones under a run-id-namespaced batch key
    (exactly-once; crash replays are ledger no-ops).
 
-Late data is safe by construction: every derived row and tombstone
-carries its source winner's seq, so a batch that delivers an OLDER
-version of a key than the target already materialized loses the per-row
-LWW merge and leaves the newer derived group untouched — the same
-argument as the WAL ingest kernel, lifted through the fan-out.
+Late data needs TWO guards, and per-row LWW is only the first: a batch
+delivering an OLDER version of a key loses the per-row merge for every
+derived key that already exists — but a stale version can derive keys
+the newer version never produced (a 3-word document arriving late after
+its 2-word rewrite would insert a phantom chunk_idx=2 that nothing
+tombstones; the round-5 property sweep caught exactly this). So each
+batch winner is additionally gated against the target group's stored
+max seq (tombstones included): a winner older than what the target
+already materialized is dropped whole — its derived rows AND its
+replacement tombstones — leaving the newer group untouched.
 """
 
 from __future__ import annotations
@@ -151,15 +156,33 @@ class ChangeFeedTransform:
                 where = [
                     (k, "in", sorted({r[k] for r in vals})) for k in skeys
                 ]
-            existing = target.read(where=where)
+            stored = target.read(where=where)  # incl. tombstone winners
+            # LATE-WINNER GATE: a batch winner older than the group's
+            # stored max seq is dropped whole — per-row LWW alone cannot
+            # stop a stale version from INSERTING derived keys the newer
+            # version never produced. Tombstones count (a stored delete
+            # outranks a late re-derivation); equal seq = replay, kept
+            # (re-deriving identical rows is idempotent).
+            cur = stored.groupBy(*skeys).agg(F.max(seq).alias("__cur_seq"))
+            fresh = (
+                winners.select(*skeys, F.col(seq).alias("__new_seq"))
+                .join(cur, on=list(skeys), how="left")
+                .filter(
+                    F.col("__cur_seq").isNull()
+                    | (F.col("__new_seq") >= F.col("__cur_seq"))
+                )
+            )
+            derived = derived.join(
+                fresh.select(*skeys), on=list(skeys), how="left_semi"
+            )
+            existing = stored
             if "__deleted" in existing.columns:
                 existing = existing.filter(
                     ~F.coalesce(F.col("__deleted"), F.lit(False))
                 )
-            wk = winners.select(*skeys, F.col(seq).alias("__new_seq"))
             gone = (
                 existing.select(*tkeys)
-                .join(wk, on=list(skeys), how="inner")
+                .join(fresh, on=list(skeys), how="inner")
                 .join(derived.select(*tkeys), on=list(tkeys), how="left_anti")
                 .select(
                     *tkeys,
@@ -171,9 +194,33 @@ class ChangeFeedTransform:
                     F.lit(True).alias("__deleted"),
                 )
             )
-            out = derived.select(*tkeys, seq, *payload).withColumn(
-                "__deleted", F.lit(False)
-            ).unionByName(gone)
+            # GROUP DELETE MARKER: a delete winner whose group has no
+            # stored rows would otherwise leave NO seq record — a later-
+            # arriving OLDER upsert would then pass the late-winner gate
+            # and re-derive phantom rows (the property sweep's second
+            # find). Every delete winner therefore writes one tombstone
+            # under (source keys, NULL subkeys) carrying the delete's
+            # seq; it is flagged-deleted (invisible to live readers) but
+            # anchors the group's max seq for the gate.
+            sub = [c for c in tkeys if c not in skeys]
+            markers = (
+                winners.filter(F.col("__is_del"))
+                .join(fresh.select(*skeys), on=list(skeys), how="left_semi")
+                .select(
+                    *skeys,
+                    *[F.lit(None).cast(tfields[c]).alias(c) for c in sub],
+                    F.col(seq),
+                    *[F.lit(None).cast(tfields[c]).alias(c) for c in payload],
+                    F.lit(True).alias("__deleted"),
+                )
+                .select(*tkeys, seq, *payload, "__deleted")
+            )
+            out = (
+                derived.select(*tkeys, seq, *payload)
+                .withColumn("__deleted", F.lit(False))
+                .unionByName(gone)
+                .unionByName(markers)
+            )
             target.merge(
                 out.withColumn("op", F.lit("U")),
                 batch_key=f"{self.name}:{run_id}:{epoch_id}",

@@ -245,3 +245,54 @@ def test_sigkill_mid_transform_then_restart_is_exactly_once(spark, tmp_path):
             if r["batch_key"] is not None]
     assert len(keys) == len(set(keys))
     assert len({k.rsplit(":", 2)[1] for k in keys}) == 1  # one run id
+
+
+def test_transform_property_random_workloads(spark, tmp_path):
+    """Property sweep (seeded, deterministic): random insert/update/
+    delete workloads — including shrinking texts and late lower-LSN
+    deliveries — across random batch boundaries and random feed
+    segmentation must always leave target == transform(source live
+    rows). The invariant, not the examples, is the contract."""
+    import random
+
+    for case in range(4):
+        rng = random.Random(1000 + case)
+        src = _mk_source(spark, str(tmp_path / f"src{case}"))
+        _mk_target(spark, str(tmp_path / f"tgt{case}"))
+        docs = [f"d{i}" for i in range(6)]
+        lsns = list(range(1, 25))
+        rng.shuffle(lsns)  # late deliveries: commit order != lsn order
+        i = 0
+        batch_no = 0
+        while i < len(lsns):
+            take = rng.randint(1, 5)
+            rows, dels = [], []
+            for lsn in lsns[i:i + take]:
+                d = rng.choice(docs)
+                if rng.random() < 0.2:
+                    dels.append((d, None, lsn))
+                else:
+                    n_words = rng.randint(1, 6)
+                    rows.append(
+                        (d, " ".join(f"w{lsn}x{k}" for k in range(n_words)),
+                         lsn))
+            if rows:
+                _merge(spark, src, rows, f"c{case}b{batch_no}")
+                batch_no += 1
+            if dels:
+                _merge(spark, src, dels, f"c{case}b{batch_no}", delete=True)
+                batch_no += 1
+            i += take
+        pipe = ChangeFeedTransform(
+            spark=spark, source_path=str(tmp_path / f"src{case}"),
+            table_path=str(tmp_path / f"tgt{case}"),
+            checkpoint_dir=str(tmp_path / f"ck{case}"), transform=_chunks,
+            max_commits_per_batch=rng.choice([1, 2, None]),
+            name=f"prop{case}",
+        )
+        pipe.run_available()
+        tgt = IceliteTable.load(spark, str(tmp_path / f"tgt{case}"))
+        got, want = _state(tgt), _expected(spark, src)
+        assert got.equals(want), (
+            f"case {case}: target != transform(live)\n{got}\n{want}"
+        )

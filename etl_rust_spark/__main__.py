@@ -251,7 +251,7 @@ def cmd_feed_rollup(args) -> int:
         spark=spark, source_path=args.source, table_path=args.table,
         checkpoint_dir=args.checkpoint, key_cols=keys, aggs=aggs,
         name=args.name, max_commits_per_batch=args.max_commits_per_batch,
-        shard=args.shard,
+        shard=args.shard, allow_reprocess=args.allow_reprocess,
     )
     if args.follow:
         q = pipe.start()
@@ -640,6 +640,9 @@ def build_parser() -> argparse.ArgumentParser:
     fr.add_argument("--n-buckets", type=int, default=32)
     fr.add_argument("--max-commits-per-batch", type=int, default=None)
     fr.add_argument("--shard", default=None, help='consumer shard "i/k"')
+    fr.add_argument("--allow-reprocess", action="store_true",
+                    help="override the fresh-checkpoint double-count "
+                         "guard (only safe after a target rollback)")
     fr.add_argument("--follow", action="store_true")
     fr.set_defaults(fn=cmd_feed_rollup)
 

@@ -492,7 +492,14 @@ class ChangeFeedRollup:
     NOT safe here — a fresh run id replays the feed with fresh batch
     keys and the partials double-count. Resume on the same checkpoint, or
     rebuild the target from scratch (reference analog: the truncate-and-
-    resync path, src/etl/processor.rs replay-from-scratch)."""
+    resync path, src/etl/processor.rs replay-from-scratch). ``start``
+    ENFORCES this: a checkpoint with no committed offsets pointed at a
+    target that already holds this pipeline name's commits under another
+    run id fails fast instead of silently double-counting
+    (``allow_reprocess=True`` overrides, e.g. after a target rollback to
+    a pre-rollup seq, where the surviving lineage HISTORY is not state).
+    Pipeline ``name`` must therefore be unique per checkpoint — sharded
+    deployments name each shard (tests/test_scd2.py uses ``scd2_s{i}``)."""
 
     spark: SparkSession
     source_path: str
@@ -504,6 +511,7 @@ class ChangeFeedRollup:
     max_commits_per_batch: int | None = None
     shard: str | None = None
     include_deletes: bool = True
+    allow_reprocess: bool = False
 
     _SPEC_TO_TARGET_FN = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
 
@@ -565,6 +573,45 @@ class ChangeFeedRollup:
             seq_col=seq_col, agg_cols=agg_cols,
         )
 
+    def _guard_fresh_checkpoint(self, target: IceliteTable, run_id: str) -> None:
+        """Refuse the additive footgun at the only moment it is free to
+        catch: a checkpoint with NO committed offsets replays the feed
+        from the start under fresh batch keys, so if the target already
+        holds this pipeline name's commits under a different run id,
+        every replayed partial would double-count. An established
+        checkpoint (offsets present) is always safe — its run id matches
+        its own ledger keys, and a crash between offset write and merge
+        replays with the SAME key (ledger no-op)."""
+        if self.allow_reprocess:
+            return
+        import glob as _glob
+        import os as _os
+
+        if _glob.glob(_os.path.join(self.checkpoint_dir, "offsets", "*")):
+            return
+        prior = (
+            target.lineage()
+            .filter(F.col("source") == f"rollup:{self.name}")
+            .select("batch_key")
+            .collect()
+        )
+        foreign = sorted({
+            r["batch_key"].rsplit(":", 2)[1]
+            for r in prior
+            if r["batch_key"] is not None
+            and r["batch_key"].rsplit(":", 2)[1] != run_id
+        })
+        if foreign:
+            raise ValueError(
+                f"rollup {self.name!r}: fresh checkpoint "
+                f"{self.checkpoint_dir!r} would replay the whole feed into "
+                f"an additive target that already holds commits from "
+                f"run(s) {foreign} — the partials would DOUBLE-COUNT. "
+                "Resume the original checkpoint, rebuild the target, or "
+                "pass allow_reprocess=True if the target state was rolled "
+                "back to a pre-rollup seq."
+            )
+
     def start(self):
         from pyspark.sql import functions as F
 
@@ -610,6 +657,7 @@ class ChangeFeedRollup:
                 exprs.append(F.max(F.col(scol)).alias(tcol))
         exprs.append(F.max(F.col(src_seq)).cast("long").alias(tptr["seq_col"]))
         run_id = _checkpoint_run_id(self.checkpoint_dir)
+        self._guard_fresh_checkpoint(target, run_id)
         keys = list(self.key_cols)
 
         def _apply(batch_df: DataFrame, epoch_id: int) -> None:

@@ -164,3 +164,43 @@ def test_create_target_validation(spark, tmp_path):
             spark, str(tmp_path / "t3"), str(tmp_path / "src"),
             key_cols=("nope",),
         )
+
+def test_relocated_checkpoint_fails_fast_not_double_counts(spark, tmp_path):
+    """The additive footgun, now enforced: a FRESH checkpoint pointed at
+    an already-populated target replays the feed under fresh batch keys
+    and would double-count — start() must refuse before the first
+    micro-batch. allow_reprocess=True restores the raw behavior (for a
+    target rolled back to a pre-rollup seq), and the SAME checkpoint
+    keeps resuming cleanly."""
+    src = _source(spark, str(tmp_path / "src"), n_commits=2)
+    ChangeFeedRollup.create_target(
+        spark, str(tmp_path / "tgt"), str(tmp_path / "src"),
+        key_cols=("conv_id",), aggs=AGGS, n_buckets=2,
+    )
+    mk = lambda ck, **kw: ChangeFeedRollup(  # noqa: E731
+        spark=spark, source_path=str(tmp_path / "src"),
+        table_path=str(tmp_path / "tgt"), checkpoint_dir=str(tmp_path / ck),
+        key_cols=("conv_id",), aggs=AGGS, **kw,
+    )
+    mk("ck1").run_available()
+    tgt = IceliteTable.load(spark, str(tmp_path / "tgt"))
+    want = _recompute(src)
+    assert _state(tgt) == want
+
+    # relocated checkpoint: fail fast, target untouched
+    seq = tgt.current_seq()
+    with pytest.raises(PipelineError, match="DOUBLE-COUNT"):
+        mk("ck2").run_available()
+    assert tgt.current_seq() == seq
+    assert _state(tgt) == want
+
+    # same checkpoint still resumes (guard skips established offsets)
+    mk("ck1").run_available()
+    assert tgt.current_seq() == seq
+
+    # explicit override reproduces the documented raw behavior
+    mk("ck3", allow_reprocess=True).run_available()
+    doubled = _state(IceliteTable.load(spark, str(tmp_path / "tgt")))
+    assert {k: v[0] for k, v in doubled.items()} == {
+        k: 2 * v[0] for k, v in want.items()
+    }

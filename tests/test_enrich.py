@@ -216,3 +216,91 @@ def test_expired_pin_fails_loud_on_replay(spark, tmp_path):
     pin = json.load(open(str(tmp_path / "ck" / "enrich-pin-0.json")))
     with pytest.raises(FileNotFoundError):
         d.read(seq=pin["dim_seq"]).collect()
+
+def test_enrich_property_random_workloads(spark, tmp_path):
+    """Seeded random sweep (same shape as the feed-transform sweep that
+    caught two real late-data bugs): random insert/update/delete fact
+    workloads with SHUFFLED lsns (late deliveries: commit order != lsn
+    order) across random batch boundaries and feed segmentations. With a
+    STATIC dim (cases 0-1) the final target must exactly equal the
+    oracle join of the replayed fact state; with dim updates interleaved
+    between drains (case 2) the fact-side columns must still be exact
+    and every enriched label must be a value that dim key actually held
+    at some point (pins make WHICH one processing-time-dependent, by
+    design)."""
+    import random
+
+    for case in range(3):
+        rng = random.Random(2000 + case)
+        base = tmp_path / f"p{case}"
+        base.mkdir()
+        d = _dim(spark, str(base / "dim"))
+        dim_hist = {}  # conv -> set of labels ever held
+        dlsn = 0
+
+        def dim_step(tag):
+            nonlocal dlsn
+            rows = []
+            for c in rng.sample(range(5), rng.randint(1, 3)):
+                dlsn += 1
+                lab = f"L{dlsn}"
+                rows.append((f"c{c}", lab, dlsn))
+                dim_hist.setdefault(f"c{c}", set()).add(lab)
+            _dim_upsert(spark, d, rows, tag)
+
+        dim_step("d0")
+        facts = create_transcript_table(spark, str(base / "facts"), n_buckets=4)
+        ChangeFeedEnrich.create_target(
+            spark, str(base / "tgt"), str(base / "facts"), str(base / "dim"),
+            n_buckets=4)
+        pipe = ChangeFeedEnrich(
+            spark=spark, fact_path=str(base / "facts"),
+            dim_path=str(base / "dim"), table_path=str(base / "tgt"),
+            checkpoint_dir=str(base / "ck"),
+            max_commits_per_batch=rng.choice([1, 2, None]),
+        )
+        model = {}  # (conv, turn) -> (lsn, deleted, text)
+        lsns = list(range(1, 25))
+        rng.shuffle(lsns)
+        i, batch_no = 0, 0
+        while i < len(lsns):
+            take = rng.randint(1, 5)
+            rows = []
+            for lsn in lsns[i:i + take]:
+                c = f"c{rng.randrange(5)}"
+                k = rng.randrange(3)
+                if rng.random() < 0.2:
+                    rows.append((lsn, "D", c, k, "user", None, "", TS))
+                    upd = (lsn, True, None)
+                else:
+                    rows.append((lsn, "I", c, k, "user", f"t{lsn}", "", TS))
+                    upd = (lsn, False, f"t{lsn}")
+                if model.get((c, k), (0,))[0] < lsn:
+                    model[(c, k)] = upd
+            apply_changes(
+                facts, spark.createDataFrame(rows, CHANGE_DDL),
+                batch_key=f"f{batch_no}", mode="mor")
+            batch_no += 1
+            i += take
+            if case == 2 and rng.random() < 0.5:
+                pipe.run_available()  # mid-workload drain, then dim moves
+                dim_step(f"d{batch_no}")
+        pipe.run_available()
+        want_keys = {
+            key: text for key, (lsn, dead, text) in model.items() if not dead
+        }
+        got = _live(spark, base)
+        assert {k: v[0] for k, v in got.items()} == want_keys, f"case {case}"
+        if case < 2:  # static dim: exactly one label per conv, exact match
+            want_labels = {
+                k: (next(iter(dim_hist[k[0]])) if k[0] in dim_hist else None)
+                for k in want_keys
+            }
+            assert {k: v[1] for k, v in got.items()} == want_labels, (
+                f"case {case}"
+            )
+        else:  # moving dim: provenance only
+            for (c, k), (_, lab) in got.items():
+                assert lab is None or lab in dim_hist.get(c, set()), (
+                    f"case {case}: label {lab!r} never held by {c!r}"
+                )

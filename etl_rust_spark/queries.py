@@ -4883,6 +4883,359 @@ def unpivot_lineitem_metrics(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round 5b: integrity audit, retention analytics, timeseries, sketches
+# ---------------------------------------------------------------------------
+
+@query(
+    "fk_integrity_audit",
+    """
+    SELECT 'lineitem->orders' AS relation,
+      (SELECT COUNT(*) FROM lineitem) AS child_rows,
+      (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL) AS null_keys,
+      (SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS orphan_rows
+    UNION ALL
+    SELECT 'lineitem->part',
+      (SELECT COUNT(*) FROM lineitem),
+      (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NULL),
+      (SELECT COUNT(*) FROM lineitem l WHERE l.l_partkey IS NOT NULL AND NOT EXISTS
+        (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem->supplier',
+      (SELECT COUNT(*) FROM lineitem),
+      (SELECT COUNT(*) FROM lineitem WHERE l_suppkey IS NULL),
+      (SELECT COUNT(*) FROM lineitem l WHERE l.l_suppkey IS NOT NULL AND NOT EXISTS
+        (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders->customer',
+      (SELECT COUNT(*) FROM orders),
+      (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL),
+      (SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer->nation',
+      (SELECT COUNT(*) FROM customer),
+      (SELECT COUNT(*) FROM customer WHERE c_nationkey IS NULL),
+      (SELECT COUNT(*) FROM customer c WHERE c.c_nationkey IS NOT NULL AND NOT EXISTS
+        (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+    """,
+)
+def fk_integrity_audit(spark, sf_dir):
+    """Referential-integrity audit over the star schema — the data-quality
+    gate a 100-TB ingest runs before publishing a snapshot (the reference
+    enforces FKs at load time via its relational sinks,
+    example/src/main.rs:305-420; here it's a declarative post-hoc audit).
+    Each relation is ONE outer join against the parent's distinct keys
+    with a hit marker, aggregated in the same pass (total / null-key /
+    orphan counts) — no COUNT-subquery per metric, no cartesian. Small
+    parents (nation/customer/part/supplier) broadcast; the orders-keyed
+    probe shuffles on the join key only. Orphan = non-null child key with
+    no parent row; NULL keys are tallied separately (SQL NOT EXISTS and
+    anti-join agree on that split)."""
+    def audit(child, key, parent, pkey, label):
+        hits = parent.select(F.col(pkey).alias(key)).distinct().withColumn(
+            "__hit", F.lit(1)
+        )
+        j = child.select(key).join(F.broadcast(hits), [key], "left")
+        return j.agg(
+            F.lit(label).alias("relation"),
+            F.count(F.lit(1)).alias("child_rows"),
+            F.count_if(F.col(key).isNull()).alias("null_keys"),
+            F.count_if(
+                F.col(key).isNotNull() & F.col("__hit").isNull()
+            ).alias("orphan_rows"),
+        )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    out = audit(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders")
+    for child, key, parent, pkey, label in [
+        (li, "l_partkey", _t(spark, sf_dir, "part"), "p_partkey", "lineitem->part"),
+        (li, "l_suppkey", _t(spark, sf_dir, "supplier"), "s_suppkey", "lineitem->supplier"),
+        (orders, "o_custkey", _t(spark, sf_dir, "customer"), "c_custkey", "orders->customer"),
+        (_t(spark, sf_dir, "customer"), "c_nationkey", _t(spark, sf_dir, "nation"), "n_nationkey", "customer->nation"),
+    ]:
+        out = out.unionByName(audit(child, key, parent, pkey, label))
+    return out
+
+
+@query(
+    "cumulative_distinct_users",
+    """
+    WITH e AS (SELECT user_id,
+                 CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS day
+               FROM events),
+    a AS (SELECT day, COUNT(DISTINCT user_id) AS active_users FROM e GROUP BY 1),
+    f AS (SELECT user_id, MIN(day) AS day FROM e GROUP BY 1),
+    n AS (SELECT day, COUNT(*) AS new_users FROM f GROUP BY 1)
+    SELECT a.day, a.active_users,
+           CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+           CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY a.day) AS BIGINT)
+             AS cum_users
+    FROM a LEFT JOIN n ON n.day = a.day
+    """,
+)
+def cumulative_distinct_users(spark, sf_dir):
+    """Cumulative distinct users to date — the growth-curve query. The
+    naive form (COUNT(DISTINCT user) OVER growing frame) re-scans every
+    prefix and is O(days x users); this uses the first-seen trick: one
+    keyed agg finds each user's FIRST day (users shuffle once), daily
+    new-user counts roll up, and the running total is a window over the
+    DAILY rows only — calendar-bounded (one row/day), the same disclosed
+    metadata-sized global window as moving_avg_daily_events. Daily active
+    distinct runs as a keyed count-distinct with map-side partials."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(
+            F.date_trunc("day", F.col("ts").cast("timestamp")).cast("long") / 86400
+        ).cast("long").alias("day"),
+    )
+    a = e.groupBy("day").agg(F.countDistinct("user_id").alias("active_users"))
+    n = (
+        e.groupBy("user_id").agg(F.min("day").alias("day"))
+        .groupBy("day").agg(F.count("*").alias("new_users"))
+    )
+    j = a.join(n, ["day"], "left").select(
+        "day", "active_users", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return j.select(
+        "day", "active_users",
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+@query(
+    "time_weighted_value",
+    """
+    WITH e AS (SELECT user_id, event_id, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS t
+               FROM events),
+    g AS (SELECT user_id, t, value,
+                 LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS nxt
+          FROM e)
+    SELECT user_id, COUNT(*) AS n_gaps,
+           CAST(MAX(nxt) - MIN(t) AS BIGINT) AS span_s,
+           round(CAST(SUM(CAST(CAST(value AS DECIMAL(14,6)) * (nxt - t)
+                               AS DECIMAL(28,6))) AS DOUBLE)
+                 / (MAX(nxt) - MIN(t)), 6) AS twa_value
+    FROM g WHERE nxt IS NOT NULL
+    GROUP BY user_id HAVING MAX(nxt) > MIN(t)
+    """,
+)
+def time_weighted_value(spark, sf_dir):
+    """Time-weighted average — the hypertable/timeseries aggregate (each
+    reading weighted by how long it was current, not per-row). LEAD over
+    (user, ts, event_id) gets each interval's duration; the weighted sum
+    runs in DECIMAL(28,6) so partition order can't move a bit; one
+    user-keyed window + one keyed agg, both shuffle-partitioned by
+    user_id — scales with users. Users with <2 events or a zero span
+    carry no time weight and are excluded (HAVING span > 0)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", _EPOCH("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    g = e.withColumn("nxt", F.lead("t").over(w)).filter(F.col("nxt").isNotNull())
+    prod = (
+        F.col("value").cast("decimal(14,6)") * (F.col("nxt") - F.col("t"))
+    ).cast("decimal(28,6)")
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            (F.max("nxt") - F.min("t")).cast("long").alias("span_s"),
+            F.round(
+                F.sum(prod).cast("double") / (F.max("nxt") - F.min("t")), 6
+            ).alias("twa_value"),
+        )
+        .filter(F.col("span_s") > 0)
+    )
+
+
+@query(
+    "activity_streaks",
+    """
+    WITH d AS (SELECT DISTINCT user_id,
+                 CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS day
+               FROM events),
+    i AS (SELECT user_id, day,
+                 day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                   AS island
+          FROM d),
+    s AS (SELECT user_id, island, COUNT(*) AS len FROM i GROUP BY 1, 2),
+    m AS (SELECT user_id, MAX(len) AS max_streak FROM s GROUP BY 1)
+    SELECT max_streak, COUNT(*) AS users FROM m GROUP BY 1
+    """,
+)
+def activity_streaks(spark, sf_dir):
+    """Gaps-and-islands — longest consecutive-active-day streak per user,
+    reported as a histogram. The classic trick: over each user's DISTINCT
+    active days, day - row_number is constant within a run, so islands
+    fall out of one user-partitioned window (no self-join, no recursion).
+    Everything is user-keyed: dedup, window, island lengths, max — one
+    shuffle partitioning reused end-to-end; the final histogram is a
+    low-cardinality keyed count. Pure integers, order-free."""
+    d = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.floor(
+                F.date_trunc("day", F.col("ts").cast("timestamp")).cast("long")
+                / 86400
+            ).cast("long").alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    i = d.withColumn("island", F.col("day") - F.row_number().over(w))
+    s = i.groupBy("user_id", "island").agg(F.count("*").alias("len"))
+    m = s.groupBy("user_id").agg(F.max("len").alias("max_streak"))
+    return m.groupBy("max_streak").agg(F.count("*").alias("users"))
+
+
+@query(
+    "event_pair_proximity",
+    """
+    WITH e AS (SELECT user_id, event_id, event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS t
+               FROM events)
+    SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS pairs
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id
+     AND b.t - a.t BETWEEN 0 AND 60
+     AND (b.t > a.t OR (b.t = a.t AND b.event_id > a.event_id))
+    GROUP BY 1, 2
+    """,
+)
+def event_pair_proximity(spark, sf_dir):
+    """Temporal-proximity self-join — successor pairs of same-user events
+    within 60 s, counted per type pair. The oracle's inequality join
+    would be a per-user cross product; the Spark plan BANDS time into
+    60-s buckets and duplicates the successor side into (bucket,
+    bucket-1) slots, so dt <= 60 guarantees the pair meets in EXACTLY one
+    (user, bucket) equi-join cell — hash join, never cartesian, 2x one
+    side as the total fanout. The same banding carries any radius-style
+    self-join (near-dup windows, sensor debounce) at 100 TB. Ties break
+    on event_id so equal-timestamp pairs count once, directionally."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", _EPOCH("ts").alias("t")
+    )
+    a = e.withColumn("bkt", F.floor(F.col("t") / 60))
+    b = e.select(
+        "user_id",
+        F.col("event_id").alias("b_id"),
+        F.col("event_type").alias("b_type"),
+        F.col("t").alias("b_t"),
+    ).withColumn(
+        "bkt",
+        F.explode(
+            F.array(F.floor(F.col("b_t") / 60), F.floor(F.col("b_t") / 60) - 1)
+        ),
+    )
+    p = (
+        a.join(b, ["user_id", "bkt"])
+        .filter(
+            (F.col("b_t") - F.col("t") <= 60)
+            & (
+                (F.col("b_t") > F.col("t"))
+                | ((F.col("b_t") == F.col("t")) & (F.col("b_id") > F.col("event_id")))
+            )
+        )
+    )
+    return p.groupBy(
+        F.col("event_type").alias("t1"), F.col("b_type").alias("t2")
+    ).agg(F.count("*").alias("pairs"))
+
+
+@query(
+    "distinct_sketch_lc",
+    """
+    WITH d AS (SELECT source,
+                 CAST(CONCAT('0x', SUBSTRING(md5(text), 1, 15)) AS BIGINT) AS h
+               FROM documents),
+    a AS (SELECT source, COUNT(DISTINCT h % 8192) AS occupied,
+                 COUNT(DISTINCT h) AS exact_hashes
+          FROM d GROUP BY 1)
+    SELECT source, occupied, exact_hashes,
+           round(-8192.0 * ln((8192 - occupied) / 8192.0), 6) AS est_distinct,
+           round((-8192.0 * ln((8192 - occupied) / 8192.0) - exact_hashes)
+                 / exact_hashes, 6) AS rel_error
+    FROM a
+    """,
+)
+def distinct_sketch_lc(spark, sf_dir):
+    """Linear-counting distinct sketch, oracle-exact — the deterministic
+    cousin of HLL (whose engine-specific registers can't cross-check).
+    Bucket = md5-hash mod m (m = 2^13, so the occupancy ratio divides
+    exactly in binary and both engines feed ln the same bits); estimate
+    -m*ln(empty/m) vs the exact hash-distinct, with relative error
+    reported. Per-source count-distincts expand once and combine
+    map-side; the sketch column is a 60-bit int, so the shuffle never
+    carries text. Linear counting is the low-cardinality regime (needs
+    occupancy < 1); at 100-TB cardinalities the same plumbing takes an
+    HLL/KMV estimator — the cross-engine-checkable one is shipped."""
+    m = 8192
+    d = _t(spark, sf_dir, "documents").select(
+        "source", md5_long("text").alias("h")
+    )
+    a = d.groupBy("source").agg(
+        F.countDistinct(F.pmod(F.col("h"), F.lit(m))).alias("occupied"),
+        F.countDistinct("h").alias("exact_hashes"),
+    )
+    est = F.lit(-float(m)) * F.log(
+        (F.lit(m) - F.col("occupied")) / F.lit(float(m))
+    )
+    return a.select(
+        "source", "occupied", "exact_hashes",
+        F.round(est, 6).alias("est_distinct"),
+        F.round((est - F.col("exact_hashes")) / F.col("exact_hashes"), 6).alias(
+            "rel_error"
+        ),
+    )
+
+
+@query(
+    "wow_growth_by_type",
+    """
+    WITH w AS (SELECT event_type,
+                 CAST(floor(floor(epoch(ts) / 86400) / 7) AS BIGINT) AS week_idx,
+                 COUNT(*) AS n
+               FROM events GROUP BY 1, 2)
+    SELECT event_type, week_idx, n,
+           LAG(n) OVER (PARTITION BY event_type ORDER BY week_idx) AS prev_n,
+           round((n - LAG(n) OVER (PARTITION BY event_type ORDER BY week_idx))
+                 / CAST(LAG(n) OVER (PARTITION BY event_type ORDER BY week_idx)
+                        AS DOUBLE), 6) AS wow_growth
+    FROM w
+    """,
+)
+def wow_growth_by_type(spark, sf_dir):
+    """Week-over-week growth per event type — the trend/drift report.
+    Weeks index as floor(epoch-day / 7) (pure integer arithmetic, no
+    engine week-start convention to disagree on). One keyed agg collapses
+    the corpus to (type, week) rows; the LAG window is partitioned per
+    type over calendar-bounded rows — metadata-sized, never a global
+    sort. First week's growth is NULL (no prior), preserved identically
+    in both engines."""
+    w = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.floor(F.floor(_EPOCH("ts") / 86400) / 7).cast("long").alias("week_idx"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    win = Window.partitionBy("event_type").orderBy("week_idx")
+    prev = F.lag("n").over(win)
+    return w.select(
+        "event_type", "week_idx", "n",
+        prev.alias("prev_n"),
+        F.round((F.col("n") - prev) / prev.cast("double"), 6).alias("wow_growth"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-correctness window ordering (round-robin gate rotation)
 # ---------------------------------------------------------------------------
 # The driver's oracle gate checks only the FIRST 50 ``queries()`` entries

@@ -104,6 +104,17 @@ CHECKS = {
     # (BroadcastNestedLoopJoin over 100x100), deliberately NOT a window
     "zipf_top_terms": (["TakeOrderedAndProject", "partial_count"], ["CartesianProduct", "BatchEvalPython", "Window"]),
     "source_entropy_by_lang": (["partial_count", "BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython", "Window"]),
+    # round 5b
+    "fk_integrity_audit": (["BroadcastHashJoin", "LeftOuter", "partial_count"], ["CartesianProduct", "BatchEvalPython", "Window"]),
+    "cumulative_distinct_users": (["Window", "partial_min"], ["CartesianProduct", "BatchEvalPython"]),
+    "time_weighted_value": (["Window", "Exchange hashpartitioning(user_id", "partial_sum"], ["CartesianProduct", "BatchEvalPython"]),
+    "activity_streaks": (["Window", "Exchange hashpartitioning(user_id", "partial_count"], ["CartesianProduct", "BatchEvalPython"]),
+    # banded self-join: explode to (bucket, bucket-1) slots, equi-join on
+    # (user_id, bkt) — the whole point is that the inequality join never
+    # degenerates to a cartesian
+    "event_pair_proximity": (["Generate explode", "partial_count"], ["CartesianProduct", "BatchEvalPython", "Window"]),
+    "distinct_sketch_lc": (["Expand", "partial_count"], ["CartesianProduct", "BatchEvalPython", "Window"]),
+    "wow_growth_by_type": (["Window", "partial_count"], ["CartesianProduct", "BatchEvalPython"]),
 }
 
 
@@ -157,6 +168,13 @@ GLOBAL_WINDOW_EXEMPT = {
         "per-(__chunk) SUBTOTALS, capped at 1024 rows by construction "
         "(queries.py two-phase pattern); the data-phase window below it "
         "is partitioned by __chunk"
+    ),
+    "cumulative_distinct_users": (
+        "calendar-bounded: the running total runs AFTER two keyed aggs "
+        "collapse events to one row per day (daily active + daily "
+        "new-user counts) — the global window's input is day-rows only, "
+        "kilobytes at any corpus scale, same exemption argument as "
+        "moving_avg_daily_events"
     ),
 }
 

@@ -5235,6 +5235,115 @@ def wow_growth_by_type(spark, sf_dir):
     )
 
 
+@query(
+    "mode_event_type_per_user",
+    """
+    WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT user_id, event_type, cnt,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY cnt DESC, event_type DESC) AS rn,
+            SUM(cnt) OVER (PARTITION BY user_id) AS total
+          FROM c)
+    SELECT user_id, event_type AS mode_type, cnt AS mode_cnt,
+           round(cnt / CAST(total AS DOUBLE), 6) AS mode_share
+    FROM r WHERE rn = 1
+    """,
+)
+def mode_event_type_per_user(spark, sf_dir):
+    """Mode (most frequent value) per group via the ARGMAX AGGREGATE:
+    max(struct(cnt, event_type)) picks the winner inside a keyed agg with
+    map-side partials — no window, no second shuffle — where the oracle
+    (and the naive plan) needs a row_number window over the counts. Ties
+    break deterministically toward the larger type string (struct
+    comparison is lexicographic on (cnt, type); the oracle mirrors with
+    ORDER BY cnt DESC, type DESC). The built-in mode() in either engine
+    has an unspecified tie-break, so it can never cross-check — this
+    formulation is exact. Share divides by the same pass's total."""
+    c = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    m = c.groupBy("user_id").agg(
+        F.max(F.struct(F.col("cnt"), F.col("event_type"))).alias("s"),
+        F.sum("cnt").alias("total"),
+    )
+    return m.select(
+        "user_id",
+        F.col("s.event_type").alias("mode_type"),
+        F.col("s.cnt").alias("mode_cnt"),
+        F.round(F.col("s.cnt") / F.col("total").cast("double"), 6).alias(
+            "mode_share"
+        ),
+    )
+
+
+@query(
+    "value_trend_slope",
+    """
+    WITH e AS (SELECT event_type,
+                 CAST(CAST(floor(epoch(ts)) AS BIGINT) - 1600000000
+                      AS DECIMAL(12,0)) AS x,
+                 CAST(value AS DECIMAL(14,6)) AS y
+               FROM events),
+    s AS (SELECT event_type, COUNT(*) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(CAST(x * x AS DECIMAL(30,0))) AS sxx,
+                 SUM(CAST(x * y AS DECIMAL(30,6))) AS sxy,
+                 SUM(CAST(y * y AS DECIMAL(32,12))) AS syy
+          FROM e GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * 86400, 6) AS slope_per_day,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+                 6) AS corr_ts_value
+    FROM s
+    """,
+)
+def value_trend_slope(spark, sf_dir):
+    """Per-group OLS trend (is the metric drifting over time?) — the
+    regression twin of price_quantity_corr's moment trick: five raw
+    moments sum exactly in DECIMAL (order-free across partitions), then
+    slope and correlation assemble in deterministic double arithmetic.
+    Time is shifted by a constant epoch (slope is shift-invariant) so
+    x-moments stay well inside DECIMAL(38) headroom at 10^10 rows —
+    summing raw epoch squares would overflow there. One map-side-combined
+    keyed agg; slope reported per DAY so the unit is human-scale."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (_EPOCH("ts") - F.lit(1600000000)).cast("decimal(12,0)").alias("x"),
+        F.col("value").cast("decimal(14,6)").alias("y"),
+    )
+    s = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(30,0)")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(30,6)")).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(32,12)")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy, syy = (F.col(c).cast("double") for c in ("sxx", "sxy", "syy"))
+    num = nd * sxy - sx * sy
+    return s.select(
+        "event_type",
+        F.col("n").alias("n"),
+        F.round(num / (nd * sxx - sx * sx) * 86400, 6).alias("slope_per_day"),
+        F.round(
+            num / F.sqrt(nd * sxx - sx * sx) / F.sqrt(nd * syy - sy * sy), 6
+        ).alias("corr_ts_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-correctness window ordering (round-robin gate rotation)
 # ---------------------------------------------------------------------------

@@ -115,6 +115,10 @@ CHECKS = {
     "event_pair_proximity": (["Generate explode", "partial_count"], ["CartesianProduct", "BatchEvalPython", "Window"]),
     "distinct_sketch_lc": (["Expand", "partial_count"], ["CartesianProduct", "BatchEvalPython", "Window"]),
     "wow_growth_by_type": (["Window", "partial_count"], ["CartesianProduct", "BatchEvalPython"]),
+    # argmax aggregate: the winner is picked INSIDE the keyed agg
+    # (max(struct)) — no row_number window, no second shuffle
+    "mode_event_type_per_user": (["partial_count", "partial_max"], ["CartesianProduct", "BatchEvalPython", "Window"]),
+    "value_trend_slope": (["partial_sum"], ["CartesianProduct", "BatchEvalPython", "Window"]),
 }
 
 

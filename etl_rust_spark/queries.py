@@ -5344,6 +5344,107 @@ def value_trend_slope(spark, sf_dir):
     )
 
 
+_DQ_PROFILE_COLS = {
+    "documents": ["text", "lang", "source", "n_chars"],
+    "events": ["user_id", "event_type", "value", "props"],
+}
+
+
+def _dq_profile_oracle() -> str:
+    parts = []
+    for table, cols in _DQ_PROFILE_COLS.items():
+        for c in cols:
+            parts.append(
+                f"SELECT '{table}' AS table_name, '{c}' AS column_name, "
+                f"COUNT(*) AS n_rows, "
+                f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null, "
+                f"COUNT(DISTINCT {c}) AS n_distinct, "
+                f"round((COUNT(*) - COUNT({c})) / CAST(COUNT(*) AS DOUBLE), 6) "
+                f"AS null_rate FROM {table}"
+            )
+    return " UNION ALL ".join(parts)
+
+
+@query("dq_completeness_profile", _dq_profile_oracle())
+def dq_completeness_profile(spark, sf_dir):
+    """Data-quality profiling — the per-column completeness/cardinality
+    report every ingest publishes next to a snapshot (rows, nulls,
+    distincts, null rate). ONE aggregate pass per table computes every
+    column's metrics together (count + null-count + count-distinct per
+    column; the multi-distinct expands once, map-side combined), then the
+    1-row wide result melts to per-column rows via ``stack`` — so a
+    T-table x C-column profile costs T scans, not T x C. The oracle pays
+    the per-column UNION ALL instead; same numbers."""
+    out = None
+    for table, cols in _DQ_PROFILE_COLS.items():
+        t = _t(spark, sf_dir, table)
+        aggs = [F.count("*").alias("n_rows")]
+        for c in cols:
+            aggs.append(F.count_if(F.col(c).isNull()).alias(f"{c}__null"))
+            aggs.append(F.countDistinct(c).alias(f"{c}__dist"))
+        wide = t.agg(*aggs)
+        stack = ", ".join(
+            f"'{c}', {c}__null, {c}__dist" for c in cols
+        )
+        melted = wide.select(
+            F.lit(table).alias("table_name"),
+            F.col("n_rows"),
+            F.expr(
+                f"stack({len(cols)}, {stack}) AS (column_name, n_null, n_distinct)"
+            ),
+        ).select(
+            "table_name", "column_name", "n_rows",
+            F.col("n_null").cast("long").alias("n_null"),
+            "n_distinct",
+            F.round(F.col("n_null") / F.col("n_rows").cast("double"), 6).alias(
+                "null_rate"
+            ),
+        )
+        out = melted if out is None else out.unionByName(melted)
+    return out
+
+
+@query(
+    "inter_arrival_stats",
+    """
+    WITH e AS (SELECT user_id, event_id, event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS t
+               FROM events),
+    g AS (SELECT event_type,
+                 LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t
+                   AS gap
+          FROM e)
+    SELECT event_type, COUNT(*) AS n_gaps,
+           CAST(MIN(gap) AS BIGINT) AS min_gap_s,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_s,
+           round(SUM(gap) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_gap_s
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def inter_arrival_stats(spark, sf_dir):
+    """Inter-arrival-time profile — how bursty is each event type? Each
+    user's consecutive-event gaps (LEAD over the user-partitioned
+    timeline, ties broken on event_id) are attributed to the EARLIER
+    event's type and profiled. Gaps are integer seconds, so n/min/max/sum
+    are all integer-exact — the average is one double division at the
+    end, no float accumulation to diverge on. One user-keyed window + one
+    low-cardinality keyed agg; scales with users."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", _EPOCH("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    g = e.select(
+        "event_type", (F.lead("t").over(w) - F.col("t")).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.min("gap").cast("long").alias("min_gap_s"),
+        F.max("gap").cast("long").alias("max_gap_s"),
+        F.round(F.sum("gap") / F.count("*").cast("double"), 6).alias("avg_gap_s"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-correctness window ordering (round-robin gate rotation)
 # ---------------------------------------------------------------------------

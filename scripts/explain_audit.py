@@ -119,6 +119,10 @@ CHECKS = {
     # (max(struct)) — no row_number window, no second shuffle
     "mode_event_type_per_user": (["partial_count", "partial_max"], ["CartesianProduct", "BatchEvalPython", "Window"]),
     "value_trend_slope": (["partial_sum"], ["CartesianProduct", "BatchEvalPython", "Window"]),
+    # one agg pass per table (multi-distinct Expand), melted via stack —
+    # never a scan per column
+    "dq_completeness_profile": (["Expand", "partial_count"], ["CartesianProduct", "BatchEvalPython", "Window"]),
+    "inter_arrival_stats": (["Window", "Exchange hashpartitioning(user_id", "partial_count"], ["CartesianProduct", "BatchEvalPython"]),
 }
 
 

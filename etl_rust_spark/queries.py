@@ -5445,6 +5445,86 @@ def inter_arrival_stats(spark, sf_dir):
     )
 
 
+@query(
+    "heavy_hitter_concentration",
+    """
+    WITH u AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
+    h AS (SELECT c, COUNT(*) AS nu, c * COUNT(*) AS ev FROM u GROUP BY 1),
+    s AS (SELECT c, nu, ev,
+            SUM(nu) OVER (ORDER BY c DESC) AS cu,
+            COALESCE(SUM(nu) OVER (ORDER BY c DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cu_prev,
+            COALESCE(SUM(ev) OVER (ORDER BY c DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ce_prev
+          FROM h),
+    n AS (SELECT SUM(nu) AS total_users, SUM(ev) AS total_events FROM h),
+    k AS (SELECT pct, (pct * total_users + 99) // 100 AS k,
+                 total_users, total_events
+          FROM (VALUES (1), (5), (10)) AS v(pct), n)
+    SELECT k.pct, k.k AS top_users, k.total_users,
+           CAST(s.ce_prev + (k.k - s.cu_prev) * s.c AS BIGINT) AS top_events,
+           round((s.ce_prev + (k.k - s.cu_prev) * s.c)
+                 / CAST(k.total_events AS DOUBLE), 6) AS share
+    FROM k JOIN s ON s.cu >= k.k AND s.cu_prev < k.k
+    """,
+)
+def heavy_hitter_concentration(spark, sf_dir):
+    """Heavy-hitter concentration — what share of all events do the top
+    1/5/10% most active users generate? (The skew diagnostic that decides
+    whether a key needs salting.) EXACT without ranking any user: ranking
+    only matters through the per-user COUNT, so the query builds the
+    count HISTOGRAM (one row per distinct activity level), cumulates it
+    descending, and interpolates the p-th-percentile boundary inside the
+    tied level — users tied at the boundary all contribute the same c, so
+    the answer is exact no matter which of them "make the cut". The
+    global window runs over DISTINCT count values (histogram-bounded:
+    ≤ max per-user count — MBs at 10^10 events, vs the user-sort a naive
+    top-k would pay); k uses integer ceil so no float boundary exists.
+    The 3-threshold boundary probe is a broadcast non-equi join over the
+    tiny histogram."""
+    u = _t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count("*").alias("c")
+    )
+    h = u.groupBy("c").agg(F.count("*").alias("nu")).select(
+        "c", "nu", (F.col("c") * F.col("nu")).alias("ev")
+    )
+    wcum = Window.orderBy(F.desc("c")).rowsBetween(Window.unboundedPreceding, 0)
+    wprev = Window.orderBy(F.desc("c")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    s = h.select(
+        "c", "nu", "ev",
+        F.sum("nu").over(wcum).alias("cu"),
+        F.coalesce(F.sum("nu").over(wprev), F.lit(0)).alias("cu_prev"),
+        F.coalesce(F.sum("ev").over(wprev), F.lit(0)).alias("ce_prev"),
+    )
+    n = h.agg(
+        F.sum("nu").alias("total_users"), F.sum("ev").alias("total_events")
+    )
+    k = (
+        spark.range(1)
+        .select(F.explode(F.array(F.lit(1), F.lit(5), F.lit(10))).alias("pct"))
+        .join(F.broadcast(n))
+        .select(
+            "pct",
+            F.expr("(pct * total_users + 99) DIV 100").alias("k"),
+            "total_users", "total_events",
+        )
+    )
+    b = k.join(
+        F.broadcast(s),
+        (F.col("cu") >= F.col("k")) & (F.col("cu_prev") < F.col("k")),
+    )
+    top_ev = F.col("ce_prev") + (F.col("k") - F.col("cu_prev")) * F.col("c")
+    return b.select(
+        "pct",
+        F.col("k").alias("top_users"),
+        "total_users",
+        top_ev.cast("long").alias("top_events"),
+        F.round(top_ev / F.col("total_events").cast("double"), 6).alias("share"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-correctness window ordering (round-robin gate rotation)
 # ---------------------------------------------------------------------------

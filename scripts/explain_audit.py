@@ -123,6 +123,9 @@ CHECKS = {
     # never a scan per column
     "dq_completeness_profile": (["Expand", "partial_count"], ["CartesianProduct", "BatchEvalPython", "Window"]),
     "inter_arrival_stats": (["Window", "Exchange hashpartitioning(user_id", "partial_count"], ["CartesianProduct", "BatchEvalPython"]),
+    # the 3-threshold boundary probe is a broadcast non-equi join over the
+    # tiny count histogram — BNLJ is the disclosed design, never cartesian
+    "heavy_hitter_concentration": (["Window", "BroadcastNestedLoopJoin", "partial_count"], ["CartesianProduct", "BatchEvalPython"]),
 }
 
 
@@ -176,6 +179,12 @@ GLOBAL_WINDOW_EXEMPT = {
         "per-(__chunk) SUBTOTALS, capped at 1024 rows by construction "
         "(queries.py two-phase pattern); the data-phase window below it "
         "is partitioned by __chunk"
+    ),
+    "heavy_hitter_concentration": (
+        "histogram-bounded: the cumulative window runs over DISTINCT "
+        "per-user activity-count values (one row per level, <= max "
+        "per-user count — MBs at 10^10 events), never over users or "
+        "events; the per-user counts beneath it are a keyed agg"
     ),
     "cumulative_distinct_users": (
         "calendar-bounded: the running total runs AFTER two keyed aggs "

@@ -5525,6 +5525,213 @@ def heavy_hitter_concentration(spark, sf_dir):
     )
 
 
+@query(
+    "fuzzy_name_matches",
+    """
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def fuzzy_name_matches(spark, sf_dir):
+    """Similarity JOIN at scale — all customer-name pairs within edit
+    distance 1, WITHOUT enumerating pairs. The oracle brute-forces the
+    O(n^2) pair space; the Spark plan uses deletion-neighborhood
+    blocking (the public SymSpell/FastSS family): two strings within one
+    edit share at least one member of each other's {self} union
+    {single-deletion} variant sets, so exploding every name into its
+    <= len+1 variants and EQUI-joining on the variant string yields a
+    candidate set that provably covers all true pairs; an exact
+    levenshtein verify then removes the false candidates (deletion
+    overlap is necessary, not sufficient — e.g. transposed digits).
+    Fanout is len+1 rows per name; a variant bucket holds only strings
+    one edit from a common core (bounded by alphabet x positions, never
+    corpus-sized), so the join is hash-partitioned work with no
+    quadratic blowup — the same candidates-then-verify scale shape as
+    the MinHash dedup (dedup.py). Reference analog: fuzzy dim matching
+    in the migration workload's scalar surface."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # {self} ∪ single-deletion variants, deduped (leading-zero deletions
+    # of the same name collide)
+    variants = F.array_distinct(
+        F.concat(
+            F.array(F.col("c_name")),
+            F.transform(
+                F.sequence(F.lit(1), F.length("c_name")),
+                lambda i: F.concat(
+                    F.col("c_name").substr(F.lit(1), i - F.lit(1)),
+                    F.col("c_name").substr(i + F.lit(1), F.length("c_name")),
+                ),
+            ),
+        )
+    )
+    v = c.select("c_custkey", "c_name", F.explode(variants).alias("block"))
+    a = v.select(
+        F.col("block"),
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+    )
+    b = v.select(
+        F.col("block").alias("block_b"),
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("block") == F.col("block_b"))
+            & (F.col("key_a") < F.col("key_b")),
+        )
+        .select("key_a", "key_b", "name_a", "name_b")
+        .distinct()
+    )
+    return cand.select(
+        "key_a",
+        "key_b",
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").alias("dist"),
+    ).filter(F.col("dist") <= 1)
+
+
+@query(
+    "co_engagement_jaccard",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    c AS (SELECT event_type, COUNT(*) AS nu FROM ut GROUP BY 1),
+    i AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 COUNT(*) AS inter_users
+          FROM ut a JOIN ut b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+    SELECT i.type_a, i.type_b,
+           CAST(ca.nu AS BIGINT) AS users_a, CAST(cb.nu AS BIGINT) AS users_b,
+           CAST(i.inter_users AS BIGINT) AS inter_users,
+           round(i.inter_users
+                 / CAST(ca.nu + cb.nu - i.inter_users AS DOUBLE), 6) AS jaccard
+    FROM i JOIN c ca ON ca.event_type = i.type_a
+           JOIN c cb ON cb.event_type = i.type_b
+    """,
+)
+def co_engagement_jaccard(spark, sf_dir):
+    """Set-similarity between event types by audience overlap — exact
+    Jaccard of each type pair's user sets (order-free companion to the
+    sequential event_transition_matrix). The user sets are never
+    materialized or broadcast: distinct (user, type) rows self-join on
+    user_id, so per-user fanout is C(types-this-user-touched, 2) —
+    bounded by the type enum, never by corpus size — and the
+    intersection arrives as a keyed count with map-side partials. Union
+    sizes come from |A|+|B|-|A∩B| via two broadcast joins against the
+    tiny per-type cardinality table (one row per enum value). Pairs with
+    zero overlap are absent by construction (Jaccard 0). The
+    feature-correlation diagnostic a curation pipeline runs before
+    treating two engagement signals as independent."""
+    ut = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    cnt = ut.groupBy("event_type").agg(F.count("*").alias("nu"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select(
+        F.col("user_id").alias("user_b"), F.col("event_type").alias("type_b")
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("user_b"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("inter_users"))
+    )
+    ca = cnt.select(
+        F.col("event_type").alias("type_a"), F.col("nu").alias("users_a")
+    )
+    cb = cnt.select(
+        F.col("event_type").alias("type_b"), F.col("nu").alias("users_b")
+    )
+    return (
+        inter.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "users_a",
+            "users_b",
+            "inter_users",
+            F.round(
+                F.col("inter_users")
+                / (
+                    F.col("users_a") + F.col("users_b") - F.col("inter_users")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "mad_volume_outliers",
+    """
+    WITH d AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    m AS (SELECT event_type, median(n) AS med FROM d GROUP BY 1),
+    a AS (SELECT d.event_type, d.day, d.n, m.med, ABS(d.n - m.med) AS dev
+          FROM d JOIN m USING (event_type)),
+    s AS (SELECT event_type, median(dev) AS mad FROM a GROUP BY 1)
+    SELECT a.event_type, a.day, CAST(a.n AS BIGINT) AS n,
+           round(a.med, 6) AS med, round(s.mad, 6) AS mad
+    FROM a JOIN s USING (event_type)
+    WHERE a.dev > 3 * s.mad
+    """,
+)
+def mad_volume_outliers(spark, sf_dir):
+    """Robust-statistics outlier screen — days whose event volume sits
+    more than 3 median-absolute-deviations from the type's median
+    (median/MAD resist the very outliers a mean/stddev z-score would
+    absorb; companion to daily_volume_anomalies' trailing-window integer
+    test). Both medians are EXACT interpolated percentiles over the
+    calendar-bounded daily-count table (one row per (type, day) after
+    the keyed count — the only corpus-sized pass), so every med/mad/dev
+    is a dyadic half-integer and the 3-MAD cut is bit-identical across
+    engines; the two per-type median tables (one row per enum value)
+    join back by broadcast."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.date_trunc("day", F.col("ts").cast("timestamp")).cast("long")
+                / 86400
+            )
+            .cast("long")
+            .alias("day")
+        ),
+    ).agg(F.count("*").alias("n"))
+    m = d.groupBy("event_type").agg(F.median("n").alias("med"))
+    a = d.join(F.broadcast(m), "event_type").withColumn(
+        "dev", F.abs(F.col("n") - F.col("med"))
+    )
+    s = a.groupBy("event_type").agg(F.median("dev").alias("mad"))
+    return (
+        a.join(F.broadcast(s), "event_type")
+        .filter(F.col("dev") > 3 * F.col("mad"))
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-correctness window ordering (round-robin gate rotation)
 # ---------------------------------------------------------------------------

@@ -126,6 +126,11 @@ CHECKS = {
     # the 3-threshold boundary probe is a broadcast non-equi join over the
     # tiny count histogram — BNLJ is the disclosed design, never cartesian
     "heavy_hitter_concentration": (["Window", "BroadcastNestedLoopJoin", "partial_count"], ["CartesianProduct", "BatchEvalPython"]),
+    # deletion-neighborhood blocking: candidates meet in an EQUI join on
+    # the variant string (never a pairwise cross), then exact verify
+    "fuzzy_name_matches": (["Generate explode", "levenshtein"], ["CartesianProduct", "BatchEvalPython", "Window"]),
+    "co_engagement_jaccard": (["partial_count", "BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython", "Window"]),
+    "mad_volume_outliers": (["partial_count", "BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython", "Window"]),
 }
 
 

@@ -5732,6 +5732,381 @@ def mad_volume_outliers(spark, sf_dir):
     )
 
 
+@query(
+    "daily_type_share",
+    """
+    WITH a AS (
+      SELECT CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS day,
+             event_type,
+             SUM(CAST(value AS DECIMAL(14,6))) AS sv
+      FROM events GROUP BY 1, 2)
+    SELECT day, event_type, CAST(sv AS DOUBLE) AS type_value,
+           round(CAST(sv AS DOUBLE)
+                 / CAST(SUM(sv) OVER (PARTITION BY day) AS DOUBLE), 6) AS share
+    FROM a
+    """,
+)
+def daily_type_share(spark, sf_dir):
+    """Ratio-to-report — each event type's share of its DAY's total value
+    (the percent-of-total window shape every BI layer needs). Aggregate
+    first (keyed, map-side partials), then a window PARTITIONED BY day
+    over the post-agg rows — per-partition width is the event-type enum,
+    so the window never sees more than |types| rows per day regardless of
+    corpus size. DECIMAL-routed sums; share rounded to 6."""
+    e = _t(spark, sf_dir, "events")
+    a = (
+        e.groupBy(
+            (F.date_trunc("day", F.col("ts").cast("timestamp")).cast("long")
+             / 86400).cast("long").alias("day"),
+            "event_type",
+        )
+        .agg(F.sum(_dec("value", 14, 6)).alias("sv"))
+    )
+    w = Window.partitionBy("day")
+    return a.select(
+        "day",
+        "event_type",
+        F.col("sv").cast("double").alias("type_value"),
+        F.round(
+            F.col("sv").cast("double")
+            / F.sum("sv").over(w).cast("double"),
+            6,
+        ).alias("share"),
+    )
+
+
+@query(
+    "dau_mau_stickiness",
+    """
+    WITH d AS (
+      SELECT CAST(floor(epoch(date_trunc('month', ts)) / 86400) AS BIGINT) AS month,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS day,
+             COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT CAST(floor(epoch(date_trunc('month', ts)) / 86400) AS BIGINT) AS month,
+             COUNT(DISTINCT user_id) AS mau
+      FROM events GROUP BY 1)
+    SELECT d.month, CAST(COUNT(*) AS BIGINT) AS active_days,
+           round(AVG(CAST(d.dau AS DOUBLE)), 6) AS avg_dau,
+           CAST(m.mau AS BIGINT) AS mau,
+           round(round(AVG(CAST(d.dau AS DOUBLE)), 6) / m.mau, 6) AS stickiness
+    FROM d JOIN m ON m.month = d.month
+    GROUP BY d.month, m.mau
+    """,
+)
+def dau_mau_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness — per month, the average daily distinct-user
+    count over the monthly distinct-user count (the engagement ratio
+    product analytics tracks). Two exact count-distincts, both KEYED
+    (per (month,day) and per month) so Spark plans them as two-phase
+    hash aggregates with map-side partial dedup — no global distinct.
+    The month join is a broadcast (≤ a few hundred month rows)."""
+    e = _t(spark, sf_dir, "events").select(
+        (F.date_trunc("month", F.col("ts").cast("timestamp")).cast("long")
+         / 86400).cast("long").alias("month"),
+        (F.date_trunc("day", F.col("ts").cast("timestamp")).cast("long")
+         / 86400).cast("long").alias("day"),
+        "user_id",
+    )
+    d = e.groupBy("month", "day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    m = e.groupBy("month").agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        d.join(F.broadcast(m), "month")
+        .groupBy("month", "mau")
+        .agg(
+            F.count("*").alias("active_days"),
+            F.round(F.avg(F.col("dau").cast("double")), 6).alias("avg_dau"),
+        )
+        .select(
+            "month",
+            "active_days",
+            "avg_dau",
+            "mau",
+            F.round(F.col("avg_dau") / F.col("mau"), 6).alias("stickiness"),
+        )
+    )
+
+
+@query(
+    "order_span_overlaps",
+    """
+    WITH s AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(floor(epoch(date_trunc('day', o_orderdate)) / 86400) AS BIGINT) AS start_day,
+             CAST(floor(epoch(date_trunc('day', o_orderdate)) / 86400) AS BIGINT) + 7 AS end_day
+      FROM orders)
+    SELECT a.o_custkey AS custkey, a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+           CAST(least(a.end_day, b.end_day)
+                - greatest(a.start_day, b.start_day) AS BIGINT) AS overlap_days
+    FROM s a JOIN s b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+     AND a.start_day < b.end_day AND b.start_day < a.end_day
+    """,
+)
+def order_span_overlaps(spark, sf_dir):
+    """Interval-overlap pairs per key — which of a customer's 7-day order
+    fulfillment spans overlap each other (the double-booking / SCD2
+    interval-integrity check). The join is an EQUI join on the key
+    (custkey) with the overlap inequality as a residual filter, so the
+    pair space is per-key C(orders_this_customer, 2) — bounded by per-key
+    activity, never corpus-quadratic, and hash-partitioned on the key.
+    The oracle states the same half-open overlap predicate directly."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        (F.date_trunc("day", F.col("o_orderdate").cast("timestamp"))
+         .cast("long") / 86400).cast("long").alias("start_day"),
+    ).withColumn("end_day", F.col("start_day") + 7)
+    a = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("key_a"),
+        F.col("start_day").alias("start_a"),
+        F.col("end_day").alias("end_a"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("key_b"),
+        F.col("start_day").alias("start_b"),
+        F.col("end_day").alias("end_b"),
+    )
+    return (
+        a.join(b, "custkey")
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.col("start_a") < F.col("end_b"))
+            & (F.col("start_b") < F.col("end_a"))
+        )
+        .select(
+            "custkey",
+            "key_a",
+            "key_b",
+            (
+                F.least("end_a", "end_b")
+                - F.greatest("start_a", "start_b")
+            ).cast("long").alias("overlap_days"),
+        )
+    )
+
+
+@query(
+    "benford_first_digit",
+    """
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice > 0),
+    h AS (SELECT digit, COUNT(*) AS n FROM c GROUP BY 1),
+    t AS (SELECT SUM(n) AS total FROM h)
+    SELECT h.digit, CAST(h.n AS BIGINT) AS n,
+           round(h.n / CAST(t.total AS DOUBLE), 6) AS share,
+           round(log10(1.0 + 1.0 / h.digit), 6) AS benford_share,
+           round(h.n / CAST(t.total AS DOUBLE)
+                 - log10(1.0 + 1.0 / h.digit), 6) AS deviation
+    FROM h, t
+    """,
+)
+def benford_first_digit(spark, sf_dir):
+    """Benford's-law audit — the first-significant-digit distribution of
+    order totals vs the log10(1+1/d) expectation (the classic fraud /
+    synthetic-data screen). The digit is extracted from the exact integer
+    CENTS (DECIMAL-free but float-safe: round(p*100) is the same IEEE
+    operation in both engines, and BIGINT→string is exact), so no
+    log10-of-a-boundary float can disagree across engines. One keyed agg
+    to a ≤9-row histogram, then a broadcast join of the 1-row total —
+    no window, no second scan. Scales: the shuffle carries 9 rows."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+        1,
+        1,
+    ).cast("int")
+    h = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    t = h.agg(F.sum("n").alias("total"))
+    share = F.col("n") / F.col("total").cast("double")
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return h.join(F.broadcast(t)).select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        F.round(share, 6).alias("share"),
+        F.round(benford, 6).alias("benford_share"),
+        F.round(share - benford, 6).alias("deviation"),
+    )
+
+
+@query(
+    "rfm_segments",
+    """
+    WITH m AS (
+      SELECT o_custkey,
+             CAST((SELECT MAX(CAST(floor(epoch(date_trunc('day', o_orderdate))
+                                          / 86400) AS BIGINT)) FROM orders)
+                  - MAX(CAST(floor(epoch(date_trunc('day', o_orderdate))
+                                   / 86400) AS BIGINT)) AS BIGINT) AS r_days,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM m),
+    rq AS (SELECT
+        MIN(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS q1,
+        MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS q2,
+        MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS q3
+      FROM (SELECT r_days AS v, COUNT(*) AS c,
+                   SUM(COUNT(*)) OVER (ORDER BY r_days) AS cum
+            FROM m GROUP BY 1), n),
+    fq AS (SELECT
+        MIN(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS q1,
+        MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS q2,
+        MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS q3
+      FROM (SELECT freq AS v, COUNT(*) AS c,
+                   SUM(COUNT(*)) OVER (ORDER BY freq) AS cum
+            FROM m GROUP BY 1), n),
+    mq AS (SELECT
+        MIN(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS q1,
+        MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS q2,
+        MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS q3
+      FROM (SELECT monetary_cents AS v, COUNT(*) AS c,
+                   SUM(COUNT(*)) OVER (ORDER BY monetary_cents) AS cum
+            FROM m GROUP BY 1), n)
+    SELECT m.o_custkey AS custkey, m.r_days, m.freq, m.monetary_cents,
+      CAST(1 + CAST(m.r_days > rq.q1 AS INTEGER)
+             + CAST(m.r_days > rq.q2 AS INTEGER)
+             + CAST(m.r_days > rq.q3 AS INTEGER) AS INTEGER) AS r_score,
+      CAST(1 + CAST(m.freq > fq.q1 AS INTEGER)
+             + CAST(m.freq > fq.q2 AS INTEGER)
+             + CAST(m.freq > fq.q3 AS INTEGER) AS INTEGER) AS f_score,
+      CAST(1 + CAST(m.monetary_cents > mq.q1 AS INTEGER)
+             + CAST(m.monetary_cents > mq.q2 AS INTEGER)
+             + CAST(m.monetary_cents > mq.q3 AS INTEGER) AS INTEGER) AS m_score,
+      CAST(1 + CAST(m.r_days > rq.q1 AS INTEGER)
+             + CAST(m.r_days > rq.q2 AS INTEGER)
+             + CAST(m.r_days > rq.q3 AS INTEGER) AS VARCHAR)
+        || CAST(1 + CAST(m.freq > fq.q1 AS INTEGER)
+              + CAST(m.freq > fq.q2 AS INTEGER)
+              + CAST(m.freq > fq.q3 AS INTEGER) AS VARCHAR)
+        || CAST(1 + CAST(m.monetary_cents > mq.q1 AS INTEGER)
+              + CAST(m.monetary_cents > mq.q2 AS INTEGER)
+              + CAST(m.monetary_cents > mq.q3 AS INTEGER) AS VARCHAR)
+        AS segment
+    FROM m, rq, fq, mq
+    """,
+)
+def rfm_segments(spark, sf_dir):
+    """RFM segmentation with EXACT discrete quartiles — every customer
+    scored 1-4 on Recency (days since last order), Frequency (#orders),
+    and Monetary (DECIMAL-exact cents), against quartile breakpoints
+    defined as `smallest value v with count(<= v) >= ceil(q*n)`
+    (percentile_disc) — an integer-only definition both engines compute
+    identically, no interpolated floats. Breakpoints come from the
+    heavy_hitter_concentration machinery: per-dimension COUNT HISTOGRAMS
+    over distinct metric values, cumulated by an ordered window that is
+    histogram-bounded (distinct recency days / order counts / cent
+    totals, each ≪ customers at scale), then a conditional-min agg —
+    never a rank over customers. The three 1-row breakpoint frames
+    broadcast-join back to the per-customer metrics; scoring is pure
+    integer comparisons. Ties share a score by construction, so the
+    result is deterministic without any ORDER BY."""
+    o = _t(spark, sf_dir, "orders")
+    day = (
+        F.date_trunc("day", F.col("o_orderdate").cast("timestamp"))
+        .cast("long") / 86400
+    ).cast("long")
+    per = o.groupBy("o_custkey").agg(
+        F.max(day).alias("last_day"),
+        F.count("*").alias("freq"),
+        (F.sum(_dec("o_totalprice")) * 100).cast("long").alias(
+            "monetary_cents"
+        ),
+    )
+    gmax = per.agg(F.max("last_day").alias("g"))
+    m = per.join(F.broadcast(gmax)).select(
+        F.col("o_custkey").alias("custkey"),
+        (F.col("g") - F.col("last_day")).cast("long").alias("r_days"),
+        F.col("freq").cast("long").alias("freq"),
+        "monetary_cents",
+    )
+
+    def disc_quartiles(df, col, prefix):
+        # count histogram over DISTINCT metric values (bounded by the
+        # value domain, not by customers) -> ordered cumulation ->
+        # conditional-min picks percentile_disc breakpoints exactly
+        hist = df.groupBy(F.col(col).alias("v")).agg(
+            F.count("*").alias("c")
+        )
+        cum = hist.select(
+            "v",
+            F.sum("c")
+            .over(
+                Window.orderBy("v").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            .alias("cum"),
+        )
+        n = hist.agg(F.sum("c").alias("n"))
+        return (
+            cum.join(F.broadcast(n))
+            .agg(
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr("(n + 3) DIV 4"), F.col("v")
+                    )
+                ).alias(f"{prefix}_q1"),
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr("(n + 1) DIV 2"), F.col("v")
+                    )
+                ).alias(f"{prefix}_q2"),
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr("(3 * n + 3) DIV 4"),
+                        F.col("v"),
+                    )
+                ).alias(f"{prefix}_q3"),
+            )
+        )
+
+    rq = disc_quartiles(m, "r_days", "r")
+    fq = disc_quartiles(m, "freq", "f")
+    mq = disc_quartiles(m, "monetary_cents", "m")
+
+    def score(col, prefix):
+        return (
+            F.lit(1)
+            + (F.col(col) > F.col(f"{prefix}_q1")).cast("int")
+            + (F.col(col) > F.col(f"{prefix}_q2")).cast("int")
+            + (F.col(col) > F.col(f"{prefix}_q3")).cast("int")
+        )
+
+    scored = (
+        m.join(F.broadcast(rq))
+        .join(F.broadcast(fq))
+        .join(F.broadcast(mq))
+        .select(
+            "custkey",
+            "r_days",
+            "freq",
+            "monetary_cents",
+            score("r_days", "r").alias("r_score"),
+            score("freq", "f").alias("f_score"),
+            score("monetary_cents", "m").alias("m_score"),
+        )
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-correctness window ordering (round-robin gate rotation)
 # ---------------------------------------------------------------------------

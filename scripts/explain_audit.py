@@ -131,6 +131,18 @@ CHECKS = {
     "fuzzy_name_matches": (["Generate explode", "levenshtein"], ["CartesianProduct", "BatchEvalPython", "Window"]),
     "co_engagement_jaccard": (["partial_count", "BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython", "Window"]),
     "mad_volume_outliers": (["partial_count", "BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython", "Window"]),
+    # round 5c — window is PARTITIONED BY day over post-agg rows (width =
+    # the event-type enum per day)
+    "daily_type_share": (["Window", "Exchange hashpartitioning(day", "partial_sum"], ["CartesianProduct", "BatchEvalPython"]),
+    "dau_mau_stickiness": (["partial_count", "BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython", "Window"]),
+    # interval overlap meets in an EQUI join on custkey; the overlap
+    # inequality is a residual filter, never a cartesian
+    "order_span_overlaps": (["Join [custkey"], ["CartesianProduct", "BatchEvalPython", "Window"]),
+    "benford_first_digit": (["partial_count", "BroadcastNestedLoopJoin"], ["CartesianProduct", "BatchEvalPython", "Window"]),
+    # disc-quartile breakpoints cumulate the per-dimension count HISTOGRAM
+    # (distinct metric values, histogram-bounded like
+    # heavy_hitter_concentration) — the Window never sees customer rows
+    "rfm_segments": (["Window", "partial_count", "BroadcastNestedLoopJoin"], ["CartesianProduct", "BatchEvalPython"]),
 }
 
 
@@ -198,6 +210,13 @@ GLOBAL_WINDOW_EXEMPT = {
         "kilobytes at any corpus scale, same exemption argument as "
         "moving_avg_daily_events"
     ),
+    "rfm_segments": (
+        "histogram-bounded: the three cumulative windows run over the "
+        "DISTINCT values of each per-customer metric (recency days / "
+        "order counts / cent totals — one row per level), never over "
+        "customers; the per-customer metrics beneath them are a keyed "
+        "agg, same exemption argument as heavy_hitter_concentration"
+    ),
 }
 
 
@@ -205,8 +224,12 @@ def _unpartitioned_windows(plan: str) -> list[str]:
     """Window operator lines whose spec has NO partition columns.
 
     The executed plan prints ``Window [exprs], [partition], [order]`` —
-    three top-level bracket groups when partitioned, two when global
-    (``Window [exprs], [order]``). Returns the offending lines.
+    three top-level bracket groups when partitioned-and-ordered, two when
+    either the order spec or the partition spec is absent. A two-group
+    line is only GLOBAL when its second group is an ORDER spec (entries
+    carry ``ASC``/``DESC``); a partition-only window (no ORDER BY, e.g. a
+    ratio-to-report total per group) keys every row to its partition and
+    is fine. Returns the offending lines.
     """
     out = []
     for line in plan.splitlines():
@@ -214,16 +237,23 @@ def _unpartitioned_windows(plan: str) -> list[str]:
         if idx < 0 or "WindowGroupLimit" in line:
             continue
         depth = 0
-        groups = 0
+        groups: list[str] = []
         for ch in line[idx:]:
             if ch == "[":
                 if depth == 0:
-                    groups += 1
+                    groups.append("")
                 depth += 1
             elif ch == "]":
                 depth -= 1
-        if groups < 3:
-            out.append(line.strip())
+            if depth > 0 and groups:
+                groups[-1] += ch
+        if len(groups) >= 3:
+            continue  # partitioned and ordered
+        if len(groups) == 2 and not (
+            " ASC" in groups[1] or " DESC" in groups[1]
+        ):
+            continue  # partition-only window (no order spec) — keyed, fine
+        out.append(line.strip())
     return out
 
 

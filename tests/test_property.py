@@ -817,3 +817,166 @@ def test_pruned_read_matches_plain_filter(spark, tmp_path_factory, spec,
     g = sorted(map(key, got.collect()))
     w = sorted(map(key, want.collect()))
     assert g == w, f"spec={spec} compacted={compacted}\ngot={g}\nwant={w}"
+
+
+# ---------------------------------------------------------------------------
+# maintenance interleavings: ANY sequence of data batches, predicate
+# deletes, and table-service ops (compact / minor compaction / manifest
+# rewrite / expire / GC / rebucket) leaves the LIVE state equal to the
+# pure-pandas oracle replay of the effective changelog. Maintenance is
+# metadata+layout only BY CONTRACT — this sweep is the mechanical check
+# that no service op can lose a winner, resurrect a tombstoned key, or
+# double-apply a delete. (Example-based twins: tests/test_maintenance.py,
+# test_minor_compaction.py, test_rewrite_manifests.py.)
+# ---------------------------------------------------------------------------
+
+_MAINT_CONVS = ["m0", "m1", "m2"]
+
+
+@st.composite
+def maintenance_scripts(draw):
+    def batch_spec():
+        n = draw(st.integers(min_value=1, max_value=5))
+        return [
+            (
+                draw(st.sampled_from(_MAINT_CONVS)),
+                draw(st.integers(min_value=0, max_value=2)),
+                draw(st.sampled_from(["I", "U", "U", "D"])),
+            )
+            for _ in range(n)
+        ]
+
+    script = [("batch", batch_spec())]  # the table always sees data first
+    for _ in range(draw(st.integers(min_value=4, max_value=7))):
+        kind = draw(
+            st.sampled_from(
+                [
+                    "batch",
+                    "batch",
+                    "compact",
+                    "compact_deltas",
+                    "rewrite_manifests",
+                    "expire",
+                    "remove_orphans",
+                    "delete_where",
+                    "rebucket",
+                ]
+            )
+        )
+        if kind == "batch":
+            script.append(("batch", batch_spec()))
+        elif kind == "delete_where":
+            script.append(("delete_where", draw(st.sampled_from(_MAINT_CONVS))))
+        elif kind == "rebucket":
+            script.append(("rebucket", draw(st.sampled_from([2, 8]))))
+        else:
+            script.append((kind, None))
+    return script
+
+
+@given(script=maintenance_scripts())
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_maintenance_interleavings_preserve_live_state(
+    spark, tmp_path_factory, script
+):
+    path = tmp_path_factory.mktemp("maintprop")
+    table = create_transcript_table(spark, str(path / "t"), n_buckets=4)
+    eff = []  # the effective changelog the oracle replays
+    lsn, step = 0, 0
+
+    def expected():
+        return replay_oracle_pandas(pd.DataFrame(eff))
+
+    def check():
+        actual = read_transcripts(table).toPandas()
+        exp = expected()
+        if len(exp) == 0:
+            assert len(actual) == 0
+        else:
+            assert_pdf_equal(actual, exp)
+
+    for kind, arg in script:
+        step += 1
+        if kind == "batch":
+            rows = []
+            for conv, turn, op in arg:
+                is_del = op == "D"
+                rows.append(
+                    {
+                        "lsn": lsn,
+                        "op": op,
+                        "conv_id": conv,
+                        "turn_idx": np.int32(turn),
+                        "role": None if is_del else "user",
+                        "text": None if is_del else f"t-{lsn}",
+                        "tool": None if is_del else "",
+                        "ts": pd.NaT if is_del else
+                        pd.Timestamp("2025-01-01") + pd.Timedelta(seconds=lsn),
+                    }
+                )
+                lsn += 1
+            apply_changes(
+                table,
+                spark.createDataFrame(pd.DataFrame(rows), schema=CHANGELOG_SCHEMA),
+                batch_key=f"mb{step}",
+                mode="mor",
+            )
+            eff.extend(rows)
+        elif kind == "delete_where":
+            live = expected()
+            matched = live[live.conv_id == arg] if len(live) else live
+            res = table.delete_where(
+                [("conv_id", "=", arg)], batch_key=f"dw{step}"
+            )
+            if len(matched) == 0:
+                assert res is None, "delete_where matched nothing yet committed"
+            else:
+                # the engine stamps tombstones at max(matched winner)+1;
+                # winners are the per-key max-lsn rows, so that equals
+                # max lsn over every effective row of the matched keys
+                keys = set(zip(matched.conv_id, matched.turn_idx))
+                t_lsn = (
+                    max(
+                        r["lsn"]
+                        for r in eff
+                        if (r["conv_id"], r["turn_idx"]) in keys
+                    )
+                    + 1
+                )
+                for conv_id, turn in sorted(keys):
+                    eff.append(
+                        {
+                            "lsn": t_lsn,
+                            "op": "D",
+                            "conv_id": conv_id,
+                            "turn_idx": np.int32(turn),
+                            "role": None,
+                            "text": None,
+                            "tool": None,
+                            "ts": pd.NaT,
+                        }
+                    )
+                lsn = max(lsn, t_lsn + 1)
+            check()
+        elif kind == "compact":
+            table.compact()
+            check()
+        elif kind == "compact_deltas":
+            table.compact_deltas(min_delta_files_per_bucket=1)
+            check()
+        elif kind == "rewrite_manifests":
+            table.rewrite_manifests(target_files_per_manifest=2)
+            check()
+        elif kind == "expire":
+            table.expire_snapshots(keep_last=2)
+            check()
+        elif kind == "remove_orphans":
+            removed = table.remove_orphans(grace_sec=3600)
+            assert removed == [], f"GC reclaimed live/in-grace files: {removed}"
+            check()
+        elif kind == "rebucket":
+            table.rebucket(arg)
+            check()
+    check()

@@ -6,6 +6,7 @@ docs/plans/...-design.md:147.)"""
 
 import numpy as np
 import pandas as pd
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -980,3 +981,145 @@ def test_maintenance_interleavings_preserve_live_state(
             table.rebucket(arg)
             check()
     check()
+
+
+# ---------------------------------------------------------------------------
+# branch interleavings: ANY sequence of main commits, branch commits,
+# publishes, abandons, compaction, expiry, and zero-grace GC keeps BOTH
+# chains equal to their own oracle replays. The invariant under attack:
+# branch chains are LIVE GC ROOTS — an expiry or orphan sweep that is
+# blind to a branch destroys data a later publish would need — and
+# fast_forward must refuse to publish over a diverged main.
+# (Example-based twins: tests/test_branches.py.)
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def branch_scripts(draw):
+    ops = ["main_batch"]  # the table always sees data first
+    for _ in range(draw(st.integers(min_value=5, max_value=9))):
+        ops.append(
+            draw(
+                st.sampled_from(
+                    [
+                        "main_batch",
+                        "branch_create",
+                        "branch_batch",
+                        "branch_batch",
+                        "publish",
+                        "branch_abandon",
+                        "compact",
+                        "expire",
+                        "gc",
+                    ]
+                )
+            )
+        )
+    return ops
+
+
+@given(ops=branch_scripts())
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_branch_interleavings_keep_both_chains_oracle_equal(
+    spark, tmp_path_factory, ops
+):
+    from etl_rust_spark.lake.format import ConcurrentCommitError
+
+    path = tmp_path_factory.mktemp("branchprop")
+    table = create_transcript_table(spark, str(path / "t"), n_buckets=4)
+    main_eff: list[dict] = []
+    branch_eff: list[dict] = []
+    br = None
+    main_moved_since_fork = False
+    lsn = 0
+    step = 0
+    n_branches = 0
+
+    def rows_for(n0, n):
+        out = []
+        for i in range(n):
+            out.append(
+                {
+                    "lsn": n0 + i,
+                    "op": ["I", "U", "U", "D"][(n0 + i) % 4],
+                    "conv_id": f"b{(n0 + i) % 2}",
+                    "turn_idx": np.int32((n0 + i) % 3),
+                    "role": None if (n0 + i) % 4 == 3 else "user",
+                    "text": None if (n0 + i) % 4 == 3 else f"t-{n0 + i}",
+                    "tool": None if (n0 + i) % 4 == 3 else "",
+                    "ts": pd.NaT if (n0 + i) % 4 == 3 else
+                    pd.Timestamp("2025-01-01") + pd.Timedelta(seconds=n0 + i),
+                }
+            )
+        return out
+
+    def apply_to(handle, eff, n):
+        nonlocal lsn, step
+        rows = rows_for(lsn, n)
+        lsn += n
+        step += 1
+        apply_changes(
+            handle,
+            spark.createDataFrame(pd.DataFrame(rows), schema=CHANGELOG_SCHEMA),
+            batch_key=f"k{step}",
+            mode="mor",
+        )
+        eff.extend(rows)
+
+    def check():
+        got = read_transcripts(table).toPandas()
+        exp = replay_oracle_pandas(pd.DataFrame(main_eff))
+        if len(exp) == 0:
+            assert len(got) == 0
+        else:
+            assert_pdf_equal(got, exp)
+        if br is not None:
+            bgot = read_transcripts(br).toPandas()
+            bexp = replay_oracle_pandas(pd.DataFrame(branch_eff))
+            if len(bexp) == 0:
+                assert len(bgot) == 0
+            else:
+                assert_pdf_equal(bgot, bexp)
+
+    for op in ops:
+        if op == "main_batch":
+            apply_to(table, main_eff, 3)
+            if br is not None:
+                main_moved_since_fork = True
+        elif op == "branch_create":
+            if br is None:
+                n_branches += 1
+                br = table.create_branch(f"fix{n_branches}")
+                branch_eff = list(main_eff)
+                main_moved_since_fork = False
+        elif op == "branch_batch":
+            if br is not None:
+                apply_to(br, branch_eff, 3)
+        elif op == "publish":
+            if br is not None:
+                name = f"fix{n_branches}"
+                if main_moved_since_fork:
+                    with pytest.raises(
+                        ConcurrentCommitError, match="advanced past the fork"
+                    ):
+                        table.fast_forward(name)
+                else:
+                    table.fast_forward(name)
+                    main_eff = list(branch_eff)
+                table.delete_branch(name)
+                br = None
+        elif op == "branch_abandon":
+            if br is not None:
+                table.delete_branch(f"fix{n_branches}")
+                br = None
+        elif op == "compact":
+            table.compact()
+            if br is not None:
+                main_moved_since_fork = True
+        elif op == "expire":
+            table.expire_snapshots(keep_last=1)
+        elif op == "gc":
+            table.remove_orphans(grace_sec=0.0)
+        check()

@@ -500,6 +500,25 @@ def cmd_branch(args) -> int:
     return 0
 
 
+def cmd_tag(args) -> int:
+    # pure metadata ops — no SparkSession (and no JVM startup) needed
+    from etl_rust_spark.lake.format import IceliteTable
+
+    t = IceliteTable(None, args.table)
+    if args.action != "list" and not args.name:
+        raise SystemExit(f"tag {args.action} requires --name")
+    if args.action == "create":
+        seq = t.tag_snapshot(args.name, seq=args.at_seq)
+        print(f"tagged snapshot {seq} as {args.name!r}")
+    elif args.action == "list":
+        for name, seq in sorted(t.tags().items()):
+            print(f"{name}\tseq={seq}")
+    elif args.action == "drop":
+        t.drop_tag(args.name)
+        print(f"dropped tag {args.name!r}")
+    return 0
+
+
 def cmd_rename_column(args) -> int:
     from etl_rust_spark.lake.format import IceliteTable
 
@@ -880,6 +899,19 @@ def build_parser() -> argparse.ArgumentParser:
     bp.add_argument("--name", help="branch name (all actions but list)")
     bp.add_argument("--at-seq", type=int, default=None, help="fork point (create)")
     bp.set_defaults(fn=cmd_branch)
+
+    tg = sub.add_parser(
+        "tag",
+        help="snapshot tags: create/list/drop (metadata-only pins — "
+             "read(tag=...) resolves them; expiry never drops a tagged "
+             "snapshot)",
+    )
+    tg.add_argument("action", choices=["create", "list", "drop"])
+    tg.add_argument("--table", required=True)
+    tg.add_argument("--name", help="tag name (create/drop)")
+    tg.add_argument("--at-seq", type=int, default=None,
+                    help="snapshot to pin (create; default: current)")
+    tg.set_defaults(fn=cmd_tag)
 
     rn = sub.add_parser(
         "rename-column", help="metadata-only column rename (field-id evolution)"

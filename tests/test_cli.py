@@ -848,3 +848,50 @@ def test_cli_maintain_full_service_composition(spark, tmp_path, capsys):
     assert "manifests_rewritten_to_seq" not in rep2
     assert "delta_compacted_to_seq" not in rep2
     assert t.current_seq() == seq
+
+
+def test_cli_tag_lifecycle(spark, tmp_path, capsys):
+    """tag create/list/drop — pure metadata, no Spark session in the
+    command path (IceliteTable(None, ...)); a tagged snapshot survives
+    expiry and resolves through read(tag=...)."""
+    import datetime as dt
+
+    from etl_rust_spark.__main__ import build_parser
+    from etl_rust_spark.operators.apply import apply_changes, create_transcript_table
+
+    p = build_parser()
+    tpath = str(tmp_path / "t")
+    t = create_transcript_table(spark, tpath, n_buckets=4)
+    sch = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+           "text string, tool string, ts timestamp")
+    rows = [(1, "I", "c0", 0, "user", "base", "", dt.datetime(2025, 1, 1))]
+    apply_changes(t, spark.createDataFrame(rows, sch), batch_key="b0", mode="mor")
+
+    args = p.parse_args(["tag", "create", "--table", tpath, "--name", "march"])
+    assert args.fn(args) == 0
+    assert "tagged snapshot 1 as 'march'" in capsys.readouterr().out
+
+    rows2 = [(2, "I", "c1", 0, "user", "later", "", dt.datetime(2025, 1, 1))]
+    apply_changes(t, spark.createDataFrame(rows2, sch), batch_key="b1", mode="mor")
+
+    args = p.parse_args(["tag", "list", "--table", tpath])
+    assert args.fn(args) == 0
+    assert "march\tseq=1" in capsys.readouterr().out
+
+    # the pin holds through expiry and resolves via read(tag=...)
+    t.expire_snapshots(keep_last=1)
+    assert t.read(tag="march").count() == 1
+
+    args = p.parse_args(["tag", "drop", "--table", tpath, "--name", "march"])
+    assert args.fn(args) == 0
+    assert "dropped tag 'march'" in capsys.readouterr().out
+    assert t.tags() == {}
+
+    # drop of a missing tag fails loud; create without --name fails loud
+    import pytest as _pytest
+    args = p.parse_args(["tag", "drop", "--table", tpath, "--name", "nope"])
+    with _pytest.raises(FileNotFoundError):
+        args.fn(args)
+    args = p.parse_args(["tag", "create", "--table", tpath])
+    with _pytest.raises(SystemExit, match="requires --name"):
+        args.fn(args)

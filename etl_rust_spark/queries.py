@@ -6107,6 +6107,212 @@ def rfm_segments(spark, sf_dir):
     )
 
 
+@query(
+    "pagerank_supplier_part",
+    """
+    WITH edges AS (
+      SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+      FROM lineitem),
+    und AS (SELECT src, dst FROM edges
+            UNION ALL SELECT dst AS src, src AS dst FROM edges),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY 1),
+    r0 AS (SELECT node, deg, CAST(1000000000 AS BIGINT) AS pr FROM deg),
+    i1 AS (SELECT u.dst AS node, SUM(r.pr // r.deg) AS s
+           FROM und u JOIN r0 r ON u.src = r.node GROUP BY 1),
+    r1 AS (SELECT d.node, d.deg,
+                  CAST(150000000 + (CAST(i.s AS HUGEINT) * 850) // 1000
+                       AS BIGINT) AS pr
+           FROM deg d JOIN i1 i USING (node)),
+    i2 AS (SELECT u.dst AS node, SUM(r.pr // r.deg) AS s
+           FROM und u JOIN r1 r ON u.src = r.node GROUP BY 1),
+    r2 AS (SELECT d.node, d.deg,
+                  CAST(150000000 + (CAST(i.s AS HUGEINT) * 850) // 1000
+                       AS BIGINT) AS pr
+           FROM deg d JOIN i2 i USING (node)),
+    i3 AS (SELECT u.dst AS node, SUM(r.pr // r.deg) AS s
+           FROM und u JOIN r2 r ON u.src = r.node GROUP BY 1),
+    r3 AS (SELECT d.node, d.deg,
+                  CAST(150000000 + (CAST(i.s AS HUGEINT) * 850) // 1000
+                       AS BIGINT) AS pr
+           FROM deg d JOIN i3 i USING (node))
+    SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 25
+    """,
+)
+def pagerank_supplier_part(spark, sf_dir):
+    """Fixed-point PageRank (3 iterations, damping 0.85) over the
+    supplier<->part bipartite graph induced by lineitem — the iterative
+    graph-algorithm class (influence/centrality scoring) expressed as a
+    statically unrolled chain of keyed join+agg rounds, the standard
+    distributed PageRank shape (one hash-partitioned shuffle per
+    iteration, no driver-side state beyond the loop counter).
+
+    Cross-engine exactness: ranks live in integer units of 1e-9 (initial
+    mass 10^9/node). Each round every node sends ``pr div degree`` to each
+    neighbor (positive integral division — Spark ``div`` truncation ==
+    DuckDB ``//`` floor) and absorbs ``0.15 + 0.85 * inflow`` via
+    ``(inflow * 850) div 1000`` with the product routed through
+    DECIMAL(38,0)/HUGEINT so a hub's inflow can never overflow 64 bits.
+    No float enters the pipeline, so the hashes match bit-for-bit.
+
+    Scale: edges/degrees/ranks are all keyed on node — each iteration is
+    one co-partitionable shuffle over O(edges); the undirected edge list
+    is materialized once. Top-25 via TakeOrdered with a total (pr desc,
+    node) tie-break. Reference analog: the derived-metric family of
+    src/etl/processor.rs recomputed per batch; iterative rank scoring is
+    the graph generalization."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    und = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = und.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    ranks = deg.select(
+        "node", "deg", F.lit(1000000000).cast("long").alias("pr")
+    )
+    for _ in range(3):
+        contrib = und.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), F.expr("pr div deg").alias("c"))
+        inflow = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = deg.join(inflow, "node").select(
+            "node",
+            "deg",
+            (
+                F.lit(150000000)
+                + F.floor(
+                    F.col("s").cast("decimal(38,0)") * 850 / 1000
+                ).cast("long")
+            ).alias("pr"),
+        )
+    return (
+        ranks.orderBy(F.col("pr").desc(), F.col("node"))
+        .select("node", "pr")
+        .limit(25)
+    )
+
+
+@query(
+    "chi_square_lang_source",
+    """
+    WITH obs AS (SELECT lang, source, COUNT(*) AS o
+                 FROM documents GROUP BY 1, 2),
+    rm AS (SELECT lang, COUNT(*) AS r FROM documents GROUP BY 1),
+    cm AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY 1),
+    t AS (SELECT COUNT(*) AS n FROM documents),
+    cells AS (SELECT rm.lang, cm.source, rm.r, cm.c, t.n FROM rm, cm, t),
+    f AS (SELECT cells.lang, cells.source, COALESCE(obs.o, 0) AS o,
+                 cells.r, cells.c, cells.n
+          FROM cells LEFT JOIN obs
+            ON cells.lang = obs.lang AND cells.source = obs.source)
+    SELECT lang, source, CAST(o AS BIGINT) AS observed,
+           CAST((r * c * 1000000) // n AS BIGINT) AS expected_micro,
+           round(CAST(o * n - r * c AS DOUBLE)
+                 * CAST(o * n - r * c AS DOUBLE)
+                 / CAST(n * r * c AS DOUBLE), 6) AS chi2_contrib
+    FROM f
+    """,
+)
+def chi_square_lang_source(spark, sf_dir):
+    """Chi-square test of independence for the lang x source contingency
+    table — the drift/bias screen that says whether language mix depends
+    on crawl source (a skewed cell = one source flooding one language).
+    Emits every cell of the full cross product (including observed-zero
+    cells — they carry expected mass and belong in the statistic) with
+    its observed count, exact expected value in integer micro-units
+    (``(r*c*1e6) div n`` — no float), and chi2 contribution
+    ``(o*n - r*c)^2 / (n*r*c)``.
+
+    Cross-engine exactness: the numerator/denominator are exact BIGINTs
+    well under 2^53 at any tested SF, so the single double multiply +
+    divide is one IEEE-identical rounding in both engines, then
+    round(,6). (At 10^10 docs the same formula routes through
+    DECIMAL(38,6) — the margins shrink it to |langs|x|sources| rows long
+    before arithmetic.)
+
+    Scale: three keyed count aggs with map-side partials over one scan
+    family; the cross product is bounded by the two enum cardinalities
+    (5 x 20) and built from broadcast 1-row/enum-row aggregates — the
+    BroadcastNestedLoopJoin is over margin rows, never documents."""
+    d = _t(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    rm = d.groupBy("lang").agg(F.count("*").alias("r"))
+    cm = d.groupBy("source").agg(F.count("*").alias("c"))
+    t = d.agg(F.count("*").alias("n"))
+    cells = rm.crossJoin(F.broadcast(cm)).crossJoin(F.broadcast(t))
+    f = cells.join(obs, ["lang", "source"], "left").fillna({"o": 0})
+    num = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    den = (F.col("n") * F.col("r") * F.col("c")).cast("double")
+    return f.select(
+        "lang",
+        "source",
+        F.col("o").cast("long").alias("observed"),
+        F.expr("(r * c * 1000000) div n").alias("expected_micro"),
+        F.round(num * num / den, 6).alias("chi2_contrib"),
+    )
+
+
+@query(
+    "supplier_cooccurrence",
+    """
+    WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    p AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+          FROM os a JOIN os b
+            ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+    c AS (SELECT s1, s2, COUNT(*) AS n_orders FROM p GROUP BY 1, 2),
+    t AS (SELECT COUNT(DISTINCT l_orderkey) AS total FROM os)
+    SELECT s1, s2, CAST(n_orders AS BIGINT) AS n_orders,
+           round(n_orders / CAST(total AS DOUBLE), 6) AS support
+    FROM c, t ORDER BY n_orders DESC, s1, s2 LIMIT 20
+    """,
+)
+def supplier_cooccurrence(spark, sf_dir):
+    """Market-basket association mining, first pass: which supplier PAIRS
+    co-occur in the same order, with support = co-order count / total
+    orders (the A-Priori frequent-itemset counting step, here at k=2).
+
+    The pair space is generated per ORDER — a keyed equi self-join on
+    l_orderkey over the distinct (order, supplier) set with ``s1 < s2``
+    as residual, so per-key fanout is C(suppliers-per-order, 2) (~6 for
+    TPC-H-ish orders) and the join never degenerates toward corpus^2 —
+    the same bounded-blocking argument as event_pair_proximity. Support
+    divides two exact BIGINTs once (deterministic IEEE), round(,6);
+    top-20 via TakeOrdered with a total (n_orders desc, s1, s2)
+    tie-break.
+
+    Scale: distinct + self-join + count all hash-partition on
+    l_orderkey / (s1,s2); the 1-row total broadcasts. At 100 TB the only
+    growth axis is orders, and every stage is keyed on it."""
+    os_ = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = os_.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1"))
+    b = os_.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s2"))
+    pairs = a.join(b, "ok").filter(F.col("s1") < F.col("s2"))
+    cnt = pairs.groupBy("s1", "s2").agg(F.count("*").alias("n_orders"))
+    tot = os_.agg(F.countDistinct("l_orderkey").alias("total"))
+    return (
+        cnt.join(F.broadcast(tot))
+        .select(
+            "s1",
+            "s2",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.round(
+                F.col("n_orders") / F.col("total").cast("double"), 6
+            ).alias("support"),
+        )
+        .orderBy(F.col("n_orders").desc(), "s1", "s2")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-correctness window ordering (round-robin gate rotation)
 # ---------------------------------------------------------------------------

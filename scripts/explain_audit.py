@@ -143,6 +143,13 @@ CHECKS = {
     # (distinct metric values, histogram-bounded like
     # heavy_hitter_concentration) — the Window never sees customer rows
     "rfm_segments": (["Window", "partial_count", "BroadcastNestedLoopJoin"], ["CartesianProduct", "BatchEvalPython"]),
+    # round 5d — iterative graph rank: one keyed join+agg shuffle per
+    # unrolled iteration, integer fixed-point (no float, no window)
+    "pagerank_supplier_part": (["partial_sum", "TakeOrderedAndProject"], ["CartesianProduct", "BatchEvalPython", "Window"]),
+    # contingency cross product is margin-rows only (5 langs x 20 sources)
+    "chi_square_lang_source": (["partial_count", "BroadcastNestedLoopJoin"], ["CartesianProduct", "BatchEvalPython", "Window"]),
+    # pair generation is an equi self-join keyed on l_orderkey, s1<s2 residual
+    "supplier_cooccurrence": (["partial_count", "TakeOrderedAndProject"], ["CartesianProduct", "BatchEvalPython", "Window"]),
 }
 
 

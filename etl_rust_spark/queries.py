@@ -6313,6 +6313,153 @@ def supplier_cooccurrence(spark, sf_dir):
     )
 
 
+@query(
+    "bfs_hop_distance",
+    """
+    WITH edges AS (
+      SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+      FROM lineitem),
+    und AS (SELECT src, dst FROM edges
+            UNION ALL SELECT dst AS src, src AS dst FROM edges),
+    f0 AS (SELECT MIN(src) AS node, 0 AS dist FROM und WHERE src % 2 = 0),
+    n1 AS (SELECT DISTINCT u.dst AS node FROM und u JOIN f0 ON u.src = f0.node),
+    f1 AS (SELECT node, 1 AS dist FROM n1
+           WHERE node NOT IN (SELECT node FROM f0)),
+    r1 AS (SELECT node, dist FROM f0 UNION ALL SELECT node, dist FROM f1),
+    n2 AS (SELECT DISTINCT u.dst AS node FROM und u JOIN f1 ON u.src = f1.node),
+    f2 AS (SELECT node, 2 AS dist FROM n2
+           WHERE node NOT IN (SELECT node FROM r1)),
+    r2 AS (SELECT node, dist FROM r1 UNION ALL SELECT node, dist FROM f2),
+    n3 AS (SELECT DISTINCT u.dst AS node FROM und u JOIN f2 ON u.src = f2.node),
+    f3 AS (SELECT node, 3 AS dist FROM n3
+           WHERE node NOT IN (SELECT node FROM r2))
+    SELECT node, CAST(dist AS INTEGER) AS dist
+    FROM (SELECT node, dist FROM r2 UNION ALL SELECT node, dist FROM f3)
+    """,
+)
+def bfs_hop_distance(spark, sf_dir):
+    """Frontier-based BFS: hop distance (<= 3) from the lowest-id supplier
+    node across the supplier<->part bipartite graph — the graph-traversal
+    class (reachability WITH distance, vs dedup_clusters' undistanced
+    components). Statically unrolled frontier expansion: each hop joins
+    the frontier to the edge list (keyed equi join), dedups, and
+    anti-joins the reached set so a node keeps its FIRST (minimal) hop
+    count. All-integer states — nothing to round, hashes exact.
+
+    Scale: the per-hop work is O(frontier-adjacent edges), hash-keyed on
+    node; the reached set rides along as join state exactly like
+    incremental dedup's seen-set. Unbounded-depth traversals iterate the
+    same step driver-side with a convergence check (dedup_clusters'
+    min-label loop); 3 unrolled hops keep this one a static plan the
+    driver gate can hash."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    und = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    frontier = (
+        und.filter(F.col("src") % 2 == 0)
+        .agg(F.min("src").alias("node"))
+        .withColumn("dist", F.lit(0))
+    )
+    reached = frontier
+    for h in (1, 2, 3):
+        nxt = (
+            und.join(
+                frontier.select(F.col("node").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = nxt.join(
+            reached.select("node"), "node", "left_anti"
+        ).withColumn("dist", F.lit(h))
+        reached = reached.unionByName(frontier)
+    return reached.select("node", F.col("dist").cast("int").alias("dist"))
+
+
+@query(
+    "supplier_skyline",
+    """
+    WITH m AS (
+      SELECT l_suppkey AS suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) * 100
+                  AS BIGINT) AS revenue_cents,
+             CAST(SUM(CAST(l_tax AS DECIMAL(14,4))
+                      * CAST(l_extendedprice AS DECIMAL(14,2))) * 1000000
+                  AS BIGINT) AS tax_micros
+      FROM lineitem GROUP BY 1)
+    SELECT s.suppkey, s.revenue_cents, s.tax_micros
+    FROM m s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM m o
+      WHERE o.revenue_cents >= s.revenue_cents
+        AND o.tax_micros <= s.tax_micros
+        AND (o.revenue_cents > s.revenue_cents
+             OR o.tax_micros < s.tax_micros))
+    """,
+)
+def supplier_skyline(spark, sf_dir):
+    """Skyline (Pareto frontier) query: the suppliers not DOMINATED on
+    (total revenue HIGH, total tax burden LOW) — no other supplier has
+    >= revenue and <= tax with one strict. The multi-objective top-set
+    shape (Borzsony et al., ICDE 2001) that no single ORDER BY can
+    express; the opposing objectives make a real multi-point frontier.
+
+    Both metrics are exact integers: revenue in DECIMAL-summed cents,
+    tax burden in micro-units (tax x price carries 6 decimal digits, so
+    x1e6 leaves NO fraction — the BIGINT cast is exact in both engines;
+    a x1e4 scale would leave 2 fractional digits where Spark truncates
+    but DuckDB rounds). Dominance is then pure integer comparison; ties
+    (mutually non-dominating equals) survive via the strict-on-one
+    clause identically in both.
+
+    Scale: dominance runs over the PER-SUPPLIER AGGREGATE (one keyed
+    map-side-combined agg collapses the fact table first), so the
+    quadratic candidate space is |suppliers|^2 — the bounded-dim^2
+    argument of name_edit_distances, broadcast-joined, never a fact-table
+    cross product. At unbounded key cardinality the standard move is a
+    grid pre-filter (each cell keeps its local maxima) before the exact
+    pass; the dim-bounded exact pass is the correct plan here."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        (F.sum(_dec("l_extendedprice")) * 100)
+        .cast("long")
+        .alias("revenue_cents"),
+        (
+            F.sum(
+                F.col("l_tax").cast("decimal(14,4)")
+                * F.col("l_extendedprice").cast("decimal(14,2)")
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("tax_micros"),
+    )
+    o = m.select(
+        F.col("revenue_cents").alias("o_r"), F.col("tax_micros").alias("o_t")
+    )
+    dominated = m.join(
+        F.broadcast(o),
+        (F.col("o_r") >= F.col("revenue_cents"))
+        & (F.col("o_t") <= F.col("tax_micros"))
+        & (
+            (F.col("o_r") > F.col("revenue_cents"))
+            | (F.col("o_t") < F.col("tax_micros"))
+        ),
+        "left_semi",
+    )
+    return m.exceptAll(dominated).select(
+        "suppkey", "revenue_cents", "tax_micros"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-correctness window ordering (round-robin gate rotation)
 # ---------------------------------------------------------------------------

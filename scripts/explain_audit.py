@@ -150,6 +150,11 @@ CHECKS = {
     "chi_square_lang_source": (["partial_count", "BroadcastNestedLoopJoin"], ["CartesianProduct", "BatchEvalPython", "Window"]),
     # pair generation is an equi self-join keyed on l_orderkey, s1<s2 residual
     "supplier_cooccurrence": (["partial_count", "TakeOrderedAndProject"], ["CartesianProduct", "BatchEvalPython", "Window"]),
+    # frontier expansion = keyed equi joins + anti-join against the reached set
+    "bfs_hop_distance": (["LeftAnti", "partial_min"], ["CartesianProduct", "BatchEvalPython", "Window"]),
+    # dominance test runs over the per-supplier AGGREGATE (|suppliers|^2
+    # bounded), broadcast — the fact table is collapsed first
+    "supplier_skyline": (["partial_sum", "BroadcastNestedLoopJoin"], ["CartesianProduct", "BatchEvalPython", "Window"]),
 }
 
 

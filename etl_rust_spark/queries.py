@@ -6460,6 +6460,84 @@ def supplier_skyline(spark, sf_dir):
     )
 
 
+@query(
+    "ewma_daily_events",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT)
+               AS d,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT a.event_type, a.d,
+             SUM(b.n * (CAST(1 AS BIGINT)
+                        << CAST(19 - (a.d - b.d) AS INTEGER)))
+               AS ewma_x2p20
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type
+       AND a.d - b.d BETWEEN 0 AND 19
+      GROUP BY 1, 2)
+    SELECT event_type, d AS day_idx,
+           CAST(ewma_x2p20 AS BIGINT) AS ewma_x2p20,
+           CAST(ewma_x2p20 AS DOUBLE) / 1048576.0 AS ewma
+    FROM w
+    """,
+)
+def ewma_daily_events(spark, sf_dir):
+    """Exponentially weighted moving average of daily event volume per
+    type — the time-series smoothing / short-horizon forecasting
+    primitive (the trend input of anomaly baselines), with decay 1/2 per
+    day over a 20-day horizon.
+
+    Cross-engine exactness by DYADIC weights: the weight for a reading
+    ``diff`` days back is 2^-(diff+1), so the smoothed value scaled by
+    2^20 is ``sum(n * 2^(19-diff))`` — pure BIGINT shift-and-add, no
+    float until one final division by 2^20, which is exact in IEEE
+    (power-of-two divisor, sum << 2^53). An alpha that is not a dyadic
+    rational (0.3, 0.9) would make every term a rounded double and the
+    window-sum ORDER observable; alpha = 1/2 makes the whole pipeline
+    bit-stable. (At daily counts beyond ~2^30 the scaled integer stays
+    exact long after raw double accumulation would not.)
+
+    Scale: the fact table collapses to (type, day) rows first (map-side
+    combined count); the 20-day lookback is a TYPE-KEYED equi self-join
+    with the day band as residual over those calendar-bounded rows —
+    the moving_avg_daily_events argument. For multi-year spans the
+    banding move of event_pair_proximity (join on day-bucket) bounds the
+    residual scan."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(_EPOCH("ts") / 86400).cast("long").alias("d"),
+    ).agg(F.count("*").alias("n"))
+    a = daily.select(
+        F.col("event_type").alias("et"), F.col("d").alias("da")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et"),
+        F.col("d").alias("db"),
+        F.col("n").alias("nb"),
+    )
+    pairs = a.join(b, "et").filter(
+        (F.col("da") - F.col("db") >= 0) & (F.col("da") - F.col("db") <= 19)
+    )
+    w = pairs.groupBy(
+        F.col("et").alias("event_type"), F.col("da").alias("day_idx")
+    ).agg(
+        F.sum(
+            F.col("nb")
+            * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(19 - (da - db) AS INT))")
+        ).alias("ewma_x2p20")
+    )
+    return w.select(
+        "event_type",
+        "day_idx",
+        F.col("ewma_x2p20").cast("long").alias("ewma_x2p20"),
+        (F.col("ewma_x2p20").cast("double") / F.lit(1048576.0)).alias("ewma"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-correctness window ordering (round-robin gate rotation)
 # ---------------------------------------------------------------------------

@@ -155,6 +155,8 @@ CHECKS = {
     # dominance test runs over the per-supplier AGGREGATE (|suppliers|^2
     # bounded), broadcast — the fact table is collapsed first
     "supplier_skyline": (["partial_sum", "BroadcastNestedLoopJoin"], ["CartesianProduct", "BatchEvalPython", "Window"]),
+    # 20-day lookback = type-keyed equi self-join over (type, day) agg rows
+    "ewma_daily_events": (["partial_count", "partial_sum"], ["CartesianProduct", "BatchEvalPython", "Window"]),
 }
 
 

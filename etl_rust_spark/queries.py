@@ -6538,6 +6538,66 @@ def ewma_daily_events(spark, sf_dir):
     )
 
 
+@query(
+    "concurrent_order_spans",
+    """
+    WITH s AS (
+      SELECT CAST(floor(epoch(date_trunc('day', o_orderdate)) / 86400)
+                  AS BIGINT) AS sd,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1),
+    deltas AS (
+      SELECT sd AS d, c AS delta FROM s
+      UNION ALL
+      SELECT sd + 7 AS d, -c AS delta FROM s),
+    byday AS (SELECT d, SUM(delta) AS delta FROM deltas GROUP BY 1)
+    SELECT d AS day_idx, CAST(delta AS BIGINT) AS delta,
+           CAST(SUM(delta) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS open_spans
+    FROM byday
+    """,
+)
+def concurrent_order_spans(spark, sf_dir):
+    """Interval-concurrency sweep line: how many 7-day order spans are
+    simultaneously open on each boundary day — the capacity-gauge shape
+    (concurrent sessions, active leases, in-flight jobs) that no direct
+    GROUP BY can express because each interval touches many days.
+
+    Sweep-line, not fan-out: each span contributes +1 at its start day
+    and -1 at its end day (half-open [start, start+7)); deltas collapse
+    to one row per boundary day, and the running sum ordered by day IS
+    the open-interval count after that day's changes. The per-day
+    EXPANSION alternative (explode each span into 7 day rows) multiplies
+    the fact table by the span length — the sweep line moves only 2 rows
+    per span, then collapses before any window. All-integer.
+
+    Scale: the global running-sum window is CALENDAR-BOUNDED — it runs
+    after the keyed groupBy(day) collapse, over day-rows only (~36k
+    rows/century at any corpus size), the moving_avg_daily_events
+    exemption argument; everything beneath it is map-side-combined keyed
+    aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    s = o.groupBy(
+        F.floor(_EPOCH("o_orderdate") / 86400).cast("long").alias("sd")
+    ).agg(F.count("*").alias("c"))
+    starts = s.select(F.col("sd").alias("d"), F.col("c").alias("delta"))
+    ends = s.select(
+        (F.col("sd") + 7).alias("d"), (-F.col("c")).alias("delta")
+    )
+    byday = (
+        starts.unionByName(ends).groupBy("d").agg(F.sum("delta").alias("delta"))
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return byday.select(
+        F.col("d").alias("day_idx"),
+        F.col("delta").cast("long").alias("delta"),
+        F.sum("delta").over(w).cast("long").alias("open_spans"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-correctness window ordering (round-robin gate rotation)
 # ---------------------------------------------------------------------------

@@ -157,6 +157,8 @@ CHECKS = {
     "supplier_skyline": (["partial_sum", "BroadcastNestedLoopJoin"], ["CartesianProduct", "BatchEvalPython", "Window"]),
     # 20-day lookback = type-keyed equi self-join over (type, day) agg rows
     "ewma_daily_events": (["partial_count", "partial_sum"], ["CartesianProduct", "BatchEvalPython", "Window"]),
+    # sweep line: +1/-1 deltas collapse to day rows BEFORE the running sum
+    "concurrent_order_spans": (["partial_count", "partial_sum", "Window"], ["CartesianProduct", "BatchEvalPython", "Generate"]),
 }
 
 
@@ -230,6 +232,12 @@ GLOBAL_WINDOW_EXEMPT = {
         "order counts / cent totals — one row per level), never over "
         "customers; the per-customer metrics beneath them are a keyed "
         "agg, same exemption argument as heavy_hitter_concentration"
+    ),
+    "concurrent_order_spans": (
+        "calendar-bounded: the sweep-line running sum runs AFTER the "
+        "keyed groupBy(day) collapses span deltas to one row per "
+        "boundary day (~36k rows/century at any corpus size), same "
+        "exemption argument as moving_avg_daily_events"
     ),
 }
 

@@ -6598,6 +6598,100 @@ def concurrent_order_spans(spark, sf_dir):
     )
 
 
+@query(
+    "degree_assortativity",
+    """
+    WITH edges AS (
+      SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+      FROM lineitem),
+    und AS (SELECT src, dst FROM edges
+            UNION ALL SELECT dst AS src, src AS dst FROM edges),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY 1),
+    e AS (SELECT ds.deg AS dx, dd.deg AS dy
+          FROM und u
+          JOIN deg ds ON u.src = ds.node
+          JOIN deg dd ON u.dst = dd.node),
+    s AS (SELECT COUNT(*) AS n, SUM(dx) AS sx, SUM(dy) AS sy,
+                 SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy,
+                 SUM(dx * dy) AS sxy
+          FROM e)
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST(n // 2 AS BIGINT) AS n_edges,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+                 6) AS assortativity
+    FROM s
+    """,
+)
+def degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the supplier<->part graph — the Pearson
+    correlation of endpoint degrees across edges (Newman 2002), the
+    one-number hub-structure diagnostic: negative = hubs attach to
+    leaves (the usual bipartite/disassortative shape), positive = rich
+    club. Decides whether the graph workloads above (PageRank, BFS)
+    need skew salting at scale.
+
+    The price_quantity_corr moment trick, integer edition: endpoint
+    degrees are exact BIGINTs, so the five raw moments are plain
+    order-free integer sums (no DECIMAL needed) and the statistic
+    assembles in deterministic double arithmetic, round(,6).
+
+    Scale: two node-keyed joins stamp each directed edge with its
+    endpoint degrees; the moment agg is map-side combined to one row.
+    Nothing quadratic, nothing windowed."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    und = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    e = (
+        und.join(
+            deg.select(F.col("node").alias("src"), F.col("deg").alias("dx")),
+            "src",
+        )
+        .join(
+            deg.select(F.col("node").alias("dst"), F.col("deg").alias("dy")),
+            "dst",
+        )
+        .select("dx", "dy")
+    )
+    s = e.agg(
+        F.count("*").alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    nodes = deg.agg(F.count("*").alias("n_nodes"))
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (F.col(c).cast("double") for c in ("sxx", "syy", "sxy"))
+    corr = (
+        (nd * sxy - sx * sy)
+        / F.sqrt(nd * sxx - sx * sx)
+        / F.sqrt(nd * syy - sy * sy)
+    )
+    return s.crossJoin(F.broadcast(nodes)).select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.expr("n div 2").alias("n_edges"),
+        F.round(corr, 6).alias("assortativity"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-correctness window ordering (round-robin gate rotation)
 # ---------------------------------------------------------------------------

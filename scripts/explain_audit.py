@@ -159,6 +159,8 @@ CHECKS = {
     "ewma_daily_events": (["partial_count", "partial_sum"], ["CartesianProduct", "BatchEvalPython", "Window"]),
     # sweep line: +1/-1 deltas collapse to day rows BEFORE the running sum
     "concurrent_order_spans": (["partial_count", "partial_sum", "Window"], ["CartesianProduct", "BatchEvalPython", "Generate"]),
+    # node-keyed degree joins + one map-side-combined moment agg
+    "degree_assortativity": (["partial_sum", "partial_count"], ["CartesianProduct", "BatchEvalPython", "Window"]),
 }
 
 

@@ -313,6 +313,43 @@ def cmd_feed_transform(args) -> int:
     return 0
 
 
+def cmd_feed_join(args) -> int:
+    """Deployable incremental JOIN materialization: tail BOTH tables'
+    change feeds and maintain a target equal to their inner equi-join on
+    the shared key columns — a change on either side re-derives the
+    joined rows it touches (bidirectional, unlike `enrich`). The target
+    is derived and created on first run (A's columns + B's suffixed)."""
+    from etl_rust_spark.lake.format import IceliteTable
+    from etl_rust_spark.streaming.join import ChangeFeedJoin
+
+    spark = _spark(args)
+    join_cols = args.on.split(",")
+    try:
+        ChangeFeedJoin.create_target(
+            spark, args.table, args.a, args.b, join_cols=join_cols,
+            suffix=args.suffix, n_buckets=args.n_buckets,
+        )
+    except FileExistsError:
+        IceliteTable.load(spark, args.table)  # resume into the existing one
+    pipe = ChangeFeedJoin(
+        spark=spark, a_path=args.a, b_path=args.b, table_path=args.table,
+        checkpoint_dir=args.checkpoint, join_cols=join_cols,
+        suffix=args.suffix, name=args.name,
+        max_commits_per_batch=args.max_commits_per_batch,
+    )
+    if args.follow:
+        q = pipe.start()
+        q.awaitTermination()
+    else:
+        pipe.run_available()
+        t = IceliteTable.load(spark, args.table)
+        print(
+            f"feed join at seq {t.current_seq()}: "
+            f"{t.read().count()} joined rows (incl. tombstones)"
+        )
+    return 0
+
+
 def cmd_delete_where(args) -> int:
     """Predicate delete (GDPR/retention job): tombstone every live key
     matching the condition; deletes flow to consumers via the change
@@ -689,6 +726,28 @@ def build_parser() -> argparse.ArgumentParser:
     ft.add_argument("--shard", default=None, help='consumer shard "i/k"')
     ft.add_argument("--follow", action="store_true")
     ft.set_defaults(fn=cmd_feed_transform)
+
+    fj = sub.add_parser(
+        "feed-join",
+        help="incremental join materialization from two tables' change "
+             "feeds: target == A ⋈ B on the shared keys, bidirectional "
+             "(either side's change re-derives), exactly-once",
+    )
+    fj.add_argument("--a", required=True, help="left Icelite table")
+    fj.add_argument("--b", required=True, help="right Icelite table")
+    fj.add_argument("--table", required=True, help="join target table")
+    fj.add_argument("--checkpoint", required=True)
+    fj.add_argument("--on", required=True,
+                    help="comma-separated join columns (key columns on "
+                         "both sides; both bucket keys must be among "
+                         "them)")
+    fj.add_argument("--suffix", default="_b",
+                    help="suffix for B's non-join columns in the target")
+    fj.add_argument("--name", default="feed_join")
+    fj.add_argument("--n-buckets", type=int, default=32)
+    fj.add_argument("--max-commits-per-batch", type=int, default=None)
+    fj.add_argument("--follow", action="store_true")
+    fj.set_defaults(fn=cmd_feed_join)
 
     i = sub.add_parser("ingest", help="tail WAL segments into the table")
     i.add_argument("--wal-dir", required=True)

@@ -895,3 +895,77 @@ def test_cli_tag_lifecycle(spark, tmp_path, capsys):
     args = p.parse_args(["tag", "create", "--table", tpath])
     with _pytest.raises(SystemExit, match="requires --name"):
         args.fn(args)
+
+
+def test_cli_feed_join_end_to_end(spark, tmp_path, capsys):
+    """`feed-join` deploys the incremental join materialization: the
+    target is derived+created on first run, equals A ⋈ B live, re-run is
+    a metadata no-op, and a B-side delete shrinks the joined group."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from etl_rust_spark.lake.format import IceliteTable
+
+    a_schema = T.StructType([
+        T.StructField("user_id", T.StringType()),
+        T.StructField("plan", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+    ])
+    b_schema = T.StructType([
+        T.StructField("user_id", T.StringType()),
+        T.StructField("order_id", T.StringType()),
+        T.StructField("amount", T.LongType()),
+        T.StructField("lsn", T.LongType()),
+    ])
+    a = IceliteTable.create(
+        spark, str(tmp_path / "a"), a_schema, key_cols=["user_id"],
+        bucket_key="user_id", n_buckets=2, order_cols=["user_id"],
+        seq_col="lsn",
+    )
+    b = IceliteTable.create(
+        spark, str(tmp_path / "b"), b_schema,
+        key_cols=["user_id", "order_id"], bucket_key="user_id",
+        n_buckets=2, order_cols=["user_id", "order_id"], seq_col="lsn",
+    )
+    a.merge(spark.createDataFrame(
+        [("u1", "free", 1), ("u2", "pro", 1)], a_schema
+    ).withColumn("op", F.lit("U")), batch_key="a1", seq_col="lsn", mode="mor")
+    b.merge(spark.createDataFrame(
+        [("u1", "o1", 10, 1), ("u1", "o2", 20, 1), ("u3", "o9", 90, 1)],
+        b_schema
+    ).withColumn("op", F.lit("U")), batch_key="b1", seq_col="lsn", mode="mor")
+
+    p = build_parser()
+    argv = [
+        "feed-join", "--a", str(tmp_path / "a"), "--b", str(tmp_path / "b"),
+        "--table", str(tmp_path / "j"), "--checkpoint", str(tmp_path / "ck"),
+        "--on", "user_id", "--n-buckets", "2",
+    ]
+    args = p.parse_args(argv)
+    assert args.fn(args) == 0
+    capsys.readouterr()
+    tgt = IceliteTable.load(spark, str(tmp_path / "j"))
+    live = tgt.read().filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
+    assert {(r["user_id"], r["order_id_b"], r["plan"], r["amount_b"])
+            for r in live.collect()} == {
+        ("u1", "o1", "free", 10), ("u1", "o2", "free", 20),
+    }
+
+    # re-run with nothing new: metadata no-op
+    seq = tgt.current_seq()
+    assert args.fn(args) == 0
+    capsys.readouterr()
+    assert tgt.current_seq() == seq
+
+    # B-side delete shrinks u1's group through the CLI pipeline
+    b.merge(
+        spark.createDataFrame([("u1", "o2", 0, 2)], b_schema)
+        .withColumn("op", F.lit("U")).withColumn("__deleted", F.lit(True)),
+        batch_key="b2", seq_col="lsn", mode="mor",
+    )
+    assert args.fn(args) == 0
+    capsys.readouterr()
+    live = tgt.read().filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
+    assert {(r["user_id"], r["order_id_b"]) for r in live.collect()} == {
+        ("u1", "o1"),
+    }

@@ -1,0 +1,280 @@
+"""ChangeFeedJoin — incremental two-table join materialization:
+target ≡ A.live ⋈ B.live at quiescence, under updates / deletes /
+late data on EITHER side, bounded catch-up, and restart.
+
+The distinguishing property vs ChangeFeedEnrich: a change on the B
+(right) side re-derives its joined rows too — the view is
+bidirectional. Correctness is recompute-from-pinned-snapshot, so the
+tests hammer interleavings (including a seeded random workload with
+out-of-order lsns) against an independent pandas join recompute."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_rust_spark.lake.format import IceliteTable
+from etl_rust_spark.streaming.join import ChangeFeedJoin
+
+A_SCHEMA = T.StructType([
+    T.StructField("user_id", T.StringType()),
+    T.StructField("plan", T.StringType()),
+    T.StructField("lsn", T.LongType()),
+])
+B_SCHEMA = T.StructType([
+    T.StructField("user_id", T.StringType()),
+    T.StructField("order_id", T.StringType()),
+    T.StructField("amount", T.LongType()),
+    T.StructField("lsn", T.LongType()),
+])
+
+OUT_COLS = ["user_id", "plan", "lsn", "order_id_b", "amount_b", "lsn_b"]
+
+
+def _mk_sources(spark, tmp_path):
+    a = IceliteTable.create(
+        spark, str(tmp_path / "a"), A_SCHEMA, key_cols=["user_id"],
+        bucket_key="user_id", n_buckets=2, order_cols=["user_id"],
+        seq_col="lsn",
+    )
+    b = IceliteTable.create(
+        spark, str(tmp_path / "b"), B_SCHEMA,
+        key_cols=["user_id", "order_id"], bucket_key="user_id",
+        n_buckets=2, order_cols=["user_id", "order_id"], seq_col="lsn",
+    )
+    return a, b
+
+
+def _mk_target(spark, tmp_path, name="tgt"):
+    return ChangeFeedJoin.create_target(
+        spark, str(tmp_path / name), str(tmp_path / "a"),
+        str(tmp_path / "b"), join_cols=["user_id"], n_buckets=2,
+    )
+
+
+def _merge(spark, t, schema, rows, key, delete=False):
+    df = spark.createDataFrame(rows, schema).withColumn("op", F.lit("U"))
+    if delete:
+        df = df.withColumn("__deleted", F.lit(True))
+    t.merge(df, batch_key=key, seq_col="lsn", mode="mor")
+
+
+def _live(table):
+    df = table.read()
+    if "__deleted" in df.columns:
+        df = df.filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
+    return df
+
+
+def _expected(a, b):
+    ap = _live(a).select("user_id", "plan", "lsn").toPandas()
+    bp = (
+        _live(b)
+        .select(
+            "user_id",
+            F.col("order_id").alias("order_id_b"),
+            F.col("amount").alias("amount_b"),
+            F.col("lsn").alias("lsn_b"),
+        )
+        .toPandas()
+    )
+    out = ap.merge(bp, on="user_id", how="inner")[OUT_COLS]
+    return out.sort_values(["user_id", "order_id_b"]).reset_index(drop=True)
+
+
+def _state(target):
+    return (
+        _live(target).select(*OUT_COLS).toPandas()
+        .sort_values(["user_id", "order_id_b"]).reset_index(drop=True)
+    )
+
+
+def _pipe(spark, tmp_path, name="tgt", ck="ck", **kw):
+    return ChangeFeedJoin(
+        spark=spark, a_path=str(tmp_path / "a"), b_path=str(tmp_path / "b"),
+        table_path=str(tmp_path / name), checkpoint_dir=str(tmp_path / ck),
+        join_cols=["user_id"], **kw,
+    )
+
+
+def test_join_materializes_updates_and_deletes_both_sides(spark, tmp_path):
+    a, b = _mk_sources(spark, tmp_path)
+    _mk_target(spark, tmp_path)
+    _merge(spark, a, A_SCHEMA,
+           [("u1", "free", 1), ("u2", "pro", 1)], "a1")
+    _merge(spark, b, B_SCHEMA,
+           [("u1", "o1", 10, 1), ("u1", "o2", 20, 1),
+            ("u2", "o3", 30, 1), ("u3", "o4", 40, 1)], "b1")
+    pipe = _pipe(spark, tmp_path)
+    pipe.run_available()
+    tgt = IceliteTable.load(spark, str(tmp_path / "tgt"))
+    got = _state(tgt)
+    assert len(got) == 3  # u3 has no A row: inner join excludes it
+    assert got.equals(_expected(a, b))
+
+    # A-side update re-derives every joined row of the key
+    _merge(spark, a, A_SCHEMA, [("u1", "gold", 2)], "a2")
+    pipe.run_available()
+    got = _state(tgt)
+    assert set(got[got.user_id == "u1"]["plan"]) == {"gold"}
+    assert got.equals(_expected(a, b))
+
+    # B-side delete shrinks the group (the enrich pipeline cannot do this)
+    _merge(spark, b, B_SCHEMA, [("u1", "o2", 0, 2)], "b2", delete=True)
+    pipe.run_available()
+    got = _state(tgt)
+    assert list(got[got.user_id == "u1"]["order_id_b"]) == ["o1"]
+    assert got.equals(_expected(a, b))
+
+    # A-side delete drops the whole group
+    _merge(spark, a, A_SCHEMA, [("u2", "", 3)], "a3", delete=True)
+    pipe.run_available()
+    assert _state(tgt).equals(_expected(a, b))
+    assert "u2" not in set(_state(tgt)["user_id"])
+
+    # a late A insert back-fills B rows that were waiting (bidirectional)
+    _merge(spark, a, A_SCHEMA, [("u3", "new", 4)], "a4")
+    pipe.run_available()
+    got = _state(tgt)
+    assert list(got[got.user_id == "u3"]["order_id_b"]) == ["o4"]
+    assert got.equals(_expected(a, b))
+
+
+def test_bounded_catchup_equals_unbounded(spark, tmp_path):
+    a, b = _mk_sources(spark, tmp_path)
+    _mk_target(spark, tmp_path, "tgt1")
+    _mk_target(spark, tmp_path, "tgt2")
+    for i in range(1, 5):
+        _merge(spark, a, A_SCHEMA,
+               [(f"u{j}", f"p{i}", i) for j in range(3)], f"a{i}")
+        _merge(spark, b, B_SCHEMA,
+               [(f"u{j}", f"o{i}", 10 * i + j, i) for j in range(3)],
+               f"b{i}")
+    _merge(spark, b, B_SCHEMA, [("u1", "o2", 0, 9)], "bdel", delete=True)
+    _pipe(spark, tmp_path, "tgt1", "ck1",
+          max_commits_per_batch=1).run_available()
+    _pipe(spark, tmp_path, "tgt2", "ck2").run_available()
+    s1 = _state(IceliteTable.load(spark, str(tmp_path / "tgt1")))
+    s2 = _state(IceliteTable.load(spark, str(tmp_path / "tgt2")))
+    assert s1.equals(s2)
+    assert s1.equals(_expected(a, b))
+
+
+def test_restart_is_exactly_once_then_incremental(spark, tmp_path):
+    a, b = _mk_sources(spark, tmp_path)
+    _mk_target(spark, tmp_path)
+    _merge(spark, a, A_SCHEMA, [("u1", "free", 1)], "a1")
+    _merge(spark, b, B_SCHEMA, [("u1", "o1", 10, 1)], "b1")
+    _pipe(spark, tmp_path).run_available()
+    tgt = IceliteTable.load(spark, str(tmp_path / "tgt"))
+    seq_after = tgt.current_seq()
+
+    # same checkpoint, nothing new: a metadata no-op
+    _pipe(spark, tmp_path).run_available()
+    assert tgt.current_seq() == seq_after
+
+    # new commits on both legs: a FRESH pipeline object on the same
+    # checkpoint consumes only the outstanding range
+    _merge(spark, a, A_SCHEMA, [("u1", "gold", 2)], "a2")
+    _merge(spark, b, B_SCHEMA, [("u1", "o2", 20, 2)], "b2")
+    _pipe(spark, tmp_path).run_available()
+    assert _state(tgt).equals(_expected(a, b))
+    assert set(_state(tgt)["plan"]) == {"gold"}
+
+
+def test_validations_fail_fast(spark, tmp_path):
+    a, b = _mk_sources(spark, tmp_path)
+    _mk_target(spark, tmp_path)
+
+    # join column must be a KEY column on both sides (tombstones only
+    # carry keys — a non-key join column would hide deletes)
+    IceliteTable.create(
+        spark, str(tmp_path / "b2"), B_SCHEMA, key_cols=["order_id"],
+        bucket_key="order_id", n_buckets=2, order_cols=["order_id"],
+        seq_col="lsn",
+    )
+    p = ChangeFeedJoin(
+        spark=spark, a_path=str(tmp_path / "a"),
+        b_path=str(tmp_path / "b2"), table_path=str(tmp_path / "tgt"),
+        checkpoint_dir=str(tmp_path / "ckv"), join_cols=["user_id"],
+    )
+    with pytest.raises(ValueError, match="KEY columns"):
+        p.start()
+
+    # target keys must be the union of both sides' keys
+    IceliteTable.create(
+        spark, str(tmp_path / "tgt_badkeys"),
+        T.StructType([
+            T.StructField("user_id", T.StringType()),
+            T.StructField("plan", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("order_id_b", T.StringType()),
+            T.StructField("amount_b", T.LongType()),
+            T.StructField("lsn_b", T.LongType()),
+            T.StructField("__pair_seq", T.LongType()),
+        ]),
+        key_cols=["user_id"], bucket_key="user_id", n_buckets=2,
+        order_cols=["user_id"], seq_col="__pair_seq",
+    )
+    p = _pipe(spark, tmp_path, "tgt_badkeys", "ckv2")
+    with pytest.raises(ValueError, match="union of both sides"):
+        p.start()
+
+    # a suffixed B column colliding with an A column fails at create
+    IceliteTable.create(
+        spark, str(tmp_path / "a2"),
+        T.StructType([
+            T.StructField("user_id", T.StringType()),
+            T.StructField("amount_b", T.LongType()),
+            T.StructField("lsn", T.LongType()),
+        ]),
+        key_cols=["user_id"], bucket_key="user_id", n_buckets=2,
+        order_cols=["user_id"], seq_col="lsn",
+    )
+    with pytest.raises(ValueError, match="collides"):
+        ChangeFeedJoin.create_target(
+            spark, str(tmp_path / "tgt2"), str(tmp_path / "a2"),
+            str(tmp_path / "b"), join_cols=["user_id"],
+        )
+
+
+def test_random_workload_sweep_matches_recompute(spark, tmp_path):
+    """Seeded random interleaving of upserts/deletes on BOTH sides with
+    out-of-order lsns, drained at random points — the target must equal
+    the batch join recompute at every quiescence."""
+    rng = random.Random(77)
+    a, b = _mk_sources(spark, tmp_path)
+    _mk_target(spark, tmp_path)
+    pipe = _pipe(spark, tmp_path)
+    users = [f"u{i}" for i in range(6)]
+    orders = [f"o{i}" for i in range(4)]
+    lsns = rng.sample(range(1, 500), 36)  # unique, shuffled: late data
+    bkey = 0
+    for drain in range(3):
+        for _ in range(6):
+            bkey += 1
+            lsn = lsns.pop()
+            kind = rng.random()
+            if kind < 0.35:
+                _merge(spark, a, A_SCHEMA,
+                       [(rng.choice(users), f"plan{lsn}", lsn)],
+                       f"wa{bkey}")
+            elif kind < 0.5:
+                _merge(spark, a, A_SCHEMA,
+                       [(rng.choice(users), "", lsn)], f"wa{bkey}",
+                       delete=True)
+            elif kind < 0.85:
+                _merge(spark, b, B_SCHEMA,
+                       [(rng.choice(users), rng.choice(orders),
+                         lsn * 10, lsn)], f"wb{bkey}")
+            else:
+                _merge(spark, b, B_SCHEMA,
+                       [(rng.choice(users), rng.choice(orders), 0, lsn)],
+                       f"wb{bkey}", delete=True)
+        pipe.run_available()
+        got = _state(IceliteTable.load(spark, str(tmp_path / "tgt")))
+        want = _expected(a, b)
+        assert got.equals(want), f"drain {drain}: \n{got}\nvs\n{want}"

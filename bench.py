@@ -560,6 +560,88 @@ def bench_transform(spark, workdir: str, src_path: str) -> dict:
     }
 
 
+def bench_join(spark, workdir: str, src_path: str) -> dict:
+    """Incremental join materialization (round 5d) over the replicate
+    bench's fact feed: ChangeFeedJoin maintains facts ⋈ dim where the
+    dim is keyed on the facts' own conv_ids (every fact row joins, so
+    the run measures full-fan-in recompute, not miss-rate luck);
+    cold + warm runs like the sibling feed pipelines. Exactness inside
+    the benchmark: target live state equals the batch inner join of
+    both live states (exceptAll both ways, pair-seq excluded)."""
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.lake.format import IceliteTable
+    from etl_rust_spark.streaming.join import ChangeFeedJoin
+
+    src = IceliteTable.load(spark, src_path)
+    feed_rows = src.read_changes(0).count()
+    live_src = src.read().filter(
+        ~F.coalesce(F.col("__deleted"), F.lit(False))
+    )
+    dim_path = os.path.join(workdir, "join_dim")
+    dim_rows = live_src.select("conv_id").distinct().select(
+        "conv_id",
+        F.when(F.crc32(F.col("conv_id")) % 2 == 0, "even")
+        .otherwise("odd")
+        .alias("segment"),
+        F.lit(1).cast("long").alias("dlsn"),
+    )
+    dim = IceliteTable.create(
+        spark, dim_path, dim_rows.schema,
+        key_cols=("conv_id",), bucket_key="conv_id", n_buckets=32,
+        order_cols=("conv_id",), seq_col="dlsn",
+    )
+    dim.merge(
+        dim_rows.withColumn("op", F.lit("U")),
+        batch_key="jd0", seq_col="dlsn", mode="mor",
+    )
+    secs = []
+    for run in range(2):
+        t_path = os.path.join(workdir, f"join_t{run}")
+        ChangeFeedJoin.create_target(
+            spark, t_path, src_path, dim_path,
+            join_cols=["conv_id"], n_buckets=32,
+        )
+        t0 = time.monotonic()
+        ChangeFeedJoin(
+            spark=spark, a_path=src_path, b_path=dim_path,
+            table_path=t_path,
+            checkpoint_dir=os.path.join(workdir, f"join_ck{run}"),
+            join_cols=["conv_id"], name=f"join_bench{run}",
+        ).run_available()
+        secs.append(round(time.monotonic() - t0, 3))
+    tgt = IceliteTable.load(spark, t_path)
+    live_t = tgt.read()
+    if "__deleted" in live_t.columns:
+        live_t = live_t.filter(
+            ~F.coalesce(F.col("__deleted"), F.lit(False))
+        )
+    cols = [c for c in live_t.columns
+            if c not in ("__pair_seq", "__deleted")]
+    dim_live = dim.read()
+    if "__deleted" in dim_live.columns:
+        dim_live = dim_live.filter(
+            ~F.coalesce(F.col("__deleted"), F.lit(False))
+        )
+    dim_sel = dim_live.select(
+        "conv_id",
+        F.col("segment").alias("segment_b"),
+        F.col("dlsn").alias("dlsn_b"),
+    )
+    want = live_src.join(dim_sel, "conv_id", "inner").select(*cols)
+    got = live_t.select(*cols)
+    bad = got.exceptAll(want).count() + want.exceptAll(got).count()
+    if bad:
+        raise AssertionError(f"cdc_join mismatch: {bad} rows differ")
+    return {
+        "feed_rows": int(feed_rows),
+        "joined_rows": int(got.count()),
+        "cold_s": secs[0],
+        "warm_s": secs[1],
+        "feed_rows_per_sec": int(feed_rows / min(secs)),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count())
@@ -632,6 +714,8 @@ def main() -> None:
         results["cdc_enrich"] = enr["warm_s"]
         trf = bench_transform(spark, workdir, os.path.join(workdir, "repl_a"))
         results["cdc_transform"] = trf["warm_s"]
+        jn = bench_join(spark, workdir, os.path.join(workdir, "repl_a"))
+        results["cdc_join"] = jn["warm_s"]
         # predicate file pruning (round 3): point-conversation read via
         # manifest stats vs the same predicate as a full-scan filter
         table = best_table
@@ -694,6 +778,9 @@ def main() -> None:
                 "transform_cold_s": trf["cold_s"],
                 "transform_derived_rows": trf["derived_rows"],
                 "transform_feed_rows_per_sec": trf["feed_rows_per_sec"],
+                "join_cold_s": jn["cold_s"],
+                "join_joined_rows": jn["joined_rows"],
+                "join_feed_rows_per_sec": jn["feed_rows_per_sec"],
                 "migration_users": MIGRATE_USERS,
                 "migration_records_per_sec": migration_records_per_sec,
                 # same-window machine ceiling (rows/s, pure codegen): a

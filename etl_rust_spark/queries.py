@@ -6692,6 +6692,124 @@ def degree_assortativity(spark, sf_dir):
     )
 
 
+@query(
+    "linear_interpolate_daily",
+    """
+    WITH e AS (
+      SELECT user_id,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT)
+               AS d,
+             CAST(value AS DECIMAL(14,2)) AS v
+      FROM events),
+    obs AS (SELECT user_id, d, CAST(SUM(v) * 100 AS BIGINT) AS cents
+            FROM e GROUP BY 1, 2),
+    b AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM obs GROUP BY 1),
+    s AS (SELECT user_id, unnest(generate_series(d0, d1)) AS d FROM b),
+    j AS (SELECT s.user_id, s.d, obs.cents
+          FROM s LEFT JOIN obs
+            ON obs.user_id = s.user_id AND obs.d = s.d),
+    w AS (SELECT user_id, d, cents,
+            last_value(cents IGNORE NULLS) OVER
+              (PARTITION BY user_id ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+            last_value(CASE WHEN cents IS NOT NULL THEN d END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+            first_value(cents IGNORE NULLS) OVER
+              (PARTITION BY user_id ORDER BY d
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+            first_value(CASE WHEN cents IS NOT NULL THEN d END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY d
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+          FROM j)
+    SELECT user_id, d AS day_idx,
+           CASE WHEN cents IS NOT NULL THEN 'obs' ELSE 'interp' END AS kind,
+           CAST(CASE
+             WHEN cents IS NOT NULL THEN cents * 1000000
+             WHEN nv >= pv THEN pv * 1000000
+               + ((nv - pv) * (d - pd) * 1000000) // (nd - pd)
+             ELSE nv * 1000000
+               + ((pv - nv) * (nd - d) * 1000000) // (nd - pd)
+           END AS BIGINT) AS value_micros
+    FROM w
+    """,
+)
+def linear_interpolate_daily(spark, sf_dir):
+    """Linear gap interpolation — the third standard time-series
+    densification (gapfill_daily zero-fills, locf_value_fill carries
+    forward; this one draws the line between the two surrounding
+    observations): per user, each day between their first and last
+    observed day gets its daily spend either observed or linearly
+    interpolated from the neighbors.
+
+    Cross-engine exactness under the integer-division trap: observations
+    are DECIMAL-summed cents, the interpolated value is emitted in
+    micro-units via integer division — but Spark's ``div`` TRUNCATES
+    while DuckDB's ``//`` FLOORS, which disagree on negative numerators
+    (a downward-sloping gap). So the formula branches on slope sign and
+    always interpolates FROM THE LOWER ENDPOINT, keeping every division
+    numerator non-negative, where truncate == floor. Both engines run
+    the same CASE, so the output is defined bit-exactly.
+
+    Scale: the spine is sequence()+explode per user (O(span)/user,
+    executor-side — the gapfill argument), windows and joins are all
+    user-partitioned; nothing global, nothing quadratic."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(_EPOCH("ts") / 86400).cast("long").alias("d"),
+        _dec("value").alias("v"),
+    )
+    obs = e.groupBy("user_id", "d").agg(
+        (F.sum("v") * 100).cast("long").alias("cents")
+    )
+    spine = (
+        obs.groupBy("user_id")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d"),
+        )
+    )
+    j = spine.join(obs, ["user_id", "d"], "left")
+    back = Window.partitionBy("user_id").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fwd = Window.partitionBy("user_id").orderBy("d").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    obs_d = F.when(F.col("cents").isNotNull(), F.col("d"))
+    w = j.select(
+        "user_id",
+        "d",
+        "cents",
+        F.last("cents", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_d, ignorenulls=True).over(back).alias("pd"),
+        F.first("cents", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_d, ignorenulls=True).over(fwd).alias("nd"),
+    )
+    return w.select(
+        "user_id",
+        F.col("d").alias("day_idx"),
+        F.when(F.col("cents").isNotNull(), F.lit("obs"))
+        .otherwise(F.lit("interp"))
+        .alias("kind"),
+        F.when(
+            F.col("cents").isNotNull(), F.col("cents") * 1000000
+        )
+        .when(
+            F.col("nv") >= F.col("pv"),
+            F.col("pv") * 1000000
+            + F.expr("((nv - pv) * (d - pd) * 1000000) div (nd - pd)"),
+        )
+        .otherwise(
+            F.col("nv") * 1000000
+            + F.expr("((pv - nv) * (nd - d) * 1000000) div (nd - pd)"),
+        )
+        .cast("long")
+        .alias("value_micros"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-correctness window ordering (round-robin gate rotation)
 # ---------------------------------------------------------------------------

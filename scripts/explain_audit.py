@@ -161,6 +161,8 @@ CHECKS = {
     "concurrent_order_spans": (["partial_count", "partial_sum", "Window"], ["CartesianProduct", "BatchEvalPython", "Generate"]),
     # node-keyed degree joins + one map-side-combined moment agg
     "degree_assortativity": (["partial_sum", "partial_count"], ["CartesianProduct", "BatchEvalPython", "Window"]),
+    # spine explode + user-PARTITIONED neighbor windows (keyed, never global)
+    "linear_interpolate_daily": (["Generate explode", "Window"], ["CartesianProduct", "BatchEvalPython"]),
 }
 
 

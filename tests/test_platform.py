@@ -1,9 +1,11 @@
 """Platform test: the whole CDC system running CONCURRENTLY — one WAL
-ingest feeding a fact table while four live downstream consumers tail
-its change feed (SCD2 history, additive rollup, dim enrichment, and a
-materialized chunk transform), all on one SparkSession — then every
-table is verified against an independent oracle. The system-level analog of the reference's multi-pipeline
-manager (/root/reference/src/etl/manager.rs:76-102), with the part the
+ingest feeding a fact table while five live downstream consumers tail
+its change feed (SCD2 history, additive rollup, dim enrichment, a
+materialized chunk transform, and a bidirectional join materialization
+tailing BOTH the facts and the dim), all on one SparkSession — then
+every table is verified against an independent oracle. The system-level
+analog of the reference's multi-pipeline manager
+(/root/reference/src/etl/manager.rs:76-102), with the part the
 reference cannot do: each hop is exactly-once and replayable."""
 
 import time
@@ -23,6 +25,7 @@ from etl_rust_spark.lake.format import IceliteTable
 from etl_rust_spark.operators.apply import create_transcript_table, read_transcripts
 from etl_rust_spark.streaming.driver import ChangeFeedRollup, ChangelogIngest
 from etl_rust_spark.streaming.enrich import ChangeFeedEnrich
+from etl_rust_spark.streaming.join import ChangeFeedJoin
 from etl_rust_spark.streaming.scd2 import ChangeFeedScd2
 from etl_rust_spark.streaming.transform import ChangeFeedTransform
 from tests.conftest import assert_pdf_equal
@@ -105,10 +108,20 @@ def test_concurrent_pipelines_all_converge(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ck_trf"), transform=_chunks,
         name="plat_trf",
     )
+    ChangeFeedJoin.create_target(
+        spark, str(tmp_path / "joined"), facts_path, str(tmp_path / "dim"),
+        join_cols=["conv_id"], n_buckets=4,
+    )
+    jn = ChangeFeedJoin(
+        spark=spark, a_path=facts_path, b_path=str(tmp_path / "dim"),
+        table_path=str(tmp_path / "joined"),
+        checkpoint_dir=str(tmp_path / "ck_join"),
+        join_cols=["conv_id"], name="plat_join",
+    )
 
     facts = IceliteTable.load(spark, facts_path)
     queries = [ingest.start(), scd2.start(), roll.start(), enr.start(),
-               trf.start()]
+               trf.start(), jn.start()]
     try:
         deadline = time.monotonic() + 420
         feed_rows = None
@@ -140,7 +153,14 @@ def test_concurrent_pipelines_all_converge(spark, tmp_path):
                             .filter(~F.coalesce(F.col("__deleted"),
                                                 F.lit(False)))
                             .count())
-                        if enr_rows == n_keys and got_ch == want_ch:
+                        got_jn = (
+                            IceliteTable.load(spark, str(tmp_path / "joined"))
+                            .read()
+                            .filter(~F.coalesce(F.col("__deleted"),
+                                                F.lit(False)))
+                            .count())
+                        if (enr_rows == n_keys and got_ch == want_ch
+                                and got_jn == live_f.count()):
                             break
             except Exception:
                 pass  # pointer mid-swap during concurrent commits; retry
@@ -197,3 +217,21 @@ def test_concurrent_pipelines_all_converge(spark, tmp_path):
         .select("conv_id", "turn_idx", "chunk_idx", "chunk", "__lsn"))
     assert got_ch.exceptAll(want_ch).count() == 0
     assert want_ch.exceptAll(got_ch).count() == 0
+
+    # join target == facts live ⋈ dim (bidirectional view; static dim
+    # here, so it must agree with the enrich labels row-for-row)
+    dim_t = IceliteTable.load(spark, str(tmp_path / "dim"))
+    dim_live = dim_t.read()
+    if "__deleted" in dim_live.columns:
+        dim_live = dim_live.filter(
+            ~F.coalesce(F.col("__deleted"), F.lit(False)))
+    want_jn = live_f.join(
+        dim_live.select("conv_id", F.col("label").alias("label_b")),
+        "conv_id", "inner",
+    ).select("conv_id", "turn_idx", "text", "label_b")
+    got_jn = (
+        IceliteTable.load(spark, str(tmp_path / "joined")).read()
+        .filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
+        .select("conv_id", "turn_idx", "text", "label_b"))
+    assert got_jn.exceptAll(want_jn).count() == 0
+    assert want_jn.exceptAll(got_jn).count() == 0

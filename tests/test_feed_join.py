@@ -278,3 +278,68 @@ def test_random_workload_sweep_matches_recompute(spark, tmp_path):
         got = _state(IceliteTable.load(spark, str(tmp_path / "tgt")))
         want = _expected(a, b)
         assert got.equals(want), f"drain {drain}: \n{got}\nvs\n{want}"
+
+
+def test_sigkill_mid_join_then_restart_is_exactly_once(spark, tmp_path):
+    """OS-level crash recovery through the deployable CLI: a real
+    `feed-join` process is SIGKILLed while joined commits land, then the
+    IDENTICAL command reruns on the same checkpoint. The replay (pinned
+    snapshots + ledgered batch keys) must converge to
+    target == A ⋈ B live with unique batch keys and one run id across
+    the restart."""
+    import subprocess
+    import sys
+    import time as _time
+
+    a, b = _mk_sources(spark, tmp_path)
+    _mk_target(spark, tmp_path)
+    for i in range(6):
+        _merge(spark, a, A_SCHEMA,
+               [(f"u{j}", f"plan{i}", i * 10 + 1) for j in range(8)],
+               f"a{i}")
+        _merge(spark, b, B_SCHEMA,
+               [(f"u{j}", f"o{i}", 100 * i + j, i * 10 + 2)
+                for j in range(8)],
+               f"b{i}")
+
+    repo = str(__import__("pathlib").Path(__file__).resolve().parents[1])
+    cmd = [
+        sys.executable, "-m", "etl_rust_spark", "feed-join",
+        "--a", str(tmp_path / "a"), "--b", str(tmp_path / "b"),
+        "--table", str(tmp_path / "tgt"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--on", "user_id", "--n-buckets", "2",
+        "--max-commits-per-batch", "1",
+    ]
+    tgt = IceliteTable.load(spark, str(tmp_path / "tgt"))
+    proc = subprocess.Popen(
+        cmd, cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.PIPE
+    )
+    deadline = _time.monotonic() + 300
+    while _time.monotonic() < deadline:
+        try:
+            if tgt.current_seq() >= 2:
+                break
+        except Exception:
+            pass
+        if proc.poll() is not None:
+            out, err = proc.communicate()
+            raise AssertionError(
+                f"join finished before the kill: {err.decode()[-800:]}"
+            )
+        _time.sleep(0.05)
+    proc.kill()
+    proc.communicate(timeout=120)
+    assert proc.returncode != 0
+    killed_seq = tgt.current_seq()
+
+    rerun = subprocess.run(cmd, cwd=repo, capture_output=True, timeout=600)
+    assert rerun.returncode == 0, rerun.stderr.decode()[-1500:]
+    assert tgt.current_seq() > killed_seq
+
+    got = _state(tgt)
+    assert got.equals(_expected(a, b))
+    keys = [r["batch_key"] for r in tgt.lineage().select("batch_key").collect()
+            if r["batch_key"] is not None]
+    assert len(keys) == len(set(keys))
+    assert len({k.rsplit(":", 2)[1] for k in keys}) == 1  # one run id

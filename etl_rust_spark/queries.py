@@ -6810,6 +6810,71 @@ def linear_interpolate_daily(spark, sf_dir):
     )
 
 
+@query(
+    "weighted_median_quantity",
+    """
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS q,
+             CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS w
+      FROM lineitem),
+    h AS (SELECT flag, q, SUM(w) AS wsum FROM v GROUP BY 1, 2),
+    c AS (SELECT flag, q, wsum,
+            SUM(wsum) OVER (PARTITION BY flag ORDER BY q
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+            SUM(wsum) OVER (PARTITION BY flag) AS tot
+          FROM h)
+    SELECT flag,
+           CAST(MIN(CASE WHEN 2 * cumw >= tot THEN q END) AS BIGINT)
+             AS weighted_median_q_cents,
+           CAST(MAX(tot) AS BIGINT) AS total_weight_cents
+    FROM c GROUP BY 1
+    """,
+)
+def weighted_median_quantity(spark, sf_dir):
+    """Exact WEIGHTED median — the smallest quantity such that line items
+    at or below it carry at least half the revenue, per return flag (the
+    'what size ships half the money' statistic; revenue-weighting makes
+    it a different number from the plain median). The unweighted
+    percentile_disc machinery (rfm_segments) generalized to weights.
+
+    Integer-exact end to end: quantities and weights are DECIMAL-derived
+    cents, the cumulative weights are integer sums, and the half-mass
+    boundary uses the cross-multiplied ``2*cumw >= tot`` test — no
+    division, no float, no interpolation, so ties resolve identically in
+    both engines.
+
+    Scale: the fact table collapses to a per-(flag, quantity) weight
+    HISTOGRAM first (map-side combined); the cumulative window runs over
+    DISTINCT quantity values within each flag partition — the
+    heavy_hitter histogram-bounded argument, and partitioned besides.
+    Never a window over line items."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (_dec("l_quantity", 12, 2) * 100).cast("long").alias("q"),
+        (_dec("l_extendedprice") * 100).cast("long").alias("w"),
+    )
+    h = v.groupBy("flag", "q").agg(F.sum("w").alias("wsum"))
+    cum = Window.partitionBy("flag").orderBy("q").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy("flag")
+    c = h.select(
+        "flag",
+        "q",
+        F.sum("wsum").over(cum).alias("cumw"),
+        F.sum("wsum").over(tot).alias("tot"),
+    )
+    return c.groupBy("flag").agg(
+        F.min(F.when(2 * F.col("cumw") >= F.col("tot"), F.col("q")))
+        .cast("long")
+        .alias("weighted_median_q_cents"),
+        F.max("tot").cast("long").alias("total_weight_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-correctness window ordering (round-robin gate rotation)
 # ---------------------------------------------------------------------------

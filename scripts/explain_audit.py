@@ -163,6 +163,8 @@ CHECKS = {
     "degree_assortativity": (["partial_sum", "partial_count"], ["CartesianProduct", "BatchEvalPython", "Window"]),
     # spine explode + user-PARTITIONED neighbor windows (keyed, never global)
     "linear_interpolate_daily": (["Generate explode", "Window"], ["CartesianProduct", "BatchEvalPython"]),
+    # cumulation over the per-flag quantity HISTOGRAM (partitioned + bounded)
+    "weighted_median_quantity": (["partial_sum", "Window"], ["CartesianProduct", "BatchEvalPython"]),
 }
 
 

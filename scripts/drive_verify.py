@@ -199,6 +199,66 @@ got_ts = (
 assert got_ts == total_feed, (got_ts, total_feed)
 print("OK sinceTimestamp start", got_ts)
 
+# ---- round-5d: bidirectional join materialization (ChangeFeedJoin) ----
+from pyspark.sql import types as T  # noqa: E402
+
+from etl_rust_spark.streaming.join import ChangeFeedJoin  # noqa: E402
+
+ja, jb = os.path.join(root, "ja"), os.path.join(root, "jb")
+jt, jck = os.path.join(root, "jt"), os.path.join(root, "jck")
+a_schema = T.StructType([
+    T.StructField("user_id", T.StringType()),
+    T.StructField("plan", T.StringType()),
+    T.StructField("lsn", T.LongType()),
+])
+b_schema = T.StructType([
+    T.StructField("user_id", T.StringType()),
+    T.StructField("order_id", T.StringType()),
+    T.StructField("amount", T.LongType()),
+    T.StructField("lsn", T.LongType()),
+])
+a_t = IceliteTable.create(
+    spark, ja, a_schema, key_cols=["user_id"], bucket_key="user_id",
+    n_buckets=2, order_cols=["user_id"], seq_col="lsn")
+b_t = IceliteTable.create(
+    spark, jb, b_schema, key_cols=["user_id", "order_id"],
+    bucket_key="user_id", n_buckets=2,
+    order_cols=["user_id", "order_id"], seq_col="lsn")
+a_t.merge(spark.createDataFrame(
+    [("u1", "free", 1), ("u2", "pro", 1)], a_schema
+).withColumn("op", F.lit("U")), batch_key="ja1", seq_col="lsn", mode="mor")
+b_t.merge(spark.createDataFrame(
+    [("u1", "o1", 10, 1), ("u2", "o2", 20, 1), ("u9", "ox", 0, 1)], b_schema
+).withColumn("op", F.lit("U")), batch_key="jb1", seq_col="lsn", mode="mor")
+ChangeFeedJoin.create_target(spark, jt, ja, jb, join_cols=["user_id"],
+                             n_buckets=2)
+jn = ChangeFeedJoin(spark=spark, a_path=ja, b_path=jb, table_path=jt,
+                    checkpoint_dir=jck, join_cols=["user_id"])
+jn.run_available()
+jt_t = IceliteTable.load(spark, jt)
+live_j = jt_t.read()
+if "__deleted" in live_j.columns:
+    live_j = live_j.filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
+rows_j = {(r["user_id"], r["order_id_b"], r["plan"], r["amount_b"])
+          for r in live_j.collect()}
+assert rows_j == {("u1", "o1", "free", 10), ("u2", "o2", "pro", 20)}, rows_j
+seq_j = jt_t.current_seq()
+jn.run_available()  # nothing new: metadata no-op
+assert jt_t.current_seq() == seq_j
+# B-side delete shrinks; late A insert back-fills — bidirectional
+b_t.merge(spark.createDataFrame([("u2", "o2", 0, 2)], b_schema)
+          .withColumn("op", F.lit("U"))
+          .withColumn("__deleted", F.lit(True)),
+          batch_key="jb2", seq_col="lsn", mode="mor")
+a_t.merge(spark.createDataFrame([("u9", "new", 2)], a_schema)
+          .withColumn("op", F.lit("U")), batch_key="ja2",
+          seq_col="lsn", mode="mor")
+jn.run_available()
+live_j = jt_t.read().filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
+rows_j = {(r["user_id"], r["order_id_b"]) for r in live_j.collect()}
+assert rows_j == {("u1", "o1"), ("u9", "ox")}, rows_j
+print("OK feed-join bidirectional", sorted(rows_j))
+
 shutil.rmtree(root, ignore_errors=True)
 print("DRIVE VERIFY: ALL OK")
 sys.exit(0)

@@ -6875,6 +6875,84 @@ def weighted_median_quantity(spark, sf_dir):
     )
 
 
+@query(
+    "bellman_ford_distances",
+    """
+    WITH edges AS (
+      SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst,
+             1 + (l_suppkey + l_partkey) % 7 AS w
+      FROM lineitem),
+    und AS (SELECT src, dst, w FROM edges
+            UNION ALL SELECT dst AS src, src AS dst, w FROM edges),
+    d0 AS (SELECT MIN(src) AS node, CAST(0 AS BIGINT) AS dist
+           FROM und WHERE src % 2 = 0),
+    r1 AS (SELECT node, MIN(dist) AS dist FROM (
+             SELECT node, dist FROM d0
+             UNION ALL
+             SELECT u.dst AS node, d.dist + u.w AS dist
+             FROM und u JOIN d0 d ON u.src = d.node) GROUP BY 1),
+    r2 AS (SELECT node, MIN(dist) AS dist FROM (
+             SELECT node, dist FROM r1
+             UNION ALL
+             SELECT u.dst AS node, d.dist + u.w AS dist
+             FROM und u JOIN r1 d ON u.src = d.node) GROUP BY 1),
+    r3 AS (SELECT node, MIN(dist) AS dist FROM (
+             SELECT node, dist FROM r2
+             UNION ALL
+             SELECT u.dst AS node, d.dist + u.w AS dist
+             FROM und u JOIN r2 d ON u.src = d.node) GROUP BY 1)
+    SELECT node, CAST(dist AS BIGINT) AS dist FROM r3
+    """,
+)
+def bellman_ford_distances(spark, sf_dir):
+    """Weighted single-source shortest paths, 3 Bellman-Ford relaxation
+    rounds from the lowest-id supplier over the supplier<->part graph
+    with deterministic integer edge weights (1 + (s+p) mod 7) — the
+    min-plus-semiring iteration class, the third propagation pattern
+    next to PageRank (sum-combine) and BFS (unweighted hop counts).
+    After round k every node reachable within k edges carries its exact
+    shortest <=k-edge distance (the standard Bellman-Ford invariant);
+    the output is DEFINED as the 3-round state, so the result is closed
+    under the documented computation in both engines.
+
+    All-integer: weights, sums, and the min-combine are BIGINT ops —
+    nothing to round, hashes exact.
+
+    Scale: each round is one keyed equi join (frontier distances x
+    edges) plus a map-side-combined MIN agg — the textbook distributed
+    Bellman-Ford step; unbounded variants loop the same step driver-side
+    with a changed-row convergence check (dedup_clusters' pattern)."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+        (1 + (F.col("l_suppkey") + F.col("l_partkey")) % 7).alias("w"),
+    ).distinct()
+    und = edges.unionAll(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    dist = (
+        und.filter(F.col("src") % 2 == 0)
+        .agg(F.min("src").alias("node"))
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    for _ in range(3):
+        relax = und.join(
+            dist.withColumnRenamed("node", "src"), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.select("node", F.col("dist").cast("long").alias("dist"))
+
+
 # ---------------------------------------------------------------------------
 # driver-correctness window ordering (round-robin gate rotation)
 # ---------------------------------------------------------------------------

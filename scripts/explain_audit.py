@@ -165,6 +165,8 @@ CHECKS = {
     "linear_interpolate_daily": (["Generate explode", "Window"], ["CartesianProduct", "BatchEvalPython"]),
     # cumulation over the per-flag quantity HISTOGRAM (partitioned + bounded)
     "weighted_median_quantity": (["partial_sum", "Window"], ["CartesianProduct", "BatchEvalPython"]),
+    # min-plus relaxation rounds: keyed joins + map-side-combined MIN aggs
+    "bellman_ford_distances": (["partial_min"], ["CartesianProduct", "BatchEvalPython", "Window"]),
 }
 
 

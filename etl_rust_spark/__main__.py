@@ -334,7 +334,7 @@ def cmd_feed_join(args) -> int:
     pipe = ChangeFeedJoin(
         spark=spark, a_path=args.a, b_path=args.b, table_path=args.table,
         checkpoint_dir=args.checkpoint, join_cols=join_cols,
-        suffix=args.suffix, name=args.name,
+        suffix=args.suffix, name=args.name, how=args.how,
         max_commits_per_batch=args.max_commits_per_batch,
     )
     if args.follow:
@@ -743,6 +743,8 @@ def build_parser() -> argparse.ArgumentParser:
                          "them)")
     fj.add_argument("--suffix", default="_b",
                     help="suffix for B's non-join columns in the target")
+    fj.add_argument("--how", default="inner", choices=["inner", "left"],
+                    help="left keeps unmatched A rows with NULL B payload")
     fj.add_argument("--name", default="feed_join")
     fj.add_argument("--n-buckets", type=int, default=32)
     fj.add_argument("--max-commits-per-batch", type=int, default=None)

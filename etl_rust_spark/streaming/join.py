@@ -17,7 +17,10 @@ source, /root/reference/src/etl/manager.rs:76-102; joining their
 outputs is left to the reader there.)
 
 Semantics: at quiescence ``target ≡ A.live ⋈ B.live`` on the join
-columns. Each micro-batch:
+columns (``how="left"`` keeps unmatched A rows with NULL B payload —
+one NULL-subkey row per A key, replaced in place when a B match lands
+and restored when the match is deleted; the same group-replacement rule
+covers both directions). Each micro-batch:
 
 1. the batch (a UNION of both tables' change feeds, projected to the
    join columns — tombstones carry them because the join columns must
@@ -98,6 +101,7 @@ class ChangeFeedJoin:
     join_cols: tuple[str, ...] | list[str] = ()
     suffix: str = "_b"
     name: str = "feed_join"
+    how: str = "inner"
     max_commits_per_batch: int | None = None
     key_prune_threshold: int = 10_000
 
@@ -155,6 +159,12 @@ class ChangeFeedJoin:
         jc = list(self.join_cols)
         if not jc:
             raise ValueError("ChangeFeedJoin requires join_cols")
+        if self.how not in ("inner", "left"):
+            raise ValueError(
+                f"how must be 'inner' or 'left', got {self.how!r} — "
+                "'left' keeps unmatched A rows with NULL B payload (a "
+                "NULL-subkey row per A key, replaced when a match lands)"
+            )
         a_types = {f.name: f.dataType for f in a.schema.fields}
         b_types = {f.name: f.dataType for f in b.schema.fields}
         for c in jc:
@@ -280,7 +290,7 @@ class ChangeFeedJoin:
                 ],
             )
             derived = (
-                a_sel.join(b_sel, on=jc, how="inner")
+                a_sel.join(b_sel, on=jc, how=self.how)
                 .join(keys_df, on=jc, how="left_semi")
                 .withColumn(tseq, F.lit(seq_val).cast("long"))
                 .select(*tkeys, tseq, *payload)

@@ -343,3 +343,60 @@ def test_sigkill_mid_join_then_restart_is_exactly_once(spark, tmp_path):
             if r["batch_key"] is not None]
     assert len(keys) == len(set(keys))
     assert len({k.rsplit(":", 2)[1] for k in keys}) == 1  # one run id
+
+
+def test_left_join_backfills_and_downgrades(spark, tmp_path):
+    """how='left': an A row with no B match materializes ONE NULL-subkey
+    row; a B match arriving later REPLACES it (upgrade); deleting the
+    match restores the NULL row (downgrade). Always equal to the batch
+    left-join recompute."""
+    a, b = _mk_sources(spark, tmp_path)
+    _mk_target(spark, tmp_path)
+    pipe = _pipe(spark, tmp_path, how="left")
+
+    def _expected_left():
+        ap = _live(a).select("user_id", "plan", "lsn").toPandas()
+        bp = (
+            _live(b)
+            .select(
+                "user_id",
+                F.col("order_id").alias("order_id_b"),
+                F.col("amount").alias("amount_b"),
+                F.col("lsn").alias("lsn_b"),
+            )
+            .toPandas()
+        )
+        out = ap.merge(bp, on="user_id", how="left")[OUT_COLS]
+        return (out.sort_values(["user_id", "order_id_b"])
+                .reset_index(drop=True))
+
+    _merge(spark, a, A_SCHEMA, [("u1", "free", 1), ("u2", "pro", 1)], "a1")
+    _merge(spark, b, B_SCHEMA, [("u1", "o1", 10, 1)], "b1")
+    pipe.run_available()
+    tgt = IceliteTable.load(spark, str(tmp_path / "tgt"))
+    got = (_live(tgt).select(*OUT_COLS).toPandas()
+           .sort_values(["user_id", "order_id_b"]).reset_index(drop=True))
+    assert len(got) == 2  # u1 matched, u2 as a NULL-subkey row
+    assert got[got.user_id == "u2"]["order_id_b"].isna().all()
+    assert got.equals(_expected_left())
+
+    # upgrade: u2 gains a B match — the NULL row must be replaced
+    _merge(spark, b, B_SCHEMA, [("u2", "o7", 70, 2)], "b2")
+    pipe.run_available()
+    got = (_live(tgt).select(*OUT_COLS).toPandas()
+           .sort_values(["user_id", "order_id_b"]).reset_index(drop=True))
+    assert list(got[got.user_id == "u2"]["order_id_b"]) == ["o7"]
+    assert got.equals(_expected_left())
+
+    # downgrade: deleting the match restores the NULL-subkey row
+    _merge(spark, b, B_SCHEMA, [("u2", "o7", 0, 3)], "b3", delete=True)
+    pipe.run_available()
+    got = (_live(tgt).select(*OUT_COLS).toPandas()
+           .sort_values(["user_id", "order_id_b"]).reset_index(drop=True))
+    assert got[got.user_id == "u2"]["order_id_b"].isna().all()
+    assert len(got[got.user_id == "u2"]) == 1
+    assert got.equals(_expected_left())
+
+    # invalid mode fails fast
+    with pytest.raises(ValueError, match="inner.*left|left.*inner"):
+        _pipe(spark, tmp_path, ck="ck_bad", how="full").start()

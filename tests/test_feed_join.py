@@ -241,14 +241,16 @@ def test_validations_fail_fast(spark, tmp_path):
         )
 
 
-def test_random_workload_sweep_matches_recompute(spark, tmp_path):
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_random_workload_sweep_matches_recompute(spark, tmp_path, how):
     """Seeded random interleaving of upserts/deletes on BOTH sides with
     out-of-order lsns, drained at random points — the target must equal
-    the batch join recompute at every quiescence."""
+    the batch join recompute at every quiescence, in BOTH join modes
+    (left mode adds the NULL-subkey row lifecycle to the state space)."""
     rng = random.Random(77)
     a, b = _mk_sources(spark, tmp_path)
     _mk_target(spark, tmp_path)
-    pipe = _pipe(spark, tmp_path)
+    pipe = _pipe(spark, tmp_path, how=how)
     users = [f"u{i}" for i in range(6)]
     orders = [f"o{i}" for i in range(4)]
     lsns = rng.sample(range(1, 500), 36)  # unique, shuffled: late data
@@ -276,7 +278,22 @@ def test_random_workload_sweep_matches_recompute(spark, tmp_path):
                        f"wb{bkey}", delete=True)
         pipe.run_available()
         got = _state(IceliteTable.load(spark, str(tmp_path / "tgt")))
-        want = _expected(a, b)
+        ap = _live(a).select("user_id", "plan", "lsn").toPandas()
+        bp = (
+            _live(b)
+            .select(
+                "user_id",
+                F.col("order_id").alias("order_id_b"),
+                F.col("amount").alias("amount_b"),
+                F.col("lsn").alias("lsn_b"),
+            )
+            .toPandas()
+        )
+        want = (
+            ap.merge(bp, on="user_id", how=how)[OUT_COLS]
+            .sort_values(["user_id", "order_id_b"])
+            .reset_index(drop=True)
+        )
         assert got.equals(want), f"drain {drain}: \n{got}\nvs\n{want}"
 
 

@@ -417,3 +417,49 @@ def test_left_join_backfills_and_downgrades(spark, tmp_path):
     # invalid mode fails fast
     with pytest.raises(ValueError, match="inner.*left|left.*inner"):
         _pipe(spark, tmp_path, ck="ck_bad", how="full").start()
+
+
+def test_join_survives_source_compaction_and_delete_where(spark, tmp_path):
+    """Maintenance interplay: compacting a source mid-stream is INVISIBLE
+    to the join view (the feed skips compaction commits; pinned
+    time-travel reads resolve against the folded layout), and a
+    delete_where purge on a source flows through the feed as ordinary
+    deletes — the GDPR path reaches derived tables."""
+    a, b = _mk_sources(spark, tmp_path)
+    _mk_target(spark, tmp_path)
+    pipe = _pipe(spark, tmp_path)
+    for i in range(1, 4):
+        _merge(spark, a, A_SCHEMA,
+               [(f"u{j}", f"p{i}", i) for j in range(4)], f"a{i}")
+        _merge(spark, b, B_SCHEMA,
+               [(f"u{j}", f"o{i}", 10 * i + j, i) for j in range(4)],
+               f"b{i}")
+    pipe.run_available()
+    tgt = IceliteTable.load(spark, str(tmp_path / "tgt"))
+    assert _state(tgt).equals(_expected(a, b))
+
+    # fold A's accumulated micro-batch files; the feed must NOT re-fire
+    seq_before = tgt.current_seq()
+    a.compact()
+    pipe.run_available()
+    assert tgt.current_seq() == seq_before  # compaction invisible
+    assert _state(tgt).equals(_expected(a, b))
+
+    # GDPR purge on A: tombstones ride the feed into the join view
+    assert a.delete_where(
+        [("user_id", "=", "u1")], batch_key="purge-u1"
+    ) is not None
+    pipe.run_available()
+    got = _state(tgt)
+    assert "u1" not in set(got["user_id"])
+    assert got.equals(_expected(a, b))
+
+    # and on B: only the purged orders vanish, other orders stay
+    assert b.delete_where(
+        [("order_id", "=", "o2")], batch_key="purge-o2"
+    ) is not None
+    pipe.run_available()
+    got = _state(tgt)
+    assert "o2" not in set(got["order_id_b"])
+    assert len(got) > 0
+    assert got.equals(_expected(a, b))

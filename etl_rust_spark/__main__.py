@@ -335,6 +335,7 @@ def cmd_feed_join(args) -> int:
         spark=spark, a_path=args.a, b_path=args.b, table_path=args.table,
         checkpoint_dir=args.checkpoint, join_cols=join_cols,
         suffix=args.suffix, name=args.name, how=args.how,
+        shard=args.shard,
         max_commits_per_batch=args.max_commits_per_batch,
     )
     if args.follow:
@@ -745,6 +746,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="suffix for B's non-join columns in the target")
     fj.add_argument("--how", default="inner", choices=["inner", "left"],
                     help="left keeps unmatched A rows with NULL B payload")
+    fj.add_argument("--shard", default=None,
+                    help='consumer shard "i/k" — requires both sources '
+                         "bucketed on the same join column with equal "
+                         "n_buckets")
     fj.add_argument("--name", default="feed_join")
     fj.add_argument("--n-buckets", type=int, default=32)
     fj.add_argument("--max-commits-per-batch", type=int, default=None)

@@ -102,6 +102,7 @@ class ChangeFeedJoin:
     suffix: str = "_b"
     name: str = "feed_join"
     how: str = "inner"
+    shard: str | None = None
     max_commits_per_batch: int | None = None
     key_prune_threshold: int = 10_000
 
@@ -205,6 +206,26 @@ class ChangeFeedJoin:
             )
         if not tptr.get("seq_col"):
             raise ValueError("target must declare a seq_col (__pair_seq)")
+        if self.shard is not None:
+            # a sharded consumer must OWN each key on both legs: the
+            # source shard filter is bucket % k on each table's own
+            # bucketing, so the legs agree iff they bucket on the same
+            # join column with the same bucket count (same hash, same
+            # bucket id, same shard). Disjoint key ownership also makes
+            # concurrent shard writers commute on the target (append
+            # rebase, never the same key from two shards).
+            if (
+                aptr["bucket_key"] != bptr["bucket_key"]
+                or aptr["n_buckets"] != bptr["n_buckets"]
+            ):
+                raise ValueError(
+                    "sharded feed-join requires BOTH sources bucketed on "
+                    "the same join column with the same n_buckets "
+                    f"(A: {aptr['bucket_key']}/{aptr['n_buckets']}, "
+                    f"B: {bptr['bucket_key']}/{bptr['n_buckets']}) — "
+                    "otherwise a key's changes land in different shards "
+                    "per leg and no consumer owns it"
+                )
         expected = list(aptr["key_cols"]) + [
             _b_name(k, self.suffix)
             for k in bptr["key_cols"]
@@ -331,6 +352,8 @@ class ChangeFeedJoin:
                 r = r.option(
                     "maxCommitsPerBatch", str(self.max_commits_per_batch)
                 )
+            if self.shard is not None:
+                r = r.option("shard", self.shard)
             return r.load().select(*jc)
 
         return (

@@ -463,3 +463,57 @@ def test_join_survives_source_compaction_and_delete_where(spark, tmp_path):
     assert "o2" not in set(got["order_id_b"])
     assert len(got) > 0
     assert got.equals(_expected(a, b))
+
+
+def test_sharded_consumers_partition_the_join(spark, tmp_path):
+    """shard='i/k': two consumers with disjoint bucket ownership maintain
+    ONE target between them — together they cover every key exactly
+    once (final state == full recompute), and a re-run of either shard
+    is a metadata no-op. Requires both sources bucketed on the same
+    join column with equal n_buckets (validated fail-fast otherwise)."""
+    a, b = _mk_sources(spark, tmp_path)
+    _mk_target(spark, tmp_path)
+    for i in range(1, 4):
+        _merge(spark, a, A_SCHEMA,
+               [(f"u{j}", f"p{i}", i) for j in range(6)], f"a{i}")
+        _merge(spark, b, B_SCHEMA,
+               [(f"u{j}", f"o{i}", 10 * i + j, i) for j in range(6)],
+               f"b{i}")
+    _merge(spark, a, A_SCHEMA, [("u3", "", 9)], "adel", delete=True)
+
+    s0 = _pipe(spark, tmp_path, ck="ck_s0", shard="0/2")
+    s1 = _pipe(spark, tmp_path, ck="ck_s1", shard="1/2")
+    s0.run_available()
+    s1.run_available()
+    tgt = IceliteTable.load(spark, str(tmp_path / "tgt"))
+    got = _state(tgt)
+    assert got.equals(_expected(a, b))
+    assert len(got) > 0
+
+    # each shard re-run is a no-op
+    seq = tgt.current_seq()
+    s0.run_available()
+    s1.run_available()
+    assert tgt.current_seq() == seq
+
+    # incremental change lands only through its owning shard, but after
+    # both drain the target equals the recompute again
+    _merge(spark, b, B_SCHEMA, [("u0", "o1", 999, 11)], "bup")
+    s0.run_available()
+    s1.run_available()
+    assert _state(tgt).equals(_expected(a, b))
+
+    # mismatched bucketing refuses to shard
+    IceliteTable.create(
+        spark, str(tmp_path / "b4"), B_SCHEMA,
+        key_cols=["user_id", "order_id"], bucket_key="user_id",
+        n_buckets=4, order_cols=["user_id", "order_id"], seq_col="lsn",
+    )
+    p = ChangeFeedJoin(
+        spark=spark, a_path=str(tmp_path / "a"),
+        b_path=str(tmp_path / "b4"), table_path=str(tmp_path / "tgt"),
+        checkpoint_dir=str(tmp_path / "ck_bad"), join_cols=["user_id"],
+        shard="0/2",
+    )
+    with pytest.raises(ValueError, match="sharded feed-join requires"):
+        p.start()

@@ -6953,6 +6953,108 @@ def bellman_ford_distances(spark, sf_dir):
     return dist.select("node", F.col("dist").cast("long").alias("dist"))
 
 
+@query(
+    "linear_attribution",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events),
+    w AS (
+      SELECT user_id, event_id, event_type, t,
+             first_value(CASE WHEN event_type = 'purchase'
+                              THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS conv_id,
+             first_value(CASE WHEN event_type = 'purchase'
+                              THEN cents END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS conv_cents
+      FROM e),
+    touches AS (
+      SELECT user_id, event_id, event_type, t, conv_id, conv_cents
+      FROM w WHERE event_type <> 'purchase' AND conv_id IS NOT NULL),
+    j AS (
+      SELECT event_type, conv_cents,
+             COUNT(*) OVER (PARTITION BY user_id, conv_id) AS n,
+             ROW_NUMBER() OVER (PARTITION BY user_id, conv_id
+                                ORDER BY t, event_id) AS rn
+      FROM touches)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM((conv_cents * 1000000) // n
+                    + CASE WHEN rn = 1
+                           THEN (conv_cents * 1000000) % n ELSE 0 END)
+                AS BIGINT) AS credited_micros
+    FROM j GROUP BY 1
+    """,
+)
+def linear_attribution(spark, sf_dir):
+    """Multi-touch LINEAR attribution — each purchase's value is split
+    equally across every touch (non-purchase event) since the user's
+    previous purchase, and the report totals credit per touch type (the
+    marketing-analytics shape first-touch/last-touch/linear models share;
+    this is the linear one, the hardest to make exact because of the
+    division).
+
+    Exact integer credit-splitting: the purchase value in MICRO-cents
+    integer-divides across the journey's n touches and the REMAINDER
+    goes to the journey's first touch — so every journey's credits sum
+    to exactly its purchase value and both engines agree bit-for-bit
+    (div/% on non-negative BIGINTs; an equal-share double would be a
+    rounding lottery). Total conservation is the property auditors
+    actually check on attribution reports.
+
+    Scale: journey assignment is one user-partitioned forward-looking
+    window (first following purchase); per-journey size/rank windows are
+    keyed by (user, conversion). All shuffles keyed on user_id; the
+    report agg is map-side combined."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        _EPOCH("ts").alias("t"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    fwd = Window.partitionBy("user_id").orderBy("t", "event_id").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    is_conv = F.col("event_type") == "purchase"
+    w = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "t",
+        F.first(F.when(is_conv, F.col("event_id")), ignorenulls=True)
+        .over(fwd)
+        .alias("conv_id"),
+        F.first(F.when(is_conv, F.col("cents")), ignorenulls=True)
+        .over(fwd)
+        .alias("conv_cents"),
+    )
+    touches = w.filter(
+        (F.col("event_type") != "purchase") & F.col("conv_id").isNotNull()
+    )
+    grp = Window.partitionBy("user_id", "conv_id")
+    rnw = grp.orderBy("t", "event_id")
+    j = touches.select(
+        "event_type",
+        "conv_cents",
+        F.count("*").over(grp).alias("n"),
+        F.row_number().over(rnw).alias("rn"),
+    )
+    credit = F.expr("(conv_cents * 1000000) div n") + F.when(
+        F.col("rn") == 1, F.expr("(conv_cents * 1000000) % n")
+    ).otherwise(F.lit(0))
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n_touches"),
+        F.sum(credit).cast("long").alias("credited_micros"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-correctness window ordering (round-robin gate rotation)
 # ---------------------------------------------------------------------------

@@ -167,6 +167,8 @@ CHECKS = {
     "weighted_median_quantity": (["partial_sum", "Window"], ["CartesianProduct", "BatchEvalPython"]),
     # min-plus relaxation rounds: keyed joins + map-side-combined MIN aggs
     "bellman_ford_distances": (["partial_min"], ["CartesianProduct", "BatchEvalPython", "Window"]),
+    # journey windows are user-/(user,conv)-partitioned; report agg map-side
+    "linear_attribution": (["Window", "partial_count"], ["CartesianProduct", "BatchEvalPython"]),
 }
 
 

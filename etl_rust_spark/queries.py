@@ -7055,6 +7055,88 @@ def linear_attribution(spark, sf_dir):
     )
 
 
+@query(
+    "order_reconciliation",
+    """
+    WITH lines AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(round(
+               CAST(l_extendedprice AS DECIMAL(14,2))
+               * (1 + CAST(l_tax AS DECIMAL(5,4)))
+               * (1 - CAST(l_discount AS DECIMAL(5,4))), 2)
+               * 100 AS BIGINT)) AS BIGINT) AS actual_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1),
+    r AS (
+      SELECT o.o_orderkey AS orderkey,
+             CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+               AS expected_cents,
+             COALESCE(l.actual_cents, 0) AS actual_cents,
+             COALESCE(l.n_lines, 0) AS n_lines
+      FROM orders o LEFT JOIN lines l ON o.o_orderkey = l.l_orderkey)
+    SELECT orderkey, expected_cents, actual_cents, n_lines,
+           CAST(actual_cents - expected_cents AS BIGINT) AS diff_cents
+    FROM r
+    ORDER BY abs(actual_cents - expected_cents) DESC, orderkey
+    LIMIT 20
+    """,
+)
+def order_reconciliation(spark, sf_dir):
+    """Financial reconciliation audit — does each order header's total
+    match the invoice arithmetic over its lines (price x (1+tax) x
+    (1-discount), rounded to cents per line, summed)? The
+    sum-consistency DQ class next to fk_integrity_audit's key
+    consistency: the top-20 worst discrepancies are the rows a billing
+    audit opens first, and orders with NO lines surface with
+    actual = 0.
+
+    Exactness: the per-line recomputation is pure DECIMAL
+    multiplication (exact) rounded to cents HALF-UP — identical on
+    positive decimals in both engines — then integer cents the rest of
+    the way; the discrepancy is a BIGINT subtraction. Per-line-then-sum
+    (not sum-then-round) is the standard invoice convention and also
+    the order-free one.
+
+    Scale: one map-side-combined keyed agg over lineitem, one keyed
+    join to orders, TakeOrdered(20) with a total (|diff| desc,
+    orderkey) tie-break."""
+    li = _t(spark, sf_dir, "lineitem")
+    line_cents = (
+        F.round(
+            _dec("l_extendedprice")
+            * (F.lit(1) + F.col("l_tax").cast("decimal(5,4)"))
+            * (F.lit(1) - F.col("l_discount").cast("decimal(5,4)")),
+            2,
+        )
+        * 100
+    ).cast("long")
+    lines = li.groupBy("l_orderkey").agg(
+        F.sum(line_cents).cast("long").alias("actual_cents"),
+        F.count("*").alias("n_lines"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("expected_cents"),
+    )
+    r = o.join(
+        lines.withColumnRenamed("l_orderkey", "orderkey"), "orderkey", "left"
+    ).select(
+        "orderkey",
+        "expected_cents",
+        F.coalesce(F.col("actual_cents"), F.lit(0)).alias("actual_cents"),
+        F.coalesce(F.col("n_lines"), F.lit(0)).cast("long").alias("n_lines"),
+        (
+            F.coalesce(F.col("actual_cents"), F.lit(0))
+            - F.col("expected_cents")
+        ).alias("diff_cents"),
+    )
+    return r.orderBy(
+        F.abs(F.col("diff_cents")).desc(), "orderkey"
+    ).limit(20)
+
+
 # ---------------------------------------------------------------------------
 # driver-correctness window ordering (round-robin gate rotation)
 # ---------------------------------------------------------------------------

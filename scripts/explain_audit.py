@@ -169,6 +169,8 @@ CHECKS = {
     "bellman_ford_distances": (["partial_min"], ["CartesianProduct", "BatchEvalPython", "Window"]),
     # journey windows are user-/(user,conv)-partitioned; report agg map-side
     "linear_attribution": (["Window", "partial_count"], ["CartesianProduct", "BatchEvalPython"]),
+    # keyed line agg + keyed header join + TakeOrdered(20)
+    "order_reconciliation": (["partial_sum", "TakeOrderedAndProject"], ["CartesianProduct", "BatchEvalPython", "Window"]),
 }
 
 

@@ -19,6 +19,8 @@ main.rs:641-706):
 - ``remove-orphans`` — delete crash debris no snapshot references
 - ``lineage``  — print the per-commit lineage ledger
 - ``changes``  — print the incremental change feed since a snapshot
+- ``delete-where`` / ``update-where`` — predicate delete / in-place
+                 rewrite as first-class CDC events (GDPR, redaction)
 
 On a real cluster, pass ``--master``/executor confs to spark-submit as
 usual; this module only configures job semantics.
@@ -372,6 +374,38 @@ def cmd_delete_where(args) -> int:
         print('{"deleted": 0}')
     else:
         print(_json.dumps({"deleted": rec["n_deletes"],
+                           "commit_seq": rec["commit_seq"]}))
+    return 0
+
+
+def cmd_update_where(args) -> int:
+    """Predicate update (backfill/redaction job): rewrite the matching
+    live rows in place via SET expressions evaluated against the old
+    row; updates flow to consumers via the change feed."""
+    import json as _json
+
+    from etl_rust_spark.lake.format import IceliteTable
+
+    caster = {
+        "string": str, "long": int, "double": float,
+        "ts": lambda v: v,  # ISO string; read() normalizes vs epoch stats
+    }[args.value_type]
+    assignments = {}
+    for s in args.set:
+        col, eq, expr = s.partition("=")
+        if not eq:
+            raise SystemExit(f"--set needs col=sql_expr, got {s!r}")
+        assignments[col.strip()] = expr.strip()
+    t = IceliteTable.load(_spark(args), args.table)
+    rec = t.update_where(
+        [(args.col, args.op, caster(args.value))],
+        assignments,
+        at_seq=args.at_seq, batch_key=args.batch_key,
+    )
+    if rec is None:
+        print('{"updated": 0}')
+    else:
+        print(_json.dumps({"updated": rec["n_upserts"],
                            "commit_seq": rec["commit_seq"]}))
     return 0
 
@@ -866,6 +900,29 @@ def build_parser() -> argparse.ArgumentParser:
     dw.add_argument("--batch-key", default=None,
                     help="exactly-once ledger key for the delete job")
     dw.set_defaults(fn=cmd_delete_where)
+
+    uw = sub.add_parser(
+        "update-where",
+        help="rewrite every live row matching a predicate via SET "
+             "expressions (backfill/redaction; updates flow through "
+             "the change feed)",
+    )
+    uw.add_argument("--table", required=True)
+    uw.add_argument("--col", required=True)
+    uw.add_argument("--op", default="=",
+                    choices=["=", "<", "<=", ">", ">="])
+    uw.add_argument("--value", required=True)
+    uw.add_argument("--value-type", default="string",
+                    choices=["string", "long", "double", "ts"])
+    uw.add_argument("--set", action="append", required=True,
+                    metavar="COL=SQL_EXPR",
+                    help="assignment evaluated against the OLD row "
+                         "(repeatable; simultaneous semantics)")
+    uw.add_argument("--at-seq", type=int, default=None,
+                    help="rewrite sequence (default: 1 + max matched seq)")
+    uw.add_argument("--batch-key", default=None,
+                    help="exactly-once ledger key for the update job")
+    uw.set_defaults(fn=cmd_update_where)
 
     k = sub.add_parser("compact", help="fold delta files")
     k.add_argument("--table", required=True)

@@ -3185,6 +3185,117 @@ class IceliteTable:
             source=source,
         )
 
+    def update_where(
+        self,
+        where: list,
+        set_exprs: dict,
+        at_seq: int | None = None,
+        batch_key: str | None = None,
+        source: str = "update_where",
+    ) -> dict | None:
+        """Predicate update as a first-class CDC event — Iceberg/Delta's
+        ``UPDATE t SET col = expr WHERE pred`` (the in-place backfill /
+        redaction job, e.g. masking PII without deleting the rows):
+        resolve the LIVE rows matching ``where`` (same file-pruned,
+        MoR-safe read as ``read(where=...)``), evaluate the SET
+        expressions against the OLD row (simultaneous assignment — a
+        swap ``{"a": "b", "b": "a"}`` is well-defined), and commit the
+        rewritten winners as a normal merge-on-read append. O(matching
+        slice) read + O(matched rows) write, never a table rewrite; the
+        updates flow to every downstream consumer through the change
+        feed like any other change, which a compaction-style rewrite
+        would hide (the same feed-visibility argument as
+        ``delete_where``).
+
+        ``set_exprs`` maps column name → SQL expression string (or a
+        pyspark Column), evaluated per matched row and cast back to the
+        column's existing type. Key columns, ``seq_col``, and the
+        tombstone flag cannot be assigned; target columns must already
+        exist (schema evolution is ``merge``'s job). Tombstoned keys
+        are never matched — an UPDATE does not resurrect deletes.
+
+        ``at_seq`` semantics mirror ``delete_where``: the rewritten
+        rows all carry it (default 1 + the max seq among matched rows,
+        which beats every matched winner), and any genuinely later CDC
+        event still wins over the rewrite by the normal LWW rule. An
+        explicit ``at_seq`` lower than a matched key's current winner
+        loses for that key by design — the caller owns the seq domain.
+
+        Not supported on additive (``agg_cols``) tables — a key's
+        "current value" there is a fold over all partials, not a single
+        row; write compensating partials instead. Returns the commit
+        lineage record, or None if nothing matched / batch_key
+        replayed."""
+        ptr = self.pointer()
+        if ptr.get("agg_cols"):
+            raise ValueError(
+                "update_where is not supported on additive (agg_cols) "
+                "tables — a key's current value is a fold over all "
+                "partials, not a row; write compensating partials instead"
+            )
+        if not ptr.get("seq_col"):
+            raise ValueError("update_where requires a seq_col table")
+        if not set_exprs:
+            raise ValueError("update_where needs at least one assignment")
+        seq_col = ptr["seq_col"]
+        schema = T.StructType.fromJson(ptr["schema"])
+        types = {f.name: f.dataType for f in schema.fields}
+        banned = set(ptr["key_cols"]) | {seq_col, "__deleted"}
+        for c in set_exprs:
+            if c in banned:
+                raise ValueError(
+                    f"cannot assign {c!r} — key columns, the seq column, "
+                    "and the tombstone flag are identity, not payload"
+                )
+            if c not in types:
+                raise ValueError(
+                    f"unknown column {c!r} — update_where does not evolve "
+                    "the schema; merge a batch carrying the new column "
+                    "instead"
+                )
+        live = self.read(where=where)
+        if "__deleted" in live.columns:
+            live = live.filter(
+                ~F.coalesce(F.col("__deleted"), F.lit(False))
+            )
+        if at_seq is None:
+            top = live.agg(F.max(seq_col).alias("m")).collect()[0]["m"]
+            if top is None:
+                return None  # nothing matched
+            at_seq = int(top) + 1
+        elif live.isEmpty():
+            return None
+
+        def _assigned(name):
+            if name == seq_col:
+                return F.lit(int(at_seq)).cast(types[name]).alias(name)
+            if name == "__deleted":  # rewritten winners are live rows
+                return F.lit(False).alias(name)
+            e = set_exprs.get(name)
+            if e is None:
+                return F.col(name).alias(name)
+            e = F.expr(e) if isinstance(e, str) else e
+            return e.cast(types[name]).alias(name)
+
+        # __deleted / op may already be stored schema columns (transcript
+        # tables persist the tombstone flag) — emit each exactly once
+        extras = [
+            F.lit(False).alias("__deleted"),
+        ] if "__deleted" not in types else []
+        if "op" not in types:
+            extras.append(F.lit("U").alias("op"))
+        updated = live.select(
+            *[
+                F.lit("U").alias("op") if f.name == "op" else _assigned(f.name)
+                for f in schema.fields
+            ],
+            *extras,
+        )
+        return self.merge(
+            updated, batch_key=batch_key, seq_col=seq_col, mode="mor",
+            source=source,
+        )
+
     def expire_snapshots(self, keep_last: int = 2) -> list[str]:
         """Delete data files, manifests, and ledger chunks referenced only
         by expired snapshots — a pure manifest diff (no directory glob of

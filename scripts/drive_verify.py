@@ -86,6 +86,23 @@ assert got_dnf.exceptAll(want_dnf).count() == 0
 assert want_dnf.exceptAll(got_dnf).count() == 0
 print("OK DNF where", got_dnf.count())
 
+# update_where: in-place rewrite as a CDC event (round-5e); the
+# rewritten rows must land before the feed-replay probe below so the
+# replay covers the update commit too
+up_conv = got["conv_id"].iloc[2]
+n_up = table.read(where=[("conv_id", "=", up_conv)]).filter(
+    ~F.coalesce(F.col("__deleted"), F.lit(False))).count()
+rec_u = table.update_where(
+    [("conv_id", "=", up_conv)],
+    {"text": "concat('[R] ', text)"}, batch_key="uw-1")
+assert rec_u is not None and rec_u["n_upserts"] == n_up, (rec_u, n_up)
+upd = read_transcripts(table).filter(F.col("conv_id") == up_conv)
+assert upd.count() == n_up
+assert upd.filter(~F.col("text").startswith("[R] ")).count() == 0
+assert table.update_where([("conv_id", "=", up_conv)],
+                          {"text": "'x'"}, batch_key="uw-1") is None
+print("OK update_where rewrite", n_up)
+
 # change feed replay == live state
 ptr = table.pointer()
 feed = table.read_changes(0)

@@ -416,6 +416,48 @@ def test_parser_delete_where_subcommand():
         "delete-where", "ts", "<", "2024-01-01", "ts", 99)
 
 
+def test_cli_update_where_end_to_end(spark, tmp_path, capsys):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.__main__ import main
+    from etl_rust_spark.lake.format import IceliteTable
+
+    from etl_rust_spark.operators.apply import apply_changes, create_transcript_table
+
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=2)
+    ddl = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+           "text string, tool string, ts timestamp")
+    rows = [(i, "I", f"c{i % 2}", i, "user", f"t{i}", "", dt.datetime(2025, 1, 1))
+            for i in range(6)]
+    apply_changes(t, spark.createDataFrame(rows, ddl), batch_key="b0", mode="mor")
+    assert main([
+        "update-where", "--table", str(tmp_path / "t"),
+        "--col", "conv_id", "--value", "c0",
+        "--set", "text=upper(text)", "--set", "role='assistant'",
+        "--batch-key", "redact1",
+    ]) == 0
+    assert '"updated": 3' in capsys.readouterr().out
+    live = (IceliteTable.load(spark, str(tmp_path / "t")).read()
+            .filter(~F.coalesce(F.col("__deleted"), F.lit(False))))
+    c0 = live.filter(F.col("conv_id") == "c0").collect()
+    assert {r["text"] for r in c0} == {"T0", "T2", "T4"}
+    assert {r["role"] for r in c0} == {"assistant"}
+    c1 = live.filter(F.col("conv_id") == "c1").collect()
+    assert {r["text"] for r in c1} == {"t1", "t3", "t5"}
+    assert {r["role"] for r in c1} == {"user"}
+
+
+def test_parser_update_where_subcommand():
+    p = build_parser()
+    a = p.parse_args(["update-where", "--table", "/t", "--col", "conv_id",
+                      "--value", "c0", "--set", "text='x'",
+                      "--set", "role=tool", "--at-seq", "7"])
+    assert (a.cmd, a.col, a.value, a.set, a.at_seq) == (
+        "update-where", "conv_id", "c0", ["text='x'", "role=tool"], 7)
+
+
 def test_cli_scd2_end_to_end(spark, tmp_path, capsys):
     """Drive the SCD2 pipeline through the CLI arg path: history count
     printed, as-of read reconstructs the source state, re-run is a

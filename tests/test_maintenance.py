@@ -527,6 +527,104 @@ def test_delete_where_guards(spark, tmp_path):
         t.delete_where([("k", "=", "a")])
 
 
+def test_update_where_rewrites_rows_and_feeds_consumers(spark, tmp_path):
+    """Predicate update (UPDATE ... SET ... WHERE as a CDC event): the
+    rewritten winners land as a normal MoR commit — matched rows show
+    the new values, survivors untouched, the change feed delivers the
+    updates, SET expressions see the OLD row (simultaneous assignment),
+    and a genuinely later CDC event still beats the rewrite."""
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.operators.apply import read_transcripts
+
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(table, _batch(spark, "pii", 0, n=3), batch_key="b0", mode="mor")
+    apply_changes(table, _batch(spark, "ok", 100, n=2), batch_key="b1", mode="mor")
+
+    rec = table.update_where(
+        [("conv_id", "=", "pii")],
+        {"text": "concat('<redacted:', cast(length(text) as string), '>')"},
+        batch_key="redact1",
+    )
+    assert rec is not None and rec["n_upserts"] == 3 and rec["n_deletes"] == 0
+    got = read_transcripts(table)
+    assert got.count() == 5  # no rows added or removed
+    pii = {r["text"] for r in got.filter(F.col("conv_id") == "pii").collect()}
+    assert pii == {"<redacted:6>"}  # old text was 'pii tN' (6 chars)
+    ok = {r["text"] for r in got.filter(F.col("conv_id") == "ok").collect()}
+    assert ok == {"ok t0", "ok t1"}  # survivors byte-identical
+
+    # the feed carries the updates like any other change, as live rows
+    feed = table.read_changes(rec["commit_seq"] - 1, rec["commit_seq"])
+    assert feed.count() == 3
+    assert feed.filter(F.coalesce(F.col("__deleted"), F.lit(False))).count() == 0
+
+    # idempotent redelivery / nothing matched -> no commit
+    assert table.update_where(
+        [("conv_id", "=", "pii")], {"text": "'x'"}, batch_key="redact1"
+    ) is None
+    seq = table.current_seq()
+    assert table.update_where([("conv_id", "=", "nope")], {"text": "'x'"}) is None
+    assert table.current_seq() == seq
+
+    # simultaneous assignment: swapping two columns uses OLD values on
+    # both sides (role='user', tool='' before the swap)
+    table.update_where(
+        [("conv_id", "=", "ok")], {"role": "tool", "tool": "role"},
+        batch_key="swap1",
+    )
+    row = (
+        read_transcripts(table)
+        .filter((F.col("conv_id") == "ok") & (F.col("turn_idx") == 0))
+        .collect()[0]
+    )
+    assert row["role"] == "" and row["tool"] == "user"
+
+    # a later CDC event (higher lsn) beats the rewrite
+    apply_changes(table, _batch(spark, "pii", 500, n=1), batch_key="b2", mode="mor")
+    row = (
+        read_transcripts(table)
+        .filter((F.col("conv_id") == "pii") & (F.col("turn_idx") == 0))
+        .collect()[0]
+    )
+    assert row["text"] == "pii t0"
+
+
+def test_update_where_guards(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    from etl_rust_spark.operators.apply import read_transcripts
+
+    t = IceliteTable.create(
+        spark, str(tmp_path / "agg"),
+        T.StructType([
+            T.StructField("k", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("__lsn", T.LongType()),
+        ]),
+        key_cols=["k"], bucket_key="k", n_buckets=2, order_cols=["k"],
+        seq_col="__lsn", agg_cols={"n": "sum"},
+    )
+    with pytest.raises(ValueError, match="not supported on additive"):
+        t.update_where([("k", "=", "a")], {"n": "n + 1"})
+
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_changes(table, _batch(spark, "c0", 0, n=2), batch_key="b0", mode="mor")
+    with pytest.raises(ValueError, match="cannot assign"):
+        table.update_where([("conv_id", "=", "c0")], {"conv_id": "'x'"})
+    with pytest.raises(ValueError, match="cannot assign"):
+        table.update_where([("conv_id", "=", "c0")], {"__lsn": "0"})
+    with pytest.raises(ValueError, match="unknown column"):
+        table.update_where([("conv_id", "=", "c0")], {"nope": "'x'"})
+    with pytest.raises(ValueError, match="at least one assignment"):
+        table.update_where([("conv_id", "=", "c0")], {})
+
+    # an UPDATE never resurrects a tombstoned key
+    table.delete_where([("conv_id", "=", "c0")], batch_key="d0")
+    assert table.update_where([("conv_id", "=", "c0")], {"text": "'x'"}) is None
+    assert read_transcripts(table).count() == 0
+
+
 def test_compact_files_per_bucket_splits_without_zorder(spark, tmp_path):
     """Plain compaction with an explicit files_per_bucket splits each
     bucket into key-range files (file-size cap without a rebucket);

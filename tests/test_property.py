@@ -860,14 +860,15 @@ def maintenance_scripts(draw):
                     "expire",
                     "remove_orphans",
                     "delete_where",
+                    "update_where",
                     "rebucket",
                 ]
             )
         )
         if kind == "batch":
             script.append(("batch", batch_spec()))
-        elif kind == "delete_where":
-            script.append(("delete_where", draw(st.sampled_from(_MAINT_CONVS))))
+        elif kind in ("delete_where", "update_where"):
+            script.append((kind, draw(st.sampled_from(_MAINT_CONVS))))
         elif kind == "rebucket":
             script.append(("rebucket", draw(st.sampled_from([2, 8]))))
         else:
@@ -957,6 +958,46 @@ def test_maintenance_interleavings_preserve_live_state(
                             "text": None,
                             "tool": None,
                             "ts": pd.NaT,
+                        }
+                    )
+                lsn = max(lsn, t_lsn + 1)
+            check()
+        elif kind == "update_where":
+            # UPDATE ... SET text = text || '!' WHERE conv_id = arg: the
+            # engine rewrites the matched LIVE winners at max(matched
+            # winner lsn)+1; the model appends the same rewrite as
+            # ordinary 'U' events, so every downstream op (compaction,
+            # GC, delete_where stamping) sees it as plain history
+            live = expected()
+            matched = live[live.conv_id == arg] if len(live) else live
+            res = table.update_where(
+                [("conv_id", "=", arg)],
+                {"text": "concat(text, '!')"},
+                batch_key=f"uw{step}",
+            )
+            if len(matched) == 0:
+                assert res is None, "update_where matched nothing yet committed"
+            else:
+                keys = set(zip(matched.conv_id, matched.turn_idx))
+                t_lsn = (
+                    max(
+                        r["lsn"]
+                        for r in eff
+                        if (r["conv_id"], r["turn_idx"]) in keys
+                    )
+                    + 1
+                )
+                for _, m in matched.iterrows():
+                    eff.append(
+                        {
+                            "lsn": t_lsn,
+                            "op": "U",
+                            "conv_id": m["conv_id"],
+                            "turn_idx": np.int32(m["turn_idx"]),
+                            "role": m["role"],
+                            "text": None if m["text"] is None else m["text"] + "!",
+                            "tool": m["tool"],
+                            "ts": m["ts"],
                         }
                     )
                 lsn = max(lsn, t_lsn + 1)

@@ -378,6 +378,19 @@ def cmd_delete_where(args) -> int:
     return 0
 
 
+def cmd_clone(args) -> int:
+    """Snapshot export: one snapshot as a NEW independent table (hard-
+    linked data, ledger carried — restore-and-continue DR / dev fork)."""
+    from etl_rust_spark.lake.format import IceliteTable
+
+    t = IceliteTable.load(_spark(args), args.table)
+    src_seq = t.current_seq() if args.at_seq is None else args.at_seq
+    c = t.clone(args.dest, seq=args.at_seq)
+    print(f"cloned {args.table}@{src_seq} -> {args.dest} "
+          f"(clone seq {c.current_seq()})")
+    return 0
+
+
 def cmd_update_where(args) -> int:
     """Predicate update (backfill/redaction job): rewrite the matching
     live rows in place via SET expressions evaluated against the old
@@ -900,6 +913,18 @@ def build_parser() -> argparse.ArgumentParser:
     dw.add_argument("--batch-key", default=None,
                     help="exactly-once ledger key for the delete job")
     dw.set_defaults(fn=cmd_delete_where)
+
+    cl = sub.add_parser(
+        "clone",
+        help="export one snapshot as a new independent table "
+             "(hard-linked data + carried ledger; backup/DR/dev fork)",
+    )
+    cl.add_argument("--table", required=True)
+    cl.add_argument("--dest", required=True)
+    cl.add_argument("--at-seq", type=int, default=None,
+                    help="snapshot to export (default: current) — "
+                         "point-in-time restore")
+    cl.set_defaults(fn=cmd_clone)
 
     uw = sub.add_parser(
         "update-where",

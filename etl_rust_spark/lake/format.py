@@ -2066,7 +2066,8 @@ class IceliteTable:
             if rec is None or rec["source"] == "rollback":
                 break  # expired history / feed barrier: cannot span s
             if rec["source"] in (
-                "compact", "rebucket", "rename", "drop", "rewrite_manifests"
+                "compact", "rebucket", "rename", "drop",
+                "rewrite_manifests", "clone"
             ):
                 earliest = s - 1
                 continue
@@ -2117,7 +2118,8 @@ class IceliteTable:
                     "re-sync from a snapshot at or after the rollback"
                 )
             if rec["source"] in (
-                "compact", "rebucket", "rename", "drop", "rewrite_manifests"
+                "compact", "rebucket", "rename", "drop",
+                "rewrite_manifests", "clone"
             ):
                 continue  # rewrites / metadata-only: not changes
             if rec["files_removed"] > 0:
@@ -2835,6 +2837,142 @@ class IceliteTable:
             published += 1
         return {"branch": name, "fork_seq": fork, "tip_seq": tip,
                 "published": published}
+
+    def clone(self, dest_path: str, seq: int | None = None) -> "IceliteTable":
+        """Export one snapshot as a NEW independent table at ``dest_path``
+        — Delta's SHALLOW CLONE / Iceberg snapshot-export (public
+        semantics) re-expressed for the pointer model: the backup / DR /
+        dev-fork move ``create_branch`` does not cover, because a branch
+        lives inside the source's directory and shares its GC domain,
+        while a clone survives the source's retention, compaction, even
+        an ``rm -rf`` of the source tree.
+
+        Data files are HARD-LINKED into the clone (O(files) driver-side
+        metadata work like the rest of the metadata layer, zero bytes
+        moved on one filesystem; cross-device falls back to a real
+        copy). A link is immune to source-side compact/expire/GC —
+        unlinking only drops the refcount — and data files are immutable
+        by construction, so sharing them is safe. File entries carry
+        over VERBATIM (footer stats, delta/base kind, write-time
+        id→name maps) with only the path rewritten, so MoR folding,
+        stats pruning, and field-id resolution are byte-identical on
+        the clone.
+
+        The applied-batch ledger carries over too: the WAL feed that
+        was driving the source can resume against the clone without
+        re-applying delivered batches — restore-and-continue DR
+        (``seq=`` exports any retained snapshot, i.e. point-in-time
+        restore). History does NOT carry: the clone is born with one
+        commit holding the whole state, and that commit is a NON-change
+        source (``source='clone'``, skipped by ``read_changes`` and the
+        streaming source exactly like a compaction) because its files
+        can hold several versions of one key (carried MoR deltas) and
+        the feed contract is one winner per key per commit — downstream
+        consumers bootstrap from ``read()`` and tail from the clone's
+        seq 1, the standard CDC snapshot-bootstrap. The lineage record
+        keeps the origin path / seq / snapshot_id auditable. Tags and
+        branches are source-local and stay behind. Main-only."""
+        import shutil
+
+        self._require_main("clone")
+        t0 = time.monotonic()
+        ptr = self.pointer(seq)
+        dest = os.path.abspath(dest_path)
+        mdir = os.path.join(dest, _MANIFEST_DIR)
+        if os.path.isdir(mdir):
+            raise FileExistsError(f"Icelite table already exists: {dest}")
+        os.makedirs(mdir, exist_ok=True)
+        os.makedirs(os.path.join(dest, _LINEAGE_DIR), exist_ok=True)
+        ddir = os.path.join(dest, _DATA_DIR)
+        os.makedirs(ddir, exist_ok=True)
+
+        src_ddir = os.path.join(self.path, _DATA_DIR)
+        entries, rows = [], 0
+        for e in self._files(ptr):
+            # preserve the path UNDER the data dir: files live in
+            # commit-<seq>[-tok]/ dirs whose basenames collide across
+            # commits, and the uuid tokens keep carried dirs collision-
+            # free with the clone's own future commit dirs
+            rel = os.path.relpath(e["path"], src_ddir)
+            new_path = os.path.join(ddir, rel)
+            os.makedirs(os.path.dirname(new_path), exist_ok=True)
+            try:
+                os.link(e["path"], new_path)
+            except OSError:
+                shutil.copy2(e["path"], new_path)
+            ne = dict(e)
+            ne["path"] = new_path
+            entries.append(ne)
+            rows += int(e.get("rows") or 0)
+        entries.sort(key=lambda x: (x["bucket"], x["path"]))
+
+        base = {
+            k: ptr[k]
+            for k in (
+                "format_version", "schema", "key_cols", "bucket_key",
+                "n_buckets", "order_cols", "seq_col", "agg_cols",
+                "field_ids", "next_field_id",
+            )
+        }
+        # evolution/layout state the carried files depend on (dropped-
+        # column masking, z-order split hints) must travel with them
+        for k in ("legacy_cols", "zorder", "zorder_files_per_bucket"):
+            base[k] = ptr.get(k)
+        zero = dict(
+            base, seq=0, parent_seq=None, snapshot_id=str(uuid.uuid4()),
+            manifests=[], applied_tail={}, applied_archives=[],
+            applied_count=0, committed_at_epoch=time.time(),
+        )
+        _commit_pointer(mdir, 0, zero)
+
+        applied = self._applied(ptr)
+        if len(applied) <= _TAIL_MAX:
+            tail, archives = dict(applied), []
+        else:  # one immutable merged chunk, same shape _roll_ledger emits
+            name = "applied-00000001-clone.json"
+            _write_json(os.path.join(mdir, name), applied)
+            tail, archives = {}, [name]
+        per = 4096  # same default chunking as rewrite_manifests
+        n_chunks = max(1, -(-len(entries) // per))
+        manifests = []
+        for i in range(n_chunks):
+            chunk = entries[i * per : (i + 1) * per]
+            name = f"manifest-00000001-clone{i:04d}.json"
+            _write_json(os.path.join(mdir, name), chunk)
+            manifests.append({
+                "name": name,
+                "buckets": sorted({c["bucket"] for c in chunk}),
+                "n_files": len(chunk),
+            })
+        lineage_rec = {
+            "commit_seq": 1, "batch_key": None, "source": "clone",
+            "origin": {"path": self.path, "seq": ptr["seq"],
+                       "snapshot_id": ptr["snapshot_id"]},
+            "n_changes": rows, "n_upserts": rows, "n_deletes": 0,
+            "touched_buckets": sorted({c["bucket"] for c in entries}),
+            "files_added": len(entries), "files_removed": 0,
+            "rows_written": 0,
+            "wall_ms": round((time.monotonic() - t0) * 1000.0, 3),
+            "committed_at": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            ),
+        }
+        _write_json(
+            os.path.join(dest, _LINEAGE_DIR, "lineage-00000001.json"),
+            lineage_rec,
+        )
+        one = dict(
+            base, seq=1, parent_seq=0, snapshot_id=str(uuid.uuid4()),
+            manifests=manifests, applied_tail=tail,
+            applied_archives=archives, applied_count=len(applied),
+            committed_at_epoch=time.time(),
+            # v3 authoritative self-records: the change feed resolves a
+            # commit's added manifests and lineage through its pointer
+            lineage_file="lineage-00000001.json",
+            added_manifests=[m["name"] for m in manifests],
+        )
+        _commit_pointer(mdir, 1, one)
+        return IceliteTable(self.spark, dest)
 
     def rollback(self, to_seq: int) -> dict:
         """Restore the table to snapshot ``to_seq`` as a NEW commit

@@ -60,7 +60,7 @@ _LINEAGE_DIR = "_lineage"
 
 # lineage sources that rewrite or touch only metadata — never changes
 _NON_CHANGE_SOURCES = ("compact", "rebucket", "rename", "drop",
-                       "rewrite_manifests")
+                       "rewrite_manifests", "clone")
 
 
 # --------------------------------------------------------------------------

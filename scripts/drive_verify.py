@@ -171,6 +171,18 @@ pd.testing.assert_frame_equal(
 )
 print("OK files_per_bucket split: buckets split, reads identical")
 
+# clone: snapshot export to a new independent table (round-5e)
+cl = table.clone(os.path.join(root, "clone"))
+cl_live, src_live = cl.read(), table.read()
+assert cl_live.exceptAll(src_live).count() == 0
+assert src_live.exceptAll(cl_live).count() == 0
+assert cl.is_applied("mc-0")  # exactly-once ledger carried
+assert cl.read_changes(0).count() == 0  # non-change bootstrap commit
+n_cl = cl_live.count()
+table.compact()  # source-side maintenance is invisible to the clone
+assert cl.read().count() == n_cl
+print("OK clone export", n_cl)
+
 # rename is metadata-only; ingest after rename unions cleanly
 files_pre = sorted(e["path"] for e in table._files(table.pointer()))
 table.rename_column("text", "body")

@@ -449,6 +449,28 @@ def test_cli_update_where_end_to_end(spark, tmp_path, capsys):
     assert {r["role"] for r in c1} == {"user"}
 
 
+def test_cli_clone_end_to_end(spark, tmp_path, capsys):
+    import datetime as dt
+
+    from etl_rust_spark.__main__ import main
+    from etl_rust_spark.lake.format import IceliteTable
+    from etl_rust_spark.operators.apply import apply_changes, create_transcript_table
+
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=2)
+    ddl = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+           "text string, tool string, ts timestamp")
+    rows = [(i, "I", f"c{i % 2}", i, "user", f"t{i}", "", dt.datetime(2025, 1, 1))
+            for i in range(4)]
+    apply_changes(t, spark.createDataFrame(rows, ddl), batch_key="b0", mode="mor")
+    assert main([
+        "clone", "--table", str(tmp_path / "t"), "--dest", str(tmp_path / "c"),
+    ]) == 0
+    assert "clone seq 1" in capsys.readouterr().out
+    c = IceliteTable.load(spark, str(tmp_path / "c"))
+    assert c.read().count() == t.read().count() == 4
+    assert c.is_applied("b0")
+
+
 def test_parser_update_where_subcommand():
     p = build_parser()
     a = p.parse_args(["update-where", "--table", "/t", "--col", "conv_id",

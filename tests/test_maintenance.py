@@ -625,6 +625,103 @@ def test_update_where_guards(spark, tmp_path):
     assert read_transcripts(table).count() == 0
 
 
+def test_clone_exports_independent_table(spark, tmp_path):
+    """Shallow clone: one snapshot becomes a NEW independent table —
+    state equal (MoR deltas + tombstones carried verbatim), data files
+    hard-linked (zero copy), the exactly-once ledger carried so the
+    feed resumes without re-applying, and the clone survives source
+    compaction, expiry, GC, and even deletion of the source tree."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.operators.apply import read_transcripts
+
+    table = create_transcript_table(spark, str(tmp_path / "src"), n_buckets=4)
+    apply_changes(table, _batch(spark, "a", 0, n=3), batch_key="b0", mode="mor")
+    apply_changes(table, _batch(spark, "b", 100, n=2), batch_key="b1", mode="mor")
+    table.delete_where([("conv_id", "=", "b")], batch_key="d0")
+
+    dest = str(tmp_path / "clone")
+    c = table.clone(dest)
+    # state equal, including the tombstone winners (deltas uncompacted)
+    src_live, cl_live = table.read(), c.read()
+    assert src_live.exceptAll(cl_live).count() == 0
+    assert cl_live.exceptAll(src_live).count() == 0
+    assert {r["conv_id"] for r in read_transcripts(c).collect()} == {"a"}
+
+    # hard-linked, not copied: shared inodes
+    src_inodes = {os.stat(e["path"]).st_ino for e in table._files(table.pointer())}
+    cl_inodes = {os.stat(e["path"]).st_ino for e in c._files(c.pointer())}
+    assert cl_inodes == src_inodes
+
+    # exactly-once ledger carried: a replayed batch is a no-op on the clone
+    assert c.is_applied("b0") and c.is_applied("d0")
+    assert apply_changes(c, _batch(spark, "a", 0, n=3),
+                         batch_key="b0", mode="mor") is None
+
+    # the clone commit is a NON-change source (its files may hold many
+    # versions of one key): the feed skips it, consumers bootstrap from
+    # read() and tail from seq 1 — the standard CDC snapshot-bootstrap
+    assert c.earliest_changes_seq() == 0
+    assert c.read_changes(0).count() == 0
+    assert c.lineage().collect()[0]["source"] == "clone"
+
+    # point-in-time export of an older snapshot
+    c1 = table.clone(str(tmp_path / "pit"), seq=1)
+    old = table.read(seq=1)
+    assert c1.read().exceptAll(old).count() == 0
+    assert old.exceptAll(c1.read().select(*old.columns)).count() == 0
+
+    # clones diverge independently: new data lands on the clone only,
+    # and the feed from seq 1 delivers exactly that commit
+    apply_changes(c, _batch(spark, "z", 900, n=1), batch_key="b9", mode="mor")
+    assert c.read().count() == table.read().count() + 1
+    tail = c.read_changes(1)
+    assert tail.count() == 1
+    assert tail.collect()[0]["_commit_seq"] == 2
+
+    # clone survives source-side maintenance AND source deletion
+    before = read_transcripts(c).toPandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    table.compact()
+    table.expire_snapshots(keep_last=1)
+    table.remove_orphans(grace_sec=0)
+    shutil.rmtree(str(tmp_path / "src"))
+    after = read_transcripts(c).toPandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(before, after, check_dtype=False)
+
+    # refuse to clobber an existing table; clone is main-only
+    with pytest.raises(FileExistsError):
+        c.clone(dest)
+    c.create_branch("wip")
+    with pytest.raises(ValueError, match="MAIN ref only"):
+        c.branch_table("wip").clone(str(tmp_path / "nope"))
+
+    # additive tables clone too: carried partials keep folding
+    import pyspark.sql.types as T
+    agg = IceliteTable.create(
+        spark, str(tmp_path / "agg"),
+        T.StructType([
+            T.StructField("k", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("__lsn", T.LongType()),
+        ]),
+        key_cols=["k"], bucket_key="k", n_buckets=2, order_cols=["k"],
+        seq_col="__lsn", agg_cols={"n": "sum"},
+    )
+    for i in range(2):
+        agg.merge(
+            spark.createDataFrame([("x", 5, i + 1)], "k string, n long, __lsn long")
+            .withColumn("op", F.lit("U")),
+            batch_key=f"p{i}", seq_col="__lsn", mode="mor",
+        )
+    ac = agg.clone(str(tmp_path / "aggclone"))
+    assert [(r["k"], r["n"]) for r in ac.read().collect()] == [("x", 10)]
+
+
 def test_compact_files_per_bucket_splits_without_zorder(spark, tmp_path):
     """Plain compaction with an explicit files_per_bucket splits each
     bucket into key-range files (file-size cap without a rebucket);

@@ -7137,6 +7137,389 @@ def order_reconciliation(spark, sf_dir):
     ).limit(20)
 
 
+@query(
+    "survival_reorder_km",
+    """
+    WITH ranked AS (
+      SELECT o_custkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    span AS (
+      SELECT o_custkey,
+             MAX(CASE WHEN rn = 1 THEN o_orderdate END) AS f,
+             MAX(CASE WHEN rn = 2 THEN o_orderdate END) AS s
+      FROM ranked WHERE rn <= 2 GROUP BY o_custkey
+    ),
+    durs AS (
+      SELECT CASE WHEN s IS NOT NULL THEN date_diff('day', f, s)
+                  ELSE date_diff('day', f,
+                                 (SELECT MAX(o_orderdate) FROM orders))
+             END AS t,
+             CASE WHEN s IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM span
+    ),
+    per_t AS (
+      SELECT t, SUM(ev) AS d, COUNT(*) AS leaving FROM durs GROUP BY t
+    ),
+    at_risk AS (
+      SELECT t, d,
+             (SELECT COUNT(*) FROM durs)
+             - COALESCE(SUM(leaving) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+      FROM per_t
+    ),
+    steps AS (SELECT t, d, n FROM at_risk WHERE d > 0)
+    SELECT CAST(t AS BIGINT) AS day_gap,
+           CAST(n AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS d_events,
+           CASE WHEN MIN(1.0 - CAST(d AS DOUBLE) / n) OVER (ORDER BY t) <= 0
+                THEN 0.0
+                ELSE ROUND(EXP(SUM(LN(
+                       CASE WHEN 1.0 - CAST(d AS DOUBLE) / n > 0
+                            THEN 1.0 - CAST(d AS DOUBLE) / n
+                            ELSE 1.0 END))
+                     OVER (ORDER BY t)), 6)
+           END AS survival
+    FROM steps
+    ORDER BY day_gap
+    """,
+)
+def survival_reorder_km(spark, sf_dir):
+    """Kaplan-Meier product-limit estimator over customer REORDER gaps —
+    the churn/survival curve: for each customer, time-to-second-order in
+    days (right-censored at the dataset horizon when no reorder exists),
+    then S(t) = prod over event times <= t of (1 - d_t/n_t) with n_t the
+    at-risk set. The standard retention-analytics curve, with censoring
+    handled properly (a plain histogram of gaps would bias survival
+    down).
+
+    Exactness: d/n are exact integers; the product runs as
+    EXP(SUM(LN(.))) — per-term libm ulp differences are ~1e-16 and the
+    prefix sums stay thousands of terms short, so round(,6) is stable
+    cross-engine; a d=n step (everyone leaves) short-circuits to 0.0
+    via the running MIN guard instead of feeding LN(0).
+
+    Scale: one partitioned row_number to find each customer's first two
+    orders (keyed window, bounded per customer), keyed agg to
+    per-duration rows, then DURATION-BOUNDED global windows — the
+    cumulative risk set and survival product run over one row per
+    distinct day-gap (<= calendar span, ~36k rows/century), never over
+    customers; audited exemption in explain_audit."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    r2 = (
+        o.select("o_custkey", "o_orderdate", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 2)
+    )
+    span = r2.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("o_orderdate"))).alias("f"),
+        F.max(F.when(F.col("rn") == 2, F.col("o_orderdate"))).alias("s"),
+    )
+    horizon = o.agg(F.max("o_orderdate").alias("m"))
+    durs = span.crossJoin(F.broadcast(horizon)).select(
+        F.when(F.col("s").isNotNull(), F.datediff("s", "f"))
+        .otherwise(F.datediff("m", "f"))
+        .alias("t"),
+        F.when(F.col("s").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("ev"),
+    )
+    total = durs.agg(F.count("*").alias("total"))
+    per_t = durs.groupBy("t").agg(
+        F.sum("ev").alias("d"), F.count("*").alias("leaving")
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    at_risk = per_t.crossJoin(F.broadcast(total)).select(
+        "t",
+        "d",
+        (
+            F.col("total")
+            - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0))
+        ).alias("n"),
+    )
+    steps = at_risk.filter(F.col("d") > 0).withColumn(
+        "ratio", F.lit(1.0) - F.col("d").cast("double") / F.col("n")
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return steps.select(
+        F.col("t").cast("long").alias("day_gap"),
+        F.col("n").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("d_events"),
+        F.when(F.min("ratio").over(w_cum) <= 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(
+                            F.when(F.col("ratio") > 0, F.col("ratio")).otherwise(
+                                F.lit(1.0)
+                            )
+                        )
+                    ).over(w_cum)
+                ),
+                6,
+            )
+        )
+        .alias("survival"),
+    ).orderBy("day_gap")
+
+
+@query(
+    "gini_revenue_by_nation",
+    """
+    WITH rev AS (
+      SELECT c.c_custkey, c.c_nationkey,
+             SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS r
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_nationkey
+    ),
+    ranked AS (
+      SELECT c_nationkey, r,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY r, c_custkey) AS i,
+             COUNT(*) OVER (PARTITION BY c_nationkey) AS n,
+             SUM(r) OVER (PARTITION BY c_nationkey) AS s
+      FROM rev
+    )
+    SELECT nt.n_name,
+           CAST(MAX(rk.n) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(CAST(rk.i AS DECIMAL(18,0)) * rk.r) AS DOUBLE) * 2
+                 / (MAX(rk.n) * CAST(MAX(rk.s) AS DOUBLE))
+                 - (MAX(rk.n) + 1.0) / MAX(rk.n), 6) AS gini
+    FROM ranked rk JOIN nation nt ON nt.n_nationkey = rk.c_nationkey
+    GROUP BY nt.n_name
+    ORDER BY nt.n_name
+    """,
+)
+def gini_revenue_by_nation(spark, sf_dir):
+    """Gini coefficient of customer revenue concentration per nation —
+    the inequality statistic behind 'whale' analysis: G = 2*SUM(i*x_i) /
+    (n*SUM(x)) - (n+1)/n over each nation's customers sorted by revenue
+    ascending. 0 = revenue spread evenly, ->1 = one customer carries the
+    nation.
+
+    Exactness: revenues sum in DECIMAL; SUM(i*x_i) is invariant under
+    tie permutations (equal x swap freely), so the row_number tie-break
+    only serves determinism; the final expression divides exact
+    decimal/integer components in the same IEEE order on both engines,
+    then round(,6).
+
+    Scale: keyed agg to one row per customer, rank/total windows
+    PARTITIONED by nation (per-nation sorts, no global funnel), one
+    broadcast join to the 25-row nation dim, final 25-group agg."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.sum(_dec("o_totalprice", 14, 2)).alias("r"))
+    )
+    wi = Window.partitionBy("c_nationkey").orderBy("r", "c_custkey")
+    wp = Window.partitionBy("c_nationkey")
+    ranked = rev.select(
+        "c_nationkey",
+        "r",
+        F.row_number().over(wi).alias("i"),
+        F.count("*").over(wp).alias("n"),
+        F.sum("r").over(wp).alias("s"),
+    )
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        ranked.join(F.broadcast(nat), ranked.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.max("n").cast("long").alias("n_customers"),
+            F.round(
+                F.sum(F.col("i").cast("decimal(18,0)") * F.col("r")).cast(
+                    "double"
+                )
+                * 2
+                / (F.max("n") * F.max("s").cast("double"))
+                - (F.max("n") + F.lit(1.0)) / F.max("n"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "cuped_adjusted_metric",
+    """
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS variant,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                      THEN CAST(value AS DECIMAL(14,6)) ELSE 0 END)
+                  AS DECIMAL(14,6)) AS pre,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                      THEN CAST(value AS DECIMAL(14,6)) ELSE 0 END)
+                  AS DECIMAL(14,6)) AS post
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT COUNT(*) AS n, SUM(pre) AS sp, SUM(post) AS so,
+             SUM(CAST(pre AS DECIMAL(22,6)) * post) AS spo,
+             SUM(CAST(pre AS DECIMAL(22,6)) * pre) AS spp
+      FROM per_user
+    ),
+    th AS (
+      SELECT (CAST(spo AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(so AS DOUBLE) / n)
+             / (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / n)
+               AS theta,
+             CAST(sp AS DOUBLE) / n AS mean_pre_all
+      FROM g
+    )
+    SELECT CAST(v.variant AS BIGINT) AS variant,
+           CAST(v.nv AS BIGINT) AS n_users,
+           ROUND(CAST(v.so_v AS DOUBLE) / v.nv, 6) AS mean_post,
+           ROUND(CAST(v.so_v AS DOUBLE) / v.nv
+                 - t.theta * (CAST(v.sp_v AS DOUBLE) / v.nv - t.mean_pre_all),
+                 6) AS mean_post_adjusted
+    FROM (SELECT variant, COUNT(*) AS nv,
+                 SUM(pre) AS sp_v, SUM(post) AS so_v
+          FROM per_user GROUP BY variant) v, th t
+    ORDER BY variant
+    """,
+)
+def cuped_adjusted_metric(spark, sf_dir):
+    """CUPED variance-reduced experiment metric (Deng et al., WSDM'13 —
+    public method, the industry-standard A/B readout): users split into
+    variants by id parity, metric = post-period value sum, covariate =
+    pre-period value sum; theta = cov(pre, post)/var(pre) fitted on ALL
+    users, and each variant's mean is adjusted by
+    -theta*(mean_pre_variant - mean_pre_overall). The adjusted means
+    answer 'what would the difference be if both arms had identical
+    pre-period behavior'.
+
+    Exactness: per-user sums and all moment sums run in DECIMAL (the
+    group-mean identity lets the adjusted mean come from exact per-
+    variant sums + one double theta, no per-user float accumulation);
+    divisions happen in the same IEEE order both engines, round(,6).
+
+    Scale: one keyed agg per user (conditional sums, map-side
+    partials), one 2-row variant agg, one scalar broadcast — no
+    windows, no shuffle beyond the keyed aggs."""
+    e = _t(spark, sf_dir, "events")
+    half = F.col("ts").cast("timestamp") < "2024-01-16 00:00:00"
+    val = F.col("value").cast("decimal(14,6)")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(half, val).otherwise(F.lit(0))).cast("decimal(14,6)").alias("pre"),
+        F.sum(F.when(~half, val).otherwise(F.lit(0))).cast("decimal(14,6)").alias("post"),
+    ).select((F.col("user_id") % 2).alias("variant"), "pre", "post")
+    g = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("pre").alias("sp"),
+        F.sum("post").alias("so"),
+        F.sum(F.col("pre").cast("decimal(22,6)") * F.col("post")).alias("spo"),
+        F.sum(F.col("pre").cast("decimal(22,6)") * F.col("pre")).alias("spp"),
+    )
+    th = g.select(
+        (
+            (F.col("spo").cast("double") - F.col("sp").cast("double") * F.col("so").cast("double") / F.col("n"))
+            / (F.col("spp").cast("double") - F.col("sp").cast("double") * F.col("sp").cast("double") / F.col("n"))
+        ).alias("theta"),
+        (F.col("sp").cast("double") / F.col("n")).alias("mean_pre_all"),
+    )
+    v = per_user.groupBy("variant").agg(
+        F.count("*").alias("nv"),
+        F.sum("pre").alias("sp_v"),
+        F.sum("post").alias("so_v"),
+    )
+    return (
+        v.crossJoin(F.broadcast(th))
+        .select(
+            F.col("variant").cast("long").alias("variant"),
+            F.col("nv").cast("long").alias("n_users"),
+            F.round(F.col("so_v").cast("double") / F.col("nv"), 6).alias(
+                "mean_post"
+            ),
+            F.round(
+                F.col("so_v").cast("double") / F.col("nv")
+                - F.col("theta")
+                * (F.col("sp_v").cast("double") / F.col("nv") - F.col("mean_pre_all")),
+                6,
+            ).alias("mean_post_adjusted"),
+        )
+        .orderBy("variant")
+    )
+
+
+@query(
+    "cohort_ltv_curve",
+    """
+    WITH firsts AS (
+      SELECT o_custkey, MIN(o_orderdate) AS f FROM orders GROUP BY o_custkey
+    ),
+    rev AS (
+      SELECT strftime(c.f, '%Y-%m') AS cohort,
+             (YEAR(o.o_orderdate) * 12 + MONTH(o.o_orderdate))
+             - (YEAR(c.f) * 12 + MONTH(c.f)) AS k,
+             CAST(o.o_totalprice AS DECIMAL(14,2)) AS p
+      FROM orders o JOIN firsts c ON c.o_custkey = o.o_custkey
+    ),
+    sizes AS (
+      SELECT strftime(f, '%Y-%m') AS cohort, COUNT(*) AS n
+      FROM firsts GROUP BY 1
+    ),
+    bym AS (
+      SELECT cohort, k, SUM(p) AS rev_k FROM rev WHERE k <= 11
+      GROUP BY cohort, k
+    )
+    SELECT b.cohort, CAST(b.k AS BIGINT) AS month_index,
+           CAST(s.n AS BIGINT) AS cohort_size,
+           ROUND(CAST(SUM(b.rev_k) OVER (PARTITION BY b.cohort ORDER BY b.k)
+                      AS DOUBLE) / s.n, 6) AS ltv_per_customer
+    FROM bym b JOIN sizes s ON s.cohort = b.cohort
+    ORDER BY b.cohort, month_index
+    """,
+)
+def cohort_ltv_curve(spark, sf_dir):
+    """Cohort lifetime-value curve — the revenue twin of
+    retention_cohorts: customers cohorted by first-order month,
+    LTV(k) = cumulative revenue through month index k (0..11) divided
+    by cohort size. The curve marketing reads to see when a cohort
+    'pays back'.
+
+    Exactness: month indices are pure integer calendar arithmetic
+    (y*12+m), revenue sums DECIMAL, one division then round(,6).
+
+    Scale: keyed agg for first orders, keyed join back to orders
+    (orders side partitioned by custkey), keyed agg to one row per
+    (cohort, month-index), cumulative window PARTITIONED by cohort
+    over <= 12 rows each."""
+    o = _t(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("f"))
+    rev = o.join(firsts, "o_custkey").select(
+        F.date_format("f", "yyyy-MM").alias("cohort"),
+        (
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            - (F.year("f") * 12 + F.month("f"))
+        ).alias("k"),
+        _dec("o_totalprice", 14, 2).alias("p"),
+    )
+    sizes = firsts.groupBy(
+        F.date_format("f", "yyyy-MM").alias("cohort")
+    ).agg(F.count("*").alias("n"))
+    bym = (
+        rev.filter(F.col("k") <= 11)
+        .groupBy("cohort", "k")
+        .agg(F.sum("p").alias("rev_k"))
+    )
+    w = Window.partitionBy("cohort").orderBy("k")
+    return (
+        bym.join(sizes, "cohort")
+        .select(
+            "cohort",
+            F.col("k").cast("long").alias("month_index"),
+            F.col("n").cast("long").alias("cohort_size"),
+            F.round(
+                F.sum("rev_k").over(w).cast("double") / F.col("n"), 6
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort", "month_index")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-correctness window ordering (round-robin gate rotation)
 # ---------------------------------------------------------------------------

@@ -245,6 +245,13 @@ GLOBAL_WINDOW_EXEMPT = {
         "customers; the per-customer metrics beneath them are a keyed "
         "agg, same exemption argument as heavy_hitter_concentration"
     ),
+    "survival_reorder_km": (
+        "duration-bounded: the cumulative risk-set and survival-product "
+        "windows run AFTER a keyed agg collapses customers to one row "
+        "per distinct reorder day-gap (<= calendar span, ~36k rows/"
+        "century) — never over customers or orders; the per-customer "
+        "first/second-order window above them is partitioned by custkey"
+    ),
     "concurrent_order_spans": (
         "calendar-bounded: the sweep-line running sum runs AFTER the "
         "keyed groupBy(day) collapses span deltas to one row per "

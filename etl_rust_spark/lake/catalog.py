@@ -106,6 +106,42 @@ class IceliteCatalog:
             registered.append(view)
         return registered
 
+    def export(
+        self,
+        dest_root: str,
+        as_of=None,
+        names: list[str] | None = None,
+    ) -> dict[str, int]:
+        """Consistent multi-table export — the catalog-level DR/backup
+        move composing ``IceliteTable.clone``: every table (or the
+        ``names`` subset) cloned under ``dest_root`` as an independent
+        table, each at ONE pinned snapshot.
+
+        With ``as_of`` (datetime-UTC / epoch seconds) each table
+        exports at ``seq_as_of(as_of)`` — a cross-table-consistent cut
+        by the commit clock, the same pin ``register_views(as_of=)``
+        queries through: "back up the lake exactly as it stood at
+        02:00". Tables created after the instant are skipped (they did
+        not exist at the cut). Without ``as_of`` each table pins its
+        current snapshot at call time — fine for quiesced writers, NOT
+        a consistent cut under concurrent commits (pass an instant for
+        that). Hard-linked data + carried ledgers per ``clone``, so an
+        export is metadata-priced and feeds can resume against the
+        restored tables. Returns {name: exported source seq}."""
+        out: dict[str, int] = {}
+        for n in names if names is not None else self.list_tables():
+            t = self.load(n)
+            if as_of is not None:
+                try:
+                    seq = t.seq_as_of(as_of)
+                except ValueError:
+                    continue  # table born after the cut
+            else:
+                seq = t.current_seq()
+            t.clone(os.path.join(os.path.abspath(dest_root), n), seq=seq)
+            out[n] = seq
+        return out
+
     def sql(self, query: str, **register_kwargs) -> DataFrame:
         """Convenience: register all views (current, ``as_of=`` instant,
         or ``tag=`` pin), then run ``spark.sql(query)``."""

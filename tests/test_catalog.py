@@ -142,3 +142,47 @@ def test_catalog_historical_views_as_of_and_tag(spark, tmp_path):
         cat.register_views(names=["extras"], tag="march_run")
     with pytest.raises(ValueError, match="not one of each"):
         cat.register_views(as_of=t_mid, tag="march_run")
+
+
+def test_catalog_export_consistent_cut(spark, tmp_path):
+    """export(dest, as_of=) clones every table at ONE instant — the
+    multi-table DR move: restored tables read exactly as the lake stood
+    at the cut, a table born after the cut is skipped, and a current
+    (no as_of) export pins each table's snapshot at call time."""
+    import time
+
+    cat = IceliteCatalog(spark, str(tmp_path / "lake"))
+    a, b = _mk(cat, "convs"), _mk(cat, "labels")
+    _apply(spark, a, [(1, "I", "c1", 0, "user", "v1", "", TS)], "a0")
+    _apply(spark, b, [(1, "I", "c1", 0, "user", "gold", "", TS)], "b0")
+    time.sleep(0.3)
+    t_mid = time.time()
+    time.sleep(0.3)
+    _apply(spark, a, [(2, "U", "c1", 0, "user", "v2", "", TS)], "a1")
+    _mk(cat, "late")  # born after the cut: skipped by the as_of export
+
+    exported = cat.export(str(tmp_path / "backup"), as_of=t_mid)
+    assert exported == {"convs": 1, "labels": 1}
+    bak = IceliteCatalog(spark, str(tmp_path / "backup"))
+    assert bak.list_tables() == ["convs", "labels"]
+    got = bak.sql(
+        "SELECT c.text AS t, l.text AS lab FROM convs c "
+        "JOIN labels l ON c.conv_id = l.conv_id AND c.turn_idx = l.turn_idx"
+    ).first()
+    assert (got["t"], got["lab"]) == ("v1", "gold")
+
+    # restored table resumes the feed exactly-once (ledger carried)
+    restored = bak.load("convs")
+    assert restored.is_applied("a0")
+
+    # current export (quiesced writers): sees the update and the late table
+    cur = cat.export(str(tmp_path / "backup2"))
+    assert cur == {"convs": 2, "labels": 1, "late": 0}
+    bak2 = IceliteCatalog(spark, str(tmp_path / "backup2"))
+    assert [r["text"] for r in bak2.sql(
+        "SELECT text FROM convs WHERE NOT __deleted ORDER BY text"
+    ).collect()] == ["v2"]
+
+    # subset export
+    sub = cat.export(str(tmp_path / "backup3"), names=["labels"])
+    assert list(sub) == ["labels"]

@@ -862,6 +862,7 @@ def maintenance_scripts(draw):
                     "delete_where",
                     "update_where",
                     "rebucket",
+                    "clone",
                 ]
             )
         )
@@ -886,6 +887,7 @@ def test_maintenance_interleavings_preserve_live_state(
     path = tmp_path_factory.mktemp("maintprop")
     table = create_transcript_table(spark, str(path / "t"), n_buckets=4)
     eff = []  # the effective changelog the oracle replays
+    clones = []  # (clone table, frozen expected state) pairs
     lsn, step = 0, 0
 
     def expected():
@@ -1018,10 +1020,24 @@ def test_maintenance_interleavings_preserve_live_state(
             removed = table.remove_orphans(grace_sec=3600)
             assert removed == [], f"GC reclaimed live/in-grace files: {removed}"
             check()
+        elif kind == "clone":
+            # snapshot export mid-script: the clone must equal the live
+            # state NOW and stay frozen while the source keeps mutating,
+            # compacting, expiring, and GCing (hard-link liveness)
+            cpath = str(path / f"clone{step}")
+            clones.append((table.clone(cpath), expected()))
+            check()
         elif kind == "rebucket":
             table.rebucket(arg)
             check()
     check()
+    # every mid-script clone is still byte-equal to the state it froze
+    for ct, exp in clones:
+        got = read_transcripts(ct).toPandas()
+        if len(exp) == 0:
+            assert len(got) == 0
+        else:
+            assert_pdf_equal(got, exp)
 
 
 # ---------------------------------------------------------------------------

@@ -7520,6 +7520,208 @@ def cohort_ltv_curve(spark, sf_dir):
     )
 
 
+@query(
+    "cusum_volume_shift",
+    """
+    WITH d AS (
+      SELECT CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT)
+               AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1),
+    g AS (SELECT COUNT(*) AS dd, SUM(n) AS sn, SUM(n * n) AS snn FROM d),
+    z AS (
+      SELECT day, n,
+             (n - CAST(sn AS DOUBLE) / dd)
+             / sqrt((CAST(snn AS DOUBLE)
+                     - CAST(sn AS DOUBLE) * sn / dd) / dd) AS z
+      FROM d, g),
+    p AS (
+      SELECT day, n, z,
+             SUM(z - 0.5) OVER w AS pu,
+             SUM(-(z + 0.5)) OVER w AS pd
+      FROM z
+      WINDOW w AS (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    s AS (
+      SELECT day, n, z,
+             pu - LEAST(0, MIN(pu) OVER w) AS su,
+             pd - LEAST(0, MIN(pd) OVER w) AS sd
+      FROM p
+      WINDOW w AS (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT day, CAST(n AS BIGINT) AS n, ROUND(z, 6) AS z,
+           ROUND(su, 6) AS cusum_up, ROUND(sd, 6) AS cusum_down,
+           ROUND(su, 6) > 4.0 AS shift_up,
+           ROUND(sd, 6) > 4.0 AS shift_down
+    FROM s ORDER BY day
+    """,
+)
+def cusum_volume_shift(spark, sf_dir):
+    """CUSUM change-point screen over daily event volume — detects
+    SUSTAINED level shifts that daily_volume_anomalies' single-day
+    spike/drop screen misses (ten days each 1.4 sigma high never trip a
+    2x test but accumulate fast here). Standard one-sided CUSUM with
+    allowance k=0.5 and decision threshold h=4 (public SPC method):
+    S+_t = max(0, S+_{t-1} + z_t - k), mirrored for downward shifts.
+
+    The recursion is not a window aggregate, but the classic identity
+    S_t = P_t - min(0, min_{j<=t} P_j) (P = prefix sum of the drift
+    terms — the max-drawdown trick) turns it into a running SUM plus a
+    running MIN, both plain window functions. z-scores come from exact
+    integer day-count sums (mean/variance via sum and sum-of-squares),
+    so the doubles differ only in libm ulps; round(,6) on the outputs
+    AND on the threshold comparisons keeps the flags hash-exact.
+
+    Scale: keyed agg to one row per day, then CALENDAR-BOUNDED global
+    windows over day-rows only (~36k rows/century; audited exemption)."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.floor(
+            F.date_trunc("day", F.col("ts").cast("timestamp")).cast("long")
+            / 86400
+        )
+        .cast("long")
+        .alias("day")
+    ).agg(F.count("*").alias("n"))
+    g = d.agg(
+        F.count("*").alias("dd"),
+        F.sum("n").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).alias("snn"),
+    )
+    z = d.crossJoin(F.broadcast(g)).select(
+        "day",
+        "n",
+        (
+            (F.col("n") - F.col("sn").cast("double") / F.col("dd"))
+            / F.sqrt(
+                (
+                    F.col("snn").cast("double")
+                    - F.col("sn").cast("double") * F.col("sn") / F.col("dd")
+                )
+                / F.col("dd")
+            )
+        ).alias("z"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    p = z.select(
+        "day",
+        "n",
+        "z",
+        F.sum(F.col("z") - 0.5).over(w).alias("pu"),
+        F.sum(-(F.col("z") + 0.5)).over(w).alias("pd"),
+    )
+    s = p.select(
+        "day",
+        "n",
+        "z",
+        (F.col("pu") - F.least(F.lit(0.0), F.min("pu").over(w))).alias("su"),
+        (F.col("pd") - F.least(F.lit(0.0), F.min("pd").over(w))).alias("sd"),
+    )
+    return s.select(
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.round("z", 6).alias("z"),
+        F.round("su", 6).alias("cusum_up"),
+        F.round("sd", 6).alias("cusum_down"),
+        (F.round("su", 6) > 4.0).alias("shift_up"),
+        (F.round("sd", 6) > 4.0).alias("shift_down"),
+    ).orderBy("day")
+
+
+@query(
+    "mutual_info_lang_source",
+    """
+    WITH c AS (
+      SELECT lang, source, COUNT(*) AS cls FROM documents GROUP BY 1, 2),
+    l AS (SELECT lang, SUM(cls) AS cl FROM c GROUP BY 1),
+    s AS (SELECT source, SUM(cls) AS cs FROM c GROUP BY 1),
+    n AS (SELECT SUM(cls) AS nn FROM c),
+    m AS (
+      SELECT SUM((CAST(cls AS DOUBLE) / nn)
+                 * LN(CAST(cls AS DOUBLE) * nn
+                      / (CAST(cl AS DOUBLE) * cs))) AS mi
+      FROM c JOIN l USING (lang) JOIN s USING (source), n),
+    hl AS (
+      SELECT -SUM((CAST(cl AS DOUBLE) / nn)
+                  * LN(CAST(cl AS DOUBLE) / nn)) AS h FROM l, n),
+    hs AS (
+      SELECT -SUM((CAST(cs AS DOUBLE) / nn)
+                  * LN(CAST(cs AS DOUBLE) / nn)) AS h FROM s, n)
+    SELECT CAST(n.nn AS BIGINT) AS n_docs,
+           ROUND(hl.h, 6) AS h_lang,
+           ROUND(hs.h, 6) AS h_source,
+           ROUND(m.mi, 6) AS mi_nats,
+           ROUND(m.mi / LEAST(hl.h, hs.h), 6) AS normalized_mi
+    FROM m, hl, hs, n
+    """,
+)
+def mutual_info_lang_source(spark, sf_dir):
+    """Mutual information between a corpus's language and source labels
+    — the information-theoretic association measure next to
+    chi_square_lang_source's significance test and
+    source_entropy_by_lang's one-way entropies: MI answers 'how many
+    nats does knowing the source tell you about the language', and
+    MI/min(H) normalizes it to [0,1] for dashboards. The
+    corpus-composition skew check a mixture designer reads before
+    reweighting.
+
+    Exactness: every probability is a ratio of exact integer counts;
+    the ~|langs x sources| ln terms differ only in libm ulps and the
+    sums carry dozens of terms, so round(,6) is stable cross-engine.
+
+    Scale: one keyed (lang, source) count (map-side partials) feeds
+    everything; the marginals and entropies are aggregates over the
+    contingency table itself (label-cardinality-bounded), never a
+    second pass over documents; joins are broadcasts of tiny tables."""
+    doc = _t(spark, sf_dir, "documents")
+    c = doc.groupBy("lang", "source").agg(F.count("*").alias("cls"))
+    loc = c  # contingency table is tiny; reuse for all marginals
+    lm = loc.groupBy("lang").agg(F.sum("cls").alias("cl"))
+    sm = loc.groupBy("source").agg(F.sum("cls").alias("cs"))
+    nn = loc.agg(F.sum("cls").alias("nn"))
+    m = (
+        loc.join(F.broadcast(lm), "lang")
+        .join(F.broadcast(sm), "source")
+        .crossJoin(F.broadcast(nn))
+        .agg(
+            F.sum(
+                (F.col("cls").cast("double") / F.col("nn"))
+                * F.log(
+                    F.col("cls").cast("double")
+                    * F.col("nn")
+                    / (F.col("cl").cast("double") * F.col("cs"))
+                )
+            ).alias("mi")
+        )
+    )
+    hl = lm.crossJoin(F.broadcast(nn)).agg(
+        (-F.sum(
+            (F.col("cl").cast("double") / F.col("nn"))
+            * F.log(F.col("cl").cast("double") / F.col("nn"))
+        )).alias("h_l")
+    )
+    hs = sm.crossJoin(F.broadcast(nn)).agg(
+        (-F.sum(
+            (F.col("cs").cast("double") / F.col("nn"))
+            * F.log(F.col("cs").cast("double") / F.col("nn"))
+        )).alias("h_s")
+    )
+    return (
+        m.crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(hs))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("nn").cast("long").alias("n_docs"),
+            F.round("h_l", 6).alias("h_lang"),
+            F.round("h_s", 6).alias("h_source"),
+            F.round("mi", 6).alias("mi_nats"),
+            F.round(
+                F.col("mi") / F.least(F.col("h_l"), F.col("h_s")), 6
+            ).alias("normalized_mi"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-correctness window ordering (round-robin gate rotation)
 # ---------------------------------------------------------------------------

@@ -245,6 +245,12 @@ GLOBAL_WINDOW_EXEMPT = {
         "customers; the per-customer metrics beneath them are a keyed "
         "agg, same exemption argument as heavy_hitter_concentration"
     ),
+    "cusum_volume_shift": (
+        "calendar-bounded: both global windows (drift prefix sum and "
+        "running min) run AFTER groupBy(day) collapses events to one "
+        "row per day (~36k rows/century), same exemption argument as "
+        "moving_avg_daily_events"
+    ),
     "survival_reorder_km": (
         "duration-bounded: the cumulative risk-set and survival-product "
         "windows run AFTER a keyed agg collapses customers to one row "

@@ -378,6 +378,20 @@ def cmd_delete_where(args) -> int:
     return 0
 
 
+def cmd_fsck(args) -> int:
+    """Read-only integrity check: metadata <-> filesystem consistency
+    for every retained snapshot (--deep adds a parquet-footer pass).
+    Exit 0 when clean, 1 when any error is found."""
+    import json as _json
+
+    from etl_rust_spark.lake.format import IceliteTable
+
+    t = IceliteTable.load(_spark(args), args.table)
+    report = t.fsck(deep=args.deep)
+    print(_json.dumps(report))
+    return 0 if report["ok"] else 1
+
+
 def cmd_clone(args) -> int:
     """Snapshot export: one snapshot as a NEW independent table (hard-
     linked data, ledger carried — restore-and-continue DR / dev fork)."""
@@ -913,6 +927,18 @@ def build_parser() -> argparse.ArgumentParser:
     dw.add_argument("--batch-key", default=None,
                     help="exactly-once ledger key for the delete job")
     dw.set_defaults(fn=cmd_delete_where)
+
+    fk = sub.add_parser(
+        "fsck",
+        help="read-only integrity check (pointers, manifests, ledger, "
+             "data-file existence + sizes; --deep adds footer row "
+             "counts); exit 1 on any error",
+    )
+    fk.add_argument("--table", required=True)
+    fk.add_argument("--deep", action="store_true",
+                    help="also open every live parquet footer and "
+                         "compare row counts")
+    fk.set_defaults(fn=cmd_fsck)
 
     cl = sub.add_parser(
         "clone",

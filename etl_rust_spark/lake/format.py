@@ -600,6 +600,156 @@ class IceliteTable:
             "earliest_changes_seq": self.earliest_changes_seq(),
         }
 
+    def fsck(self, deep: bool = False) -> dict:
+        """Lake integrity check (read-only fsck) — metadata ↔ filesystem
+        consistency for every RETAINED snapshot, main and branches: the
+        verify step of the backup/restore story (clone → restore →
+        fsck) and the what-did-that-crash-leave diagnostic.
+
+        Checks: every snapshot pointer parses and carries the v1 keys;
+        every manifest and ledger-archive chunk a retained pointer
+        references exists and parses; every data file any retained
+        snapshot references exists with its recorded byte size (size
+        drift = truncation/corruption); the CURRENT snapshot has no
+        duplicate live paths and no bucket id outside [0, n_buckets);
+        every retained commit has its lineage record (warning — expiry
+        can outlive pre-v3 lineage). ``deep=True`` additionally opens
+        every CURRENT-snapshot parquet footer and compares physical row
+        counts against the manifest (catches silent corruption that
+        preserved the size). Metadata checks are O(retained metadata);
+        deep is O(current files) footer reads, driver-side like the
+        rest of the metadata layer (it is a diagnostic, not a hot
+        path). Returns {ok, errors, warnings, checked} and never
+        raises on findings."""
+        errors: list[str] = []
+        warnings: list[str] = []
+        checked = {"snapshots": 0, "manifests": 0, "files": 0,
+                   "archives": 0, "footers": 0}
+        snap_paths = sorted(
+            glob.glob(os.path.join(self._manifest_dir, "snap-*.json"))
+        ) + sorted(
+            glob.glob(
+                os.path.join(self._manifest_dir, "branch-*", "snap-*.json")
+            )
+        )
+        seen_meta: set[str] = set()
+        seen_files: dict[str, tuple] = {}
+        for sp in snap_paths:
+            label = os.path.relpath(sp, self._manifest_dir)
+            try:
+                with open(sp) as f:
+                    ptr = json.load(f)
+            except (OSError, ValueError) as e:
+                errors.append(f"{label}: unreadable pointer ({e})")
+                continue
+            checked["snapshots"] += 1
+            missing = [
+                k for k in ("seq", "schema", "key_cols", "bucket_key",
+                            "n_buckets", "manifests", "applied_tail",
+                            "applied_archives")
+                if k not in ptr
+            ]
+            if missing:
+                errors.append(f"{label}: pointer missing keys {missing}")
+                continue
+            for name in ptr["applied_archives"]:
+                if name in seen_meta:
+                    continue
+                seen_meta.add(name)
+                ap = os.path.join(self._manifest_dir, name)
+                try:
+                    with open(ap) as f:
+                        json.load(f)
+                    checked["archives"] += 1
+                except (OSError, ValueError) as e:
+                    errors.append(
+                        f"{label}: ledger archive {name} unreadable ({e})"
+                    )
+            for m in ptr["manifests"]:
+                name = m["name"]
+                first_ref = name not in seen_meta
+                seen_meta.add(name)
+                try:
+                    entries = self._read_manifest(name)
+                except (OSError, ValueError) as e:
+                    if first_ref:  # report each broken manifest once
+                        errors.append(
+                            f"{label}: manifest {name} unreadable ({e})"
+                        )
+                    continue
+                if first_ref:
+                    checked["manifests"] += 1
+                for e in entries:
+                    key = e["path"]
+                    if key in seen_files:
+                        continue
+                    seen_files[key] = (label, e)
+                    if not os.path.exists(key):
+                        errors.append(f"{label}: data file missing {key}")
+                        continue
+                    checked["files"] += 1
+                    want = e.get("bytes")
+                    got = os.path.getsize(key)
+                    if want is not None and got != want:
+                        errors.append(
+                            f"{label}: size drift {key}: manifest {want} "
+                            f"bytes, filesystem {got}"
+                        )
+        # CURRENT snapshot structural checks (+ per-commit lineage);
+        # a broken current manifest was already reported above — degrade
+        # to the metadata findings instead of raising out of a checker
+        try:
+            cur = self.pointer()
+            live, paths = self._files(cur), set()
+            for e in live:
+                if e["path"] in paths:
+                    errors.append(f"current: duplicate live path {e['path']}")
+                paths.add(e["path"])
+                if not (0 <= e["bucket"] < cur["n_buckets"]):
+                    errors.append(
+                        f"current: bucket {e['bucket']} out of range "
+                        f"for n_buckets={cur['n_buckets']} ({e['path']})"
+                    )
+            for s in range(1, cur["seq"] + 1):
+                if not os.path.exists(self._pointer_path(s)):
+                    continue  # expired snapshot: no lineage expected
+                if self._lineage_record(s) is None:
+                    warnings.append(f"lineage record missing for commit {s}")
+            if deep:
+                try:
+                    import pyarrow.parquet as pq
+                except ImportError:  # diagnostic only: degrade, don't fail
+                    warnings.append("deep skipped: pyarrow unavailable")
+                else:
+                    for e in live:
+                        if not os.path.exists(e["path"]):
+                            continue  # already reported above
+                        try:
+                            got_rows = pq.ParquetFile(
+                                e["path"]
+                            ).metadata.num_rows
+                        except Exception as ex:
+                            errors.append(
+                                f"deep: unreadable parquet {e['path']} ({ex})"
+                            )
+                            continue
+                        checked["footers"] += 1
+                        if got_rows != e["rows"]:
+                            errors.append(
+                                f"deep: row drift {e['path']}: manifest "
+                                f"{e['rows']} rows, footer {got_rows}"
+                            )
+        except FileNotFoundError as e:
+            errors.append(f"current pointer unresolvable: {e}")
+        except (OSError, ValueError) as e:
+            errors.append(f"current snapshot unresolvable: {e}")
+        return {
+            "ok": not errors,
+            "errors": errors,
+            "warnings": warnings,
+            "checked": checked,
+        }
+
     # ------------------------------------------------- field-id resolution
     @staticmethod
     def _assigned_field_ids(ptr: dict, schema: T.StructType):

@@ -183,6 +183,13 @@ table.compact()  # source-side maintenance is invisible to the clone
 assert cl.read().count() == n_cl
 print("OK clone export", n_cl)
 
+# fsck: backup-verify composition — both tables deep-clean
+for t_chk, lbl in ((table, "source"), (cl, "clone")):
+    rep = t_chk.fsck(deep=True)
+    assert rep["ok"], (lbl, rep["errors"])
+    assert rep["checked"]["files"] > 0 and rep["checked"]["footers"] > 0
+print("OK fsck deep-clean on source + clone")
+
 # rename is metadata-only; ingest after rename unions cleanly
 files_pre = sorted(e["path"] for e in table._files(table.pointer()))
 table.rename_column("text", "body")

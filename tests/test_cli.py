@@ -471,6 +471,38 @@ def test_cli_clone_end_to_end(spark, tmp_path, capsys):
     assert c.is_applied("b0")
 
 
+def test_cli_fsck_end_to_end(spark, tmp_path, capsys):
+    import datetime as dt
+    import os
+
+    from etl_rust_spark.__main__ import main
+    from etl_rust_spark.lake.format import IceliteTable
+    from etl_rust_spark.operators.apply import apply_changes, create_transcript_table
+
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=2)
+    ddl = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+           "text string, tool string, ts timestamp")
+    rows = [(i, "I", f"c{i % 2}", i, "user", f"t{i}", "", dt.datetime(2025, 1, 1))
+            for i in range(4)]
+    apply_changes(t, spark.createDataFrame(rows, ddl), batch_key="b0", mode="mor")
+
+    # clean table (deep): exit 0; the backup-verify composition
+    assert main(["clone", "--table", str(tmp_path / "t"),
+                 "--dest", str(tmp_path / "c")]) == 0
+    capsys.readouterr()
+    assert main(["fsck", "--table", str(tmp_path / "c"), "--deep"]) == 0
+    assert '"ok": true' in capsys.readouterr().out
+
+    # corrupt the clone: exit 1 with the finding
+    victim = IceliteTable.load(spark, str(tmp_path / "c"))
+    path = victim._files(victim.pointer())[0]["path"]
+    os.remove(path)
+    assert main(["fsck", "--table", str(tmp_path / "c")]) == 1
+    assert "missing" in capsys.readouterr().out
+    # the SOURCE is untouched by the clone's corruption
+    assert main(["fsck", "--table", str(tmp_path / "t"), "--deep"]) == 0
+
+
 def test_parser_update_where_subcommand():
     p = build_parser()
     a = p.parse_args(["update-where", "--table", "/t", "--col", "conv_id",

@@ -722,6 +722,55 @@ def test_clone_exports_independent_table(spark, tmp_path):
     assert [(r["k"], r["n"]) for r in ac.read().collect()] == [("x", 10)]
 
 
+def test_fsck_detects_missing_truncated_and_row_drifted_files(spark, tmp_path):
+    """fsck: clean on a healthy table (branches included), then catches a
+    deleted data file, a truncated file (size drift), a swapped file
+    (deep row-count drift the size check can't see when sizes are
+    forced), and an unreadable manifest — read-only, reporting instead
+    of raising."""
+    import shutil
+
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_changes(table, _batch(spark, "a", 0, n=3), batch_key="b0", mode="mor")
+    apply_changes(table, _batch(spark, "b", 100, n=2), batch_key="b1", mode="mor")
+    table.create_branch("wip")
+
+    rep = table.fsck(deep=True)
+    assert rep["ok"] and rep["errors"] == [], rep
+    assert rep["checked"]["files"] > 0 and rep["checked"]["footers"] > 0
+    assert rep["checked"]["snapshots"] >= 4  # main chain + branch fork
+
+    files = [e["path"] for e in table._files(table.pointer())]
+    # truncation: size drift
+    with open(files[0], "r+b") as f:
+        f.truncate(10)
+    rep = table.fsck()
+    assert not rep["ok"] and any("size drift" in e for e in rep["errors"])
+    # deletion: missing file
+    os.remove(files[0])
+    rep = table.fsck()
+    assert any("missing" in e for e in rep["errors"])
+    shutil.copyfile(files[1], files[0])  # wrong content, plausible size
+
+    # deep mode: row-count drift via footer (metadata bytes may even
+    # match another file's; the footer pass is what catches it)
+    rep = table.fsck(deep=True)
+    deep_errors = [e for e in rep["errors"] if "row drift" in e or "size drift" in e]
+    assert deep_errors, rep["errors"]
+
+    # unreadable manifest
+    mname = table.pointer()["manifests"][0]["name"]
+    mpath = os.path.join(table._manifest_dir, mname)
+    orig = open(mpath).read()
+    with open(mpath, "w") as f:
+        f.write("{not json")
+    t2 = type(table)(spark, str(tmp_path / "t"))  # fresh cache
+    rep = t2.fsck()
+    assert any("manifest" in e and "unreadable" in e for e in rep["errors"])
+    with open(mpath, "w") as f:
+        f.write(orig)
+
+
 def test_compact_files_per_bucket_splits_without_zorder(spark, tmp_path):
     """Plain compaction with an explicit files_per_bucket splits each
     bucket into key-range files (file-size cap without a rebucket);

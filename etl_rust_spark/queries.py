@@ -7722,6 +7722,424 @@ def mutual_info_lang_source(spark, sf_dir):
     )
 
 
+@query(
+    "triangle_census",
+    """
+    WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+          FROM os a JOIN os b
+            ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+    deg AS (SELECT node, COUNT(*) AS d FROM
+              (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+            GROUP BY node),
+    tri AS (SELECT COUNT(*) AS n_triangles
+            FROM e e1 JOIN e e2 ON e1.v = e2.u
+                      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    agg AS (SELECT COUNT(*) AS n_nodes, SUM(d * (d - 1) / 2) AS n_wedges
+            FROM deg),
+    ec AS (SELECT COUNT(*) AS n_edges FROM e)
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_wedges AS BIGINT) AS n_wedges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           round(3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE), 6)
+             AS global_clustering
+    FROM agg, ec, tri
+    """,
+)
+def triangle_census(spark, sf_dir):
+    """Triangle counting + global clustering coefficient over the
+    supplier co-order graph — the graph-analytics primitive behind
+    community detection and spam/fraud graph features (reference scope:
+    relational analytics over the lake, SURVEY §2.4 joins/aggs; this is
+    the 3-clique instance).
+
+    Plan shape: the edge list is built per ORDER (keyed equi self-join
+    on l_orderkey, ``u < v`` residual — bounded fanout per order, the
+    supplier_cooccurrence blocking argument), then triangles are the
+    classic two-hop edge join: E(u,v) ⋈ E(v,w) on the shared middle
+    node, verified by a third equi-join probe on (u,w). Every stage is
+    an equi hash join keyed on a node id; nothing enumerates node
+    pairs. Wedges come from the degree table (Σ d·(d−1)/2, exact
+    BIGINT), so clustering = 3·triangles / wedges is one deterministic
+    double division, round(,6).
+
+    Scale: the two-hop join's cost is Σ_v d(v)² — the standard fix at
+    10^10 edges is degree-orientation (point each edge low→high degree)
+    which bounds it by arboricity; the id-orientation here (u<v) is the
+    same join shape, and AQE's skew split handles hub middles. All
+    scalars are 1-row broadcasts."""
+    os_ = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = os_.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("u"))
+    b = os_.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("v"))
+    e = a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    agg = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - F.lit(1)) / F.lit(2)).cast("long").alias("n_wedges"),
+    )
+    ec = e.agg(F.count("*").alias("n_edges"))
+    e1 = e.select(F.col("u").alias("a1"), F.col("v").alias("b1"))
+    e2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c2"))
+    two_hop = e1.join(e2, F.col("b1") == F.col("b2"))
+    # the closing probe is a LEFT SEMI (edges are distinct, so each
+    # two-hop matches at most one closing edge — semi avoids the
+    # multiplicity hazard an inner join would reintroduce)
+    tri = two_hop.join(
+        e.select(F.col("u").alias("a3"), F.col("v").alias("c3")),
+        (F.col("a1") == F.col("a3")) & (F.col("c2") == F.col("c3")),
+        "left_semi",
+    ).agg(F.count("*").alias("n_triangles"))
+    return (
+        agg.crossJoin(F.broadcast(ec))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_wedges").cast("long").alias("n_wedges"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            F.round(
+                F.lit(3.0) * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double"),
+                6,
+            ).alias("global_clustering"),
+        )
+    )
+
+
+@query(
+    "assoc_rules_lift",
+    """
+    WITH ob AS (SELECT DISTINCT l.l_orderkey, p.p_brand
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob),
+    item AS (SELECT p_brand, COUNT(*) AS n_i FROM ob GROUP BY p_brand),
+    pair AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_ab
+             FROM ob a JOIN ob b
+               ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+             GROUP BY 1, 2)
+    SELECT brand_a, brand_b, CAST(n_ab AS BIGINT) AS n_ab,
+           round(CAST(n_ab AS DOUBLE) / CAST(n_orders AS DOUBLE), 6) AS support,
+           round(CAST(n_ab AS DOUBLE) / CAST(ia.n_i AS DOUBLE), 6) AS confidence_a_b,
+           round(CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE)
+                 / (CAST(ia.n_i AS DOUBLE) * CAST(ib.n_i AS DOUBLE)), 6) AS lift
+    FROM pair JOIN item ia ON pair.brand_a = ia.p_brand
+              JOIN item ib ON pair.brand_b = ib.p_brand, n
+    ORDER BY lift DESC, brand_a, brand_b LIMIT 20
+    """,
+)
+def assoc_rules_lift(spark, sf_dir):
+    """Association-rule mining (A-Priori k=2 with the full rule metrics):
+    brand pairs co-ordered, scored by support, confidence(a→b) and LIFT —
+    the classic market-basket statistic that separates genuinely
+    associated items from independently popular ones.
+
+    Plan shape: baskets are the distinct (order, brand) set (part is a
+    broadcast dim join); the pair space is generated per ORDER with
+    ``a < b`` residual — fanout ≤ C(brands-per-order, 2), never
+    basket-count². Item marginals and pair counts are exact BIGINTs;
+    each metric is assembled in ONE deterministic double expression from
+    those integers and round(,6)-ed, so the oracle hash-matches. Top-20
+    ordered by the ROUNDED lift (cross-engine stable) with a total
+    (brand_a, brand_b) tie-break.
+
+    Scale: everything hash-partitions on l_orderkey or brand; the item
+    table (≤ brand cardinality) and the 1-row total broadcast. At 100 TB
+    the only growth axis is orders — same argument as
+    supplier_cooccurrence, plus the marginal joins stay dim-sized."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = ob.groupBy("p_brand").agg(F.count("*").alias("n_i"))
+    a = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_b"))
+    pair = (
+        a.join(b, "ok")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    ia = item.select(F.col("p_brand").alias("brand_a"), F.col("n_i").alias("n_a"))
+    ib = item.select(F.col("p_brand").alias("brand_b"), F.col("n_i").alias("n_b"))
+    nab = F.col("n_ab").cast("double")
+    return (
+        pair.join(F.broadcast(ia), "brand_a")
+        .join(F.broadcast(ib), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(nab / F.col("n_orders").cast("double"), 6).alias("support"),
+            F.round(nab / F.col("n_a").cast("double"), 6).alias("confidence_a_b"),
+            F.round(
+                nab * F.col("n_orders").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
+        .limit(20)
+    )
+
+
+@query(
+    "event_trigram_paths",
+    """
+    WITH s AS (
+      SELECT event_type AS t1,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+    FROM s WHERE t3 IS NOT NULL
+    GROUP BY t1, t2, t3
+    ORDER BY n DESC, t1, t2, t3 LIMIT 20
+    """,
+)
+def event_trigram_paths(spark, sf_dir):
+    """Sequential-pattern mining at k=3: the most common three-step
+    user paths (the path-analysis upgrade of event_transition_matrix's
+    bigram Markov view — trigrams expose flows like view→cart→purchase
+    that pairwise transitions average away).
+
+    Plan shape: two LEADs over the per-user timeline (one Window spec,
+    partitioned by user_id — per-key history bounded, no global sort),
+    then a keyed count and TakeOrderedAndProject for the top-20 with a
+    total (n desc, t1, t2, t3) tie-break. Ties in ts are broken by
+    event_id so both engines see the same sequence.
+
+    Scale: the window hash-partitions on user_id (10^10 rows → as many
+    partitions as users); the trigram space is event-type³-bounded so
+    the count's shuffle is tiny. Nothing global, nothing quadratic."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        s.groupBy("t1", "t2", "t3")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "t1", "t2", "t3")
+        .limit(20)
+    )
+
+
+@query(
+    "acf_daily_events",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+               FROM events GROUP BY 1),
+    lags AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) t(k)),
+    p AS (SELECT k, x.c AS cx, y.c AS cy
+          FROM lags CROSS JOIN d x JOIN d y ON y.day = x.day + k),
+    s AS (SELECT k, COUNT(*) AS n,
+                 SUM(CAST(cx AS DECIMAL(18,0))) AS sx,
+                 SUM(CAST(cy AS DECIMAL(18,0))) AS sy,
+                 SUM(CAST(cx AS DECIMAL(18,0)) * CAST(cx AS DECIMAL(18,0))) AS sxx,
+                 SUM(CAST(cy AS DECIMAL(18,0)) * CAST(cy AS DECIMAL(18,0))) AS syy,
+                 SUM(CAST(cx AS DECIMAL(18,0)) * CAST(cy AS DECIMAL(18,0))) AS sxy
+          FROM p GROUP BY k)
+    SELECT CAST(k AS INTEGER) AS lag_days, CAST(n AS BIGINT) AS n_pairs,
+           round(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+             6) AS acf
+    FROM s ORDER BY lag_days
+    """,
+)
+def acf_daily_events(spark, sf_dir):
+    """Lag-1..7 autocorrelation of the daily event-count series — the
+    seasonality detector (a weekly cycle shows as an ACF peak at lag 7)
+    that decides whether the anomaly queries need seasonal adjustment.
+
+    Exactness: the daily series is integer counts, so the five
+    co-moments per lag are DECIMAL-summed (exact, order-free) and each
+    ACF value is ONE deterministic double Pearson expression over them,
+    round(,6) — the price_quantity_corr trick applied to a lagged
+    self-join. Lag pairing is by CALENDAR day (y.day = x.day + k), not
+    row adjacency, so missing days pair nothing rather than silently
+    shortening the lag.
+
+    Scale: the daily table is calendar-bounded (one row/day — the
+    disclosed small-table exception); 7 lags × days rows through a
+    broadcast-able join, then a 7-group aggregate. Nothing grows with
+    raw event count except the first keyed count."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(F.to_date("ts").alias("day")).agg(F.count("*").alias("c"))
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("k"))
+    x = d.select(F.col("day").alias("dx"), F.col("c").alias("cx"))
+    y = d.select(F.col("day").alias("dy"), F.col("c").alias("cy"))
+    p = (
+        lags.crossJoin(x)
+        .join(y, F.col("dy") == F.date_add(F.col("dx"), F.col("k")))
+    )
+    cd = lambda col: F.col(col).cast("decimal(18,0)")  # noqa: E731
+    s = p.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.sum(cd("cx")).alias("sx"),
+        F.sum(cd("cy")).alias("sy"),
+        F.sum(cd("cx") * cd("cx")).alias("sxx"),
+        F.sum(cd("cy") * cd("cy")).alias("syy"),
+        F.sum(cd("cx") * cd("cy")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (F.col(c).cast("double") for c in ("sxx", "syy", "sxy"))
+    acf = (nd * sxy - sx * sy) / F.sqrt(nd * sxx - sx * sx) / F.sqrt(
+        nd * syy - sy * sy
+    )
+    return s.select(
+        F.col("k").alias("lag_days"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(acf, 6).alias("acf"),
+    ).orderBy("lag_days")
+
+
+@query(
+    "funnel_time_to_convert",
+    """
+    WITH s AS (SELECT user_id, MIN(ts) AS ts_s FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (SELECT s.user_id,
+                 MIN(e.ts) AS ts_p, MIN(s.ts_s) AS ts_s
+          FROM s JOIN events e
+            ON e.user_id = s.user_id
+           AND e.event_type = 'purchase' AND e.ts >= s.ts_s
+          GROUP BY s.user_id),
+    lat AS (SELECT CAST(date_diff('microsecond', ts_s, ts_p) AS DOUBLE)
+                   / 1000000.0 AS latency_s FROM p)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           quantile_cont(latency_s, 0.5) AS p50_s,
+           quantile_cont(latency_s, 0.9) AS p90_s,
+           quantile_cont(latency_s, 0.99) AS p99_s,
+           MIN(latency_s) AS min_s, MAX(latency_s) AS max_s
+    FROM lat
+    """,
+)
+def funnel_time_to_convert(spark, sf_dir):
+    """Conversion LATENCY distribution (the time-to-convert companion of
+    funnel_conversion_rates, which only counts): exact p50/p90/p99 of
+    first-signup → first-subsequent-purchase per user.
+
+    Plan shape: first signup per user is a keyed min; the qualifying
+    purchase is a keyed equi join on user_id with the ``ts >= signup``
+    residual, then a keyed min again — no window over raw events, no
+    ordering shuffle. Latency is an exact integer microsecond diff cast
+    once to double seconds (identical expression both engines), and the
+    percentiles share the linear-interpolation definition
+    (percentiles_exact precedent) so the single output row hash-matches.
+
+    Scale: two keyed aggs + one keyed join, all hash-partitioned on
+    user_id. The exact global percentile is the one deliberate
+    small-output concentration (n_users values to one task) — at 10^10
+    users you'd swap percentile → percentile_approx, disclosed here."""
+    e = _t(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_s"))
+    )
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("ts_e")
+    )
+    p = (
+        s.join(pur, (F.col("pu") == F.col("user_id")) & (F.col("ts_e") >= F.col("ts_s")))
+        .groupBy("user_id")
+        .agg(F.min("ts_e").alias("ts_p"), F.min("ts_s").alias("ts_s"))
+    )
+    # parquet timestamps load as TIMESTAMP_NTZ; the UTC-pinned session
+    # makes the cast to TIMESTAMP value-preserving (the _EPOCH convention)
+    lat = p.select(
+        (
+            (
+                F.unix_micros(F.col("ts_p").cast("timestamp"))
+                - F.unix_micros(F.col("ts_s").cast("timestamp"))
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("latency_s")
+    )
+    return lat.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.expr("percentile(latency_s, 0.5)").alias("p50_s"),
+        F.expr("percentile(latency_s, 0.9)").alias("p90_s"),
+        F.expr("percentile(latency_s, 0.99)").alias("p99_s"),
+        F.min("latency_s").alias("min_s"),
+        F.max("latency_s").alias("max_s"),
+    )
+
+
+@query(
+    "kl_source_drift",
+    """
+    WITH c AS (SELECT source, lang, COUNT(*) AS c_sl FROM documents GROUP BY 1, 2),
+    ns AS (SELECT source, SUM(c_sl) AS n_s FROM c GROUP BY source),
+    nl AS (SELECT lang, SUM(c_sl) AS c_l FROM c GROUP BY lang),
+    nn AS (SELECT SUM(c_sl) AS n FROM c)
+    SELECT c.source, CAST(MIN(ns.n_s) AS BIGINT) AS n_docs,
+           round(SUM(
+             (CAST(c_sl AS DOUBLE) / CAST(ns.n_s AS DOUBLE))
+             * ln((CAST(c_sl AS DOUBLE) / CAST(ns.n_s AS DOUBLE))
+                  / (CAST(nl.c_l AS DOUBLE) / CAST(nn.n AS DOUBLE)))
+           ), 6) AS kl_nats
+    FROM c JOIN ns ON c.source = ns.source
+           JOIN nl ON c.lang = nl.lang, nn
+    GROUP BY c.source ORDER BY c.source
+    """,
+)
+def kl_source_drift(spark, sf_dir):
+    """Per-source distribution drift: KL(P(lang|source) ‖ P(lang)) — the
+    corpus-governance statistic that flags a source whose language mix
+    diverges from the corpus (the directional sibling of
+    mutual_info_lang_source's symmetric dependence score; in fact
+    MI = Σ_s P(s)·KL_s, so the two cross-check).
+
+    Exactness: all probabilities are ratios of exact BIGINT counts;
+    each term is one deterministic double expression and the per-source
+    sum spans ≤ |langs| terms (the entropy-query precedent), round(,6).
+
+    Scale: one keyed (source, lang) count over the corpus — everything
+    after operates on the source×lang contingency table, with the lang
+    marginal and the 1-row total as broadcasts. Same shape as
+    source_entropy_by_lang."""
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count("*").alias("c_sl"))
+    ns = c.groupBy("source").agg(F.sum("c_sl").alias("n_s"))
+    nl = c.groupBy("lang").agg(F.sum("c_sl").alias("c_l"))
+    nn = c.agg(F.sum("c_sl").alias("n"))
+    p_sl = F.col("c_sl").cast("double") / F.col("n_s").cast("double")
+    p_l = F.col("c_l").cast("double") / F.col("n").cast("double")
+    return (
+        c.join(F.broadcast(ns), "source")
+        .join(F.broadcast(nl), "lang")
+        .crossJoin(F.broadcast(nn))
+        .groupBy("source")
+        .agg(
+            F.min("n_s").cast("long").alias("n_docs"),
+            F.round(F.sum(p_sl * F.log(p_sl / p_l)), 6).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-correctness window ordering (round-robin gate rotation)
 # ---------------------------------------------------------------------------

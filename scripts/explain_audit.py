@@ -56,6 +56,13 @@ CHECKS = {
     "q21_blocking_supplier": (["LeftSemi", "LeftAnti", "TakeOrderedAndProject"], ["CartesianProduct"]),
     "q22_dormant_customers": (["LeftAnti", "partial_sum"], ["CartesianProduct"]),
     "q2_min_price_supplier": (["BroadcastHashJoin", "partial_min"], ["CartesianProduct"]),
+    # round-5 closing additions
+    "triangle_census": (["LeftSemi", "partial_sum"], ["CartesianProduct"]),
+    "assoc_rules_lift": (["BroadcastHashJoin", "TakeOrderedAndProject"], ["CartesianProduct"]),
+    "event_trigram_paths": (["Window", "TakeOrderedAndProject", "partial_count"], ["CartesianProduct"]),
+    "acf_daily_events": (["BroadcastHashJoin", "partial_sum"], ["CartesianProduct"]),
+    "funnel_time_to_convert": (["partial_min"], ["CartesianProduct", "Window"]),
+    "kl_source_drift": (["BroadcastHashJoin", "partial_sum"], ["CartesianProduct"]),
     # curation round 3b
     "line_dedup_stats": (["Generate explode", "partial_count(distinct"], ["CartesianProduct", "Window"]),
     # two-phase prefix sum (VERDICT r03 #3): the data-side window must be

@@ -8140,6 +8140,194 @@ def kl_source_drift(spark, sf_dir):
     )
 
 
+@query(
+    "welch_t_test_values",
+    """
+    WITH m AS (SELECT event_type, COUNT(*) AS n,
+                      SUM(CAST(value AS DECIMAL(14,6))) AS sx,
+                      SUM(CAST(value AS DECIMAL(14,6)) * CAST(value AS DECIMAL(14,6))) AS sxx
+               FROM events GROUP BY event_type),
+    p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 CAST(a.n AS DOUBLE) AS n1, CAST(a.sx AS DOUBLE) AS sx1, CAST(a.sxx AS DOUBLE) AS sxx1,
+                 CAST(b.n AS DOUBLE) AS n2, CAST(b.sx AS DOUBLE) AS sx2, CAST(b.sxx AS DOUBLE) AS sxx2
+          FROM m a JOIN m b ON a.event_type < b.event_type),
+    t AS (SELECT type_a, type_b, n1, n2,
+                 sx1 / n1 AS m1, sx2 / n2 AS m2,
+                 (sxx1 - sx1 * sx1 / n1) / (n1 - 1.0) / n1 AS se1,
+                 (sxx2 - sx2 * sx2 / n2) / (n2 - 1.0) / n2 AS se2
+          FROM p)
+    SELECT type_a, type_b,
+           CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+           round(m1, 6) AS mean_a, round(m2, 6) AS mean_b,
+           round((m1 - m2) / sqrt(se1 + se2), 6) AS t_stat,
+           round((se1 + se2) * (se1 + se2)
+                 / (se1 * se1 / (n1 - 1.0) + se2 * se2 / (n2 - 1.0)), 6) AS welch_df
+    FROM t ORDER BY type_a, type_b
+    """,
+)
+def welch_t_test_values(spark, sf_dir):
+    """Welch's unequal-variance t-test between every pair of event
+    types' value distributions — the A/B-testing significance primitive
+    (CUPED's sibling: cuped_adjusted_metric reduces variance, this one
+    scores the difference), with the Welch–Satterthwaite df.
+
+    Exactness: per-type moments (n, Σx, Σx²) are DECIMAL-summed (exact,
+    order-free — the price_quantity_corr trick); mean, standard error,
+    t and df are assembled in ONE deterministic double expression each,
+    written identically in both engines, round(,6).
+
+    Scale: one keyed agg over the corpus → a type-cardinality moment
+    table; the pair space is |types|² (bounded dim², broadcast join).
+    Nothing after the first agg touches raw rows."""
+    e = _t(spark, sf_dir, "events")
+    x = _dec("value", 14, 6)
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+    )
+    a = m.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").cast("double").alias("n1"),
+        F.col("sx").cast("double").alias("sx1"),
+        F.col("sxx").cast("double").alias("sxx1"),
+    )
+    b = m.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").cast("double").alias("n2"),
+        F.col("sx").cast("double").alias("sx2"),
+        F.col("sxx").cast("double").alias("sxx2"),
+    )
+    p = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1, m2 = F.col("sx1") / n1, F.col("sx2") / n2
+    se1 = (F.col("sxx1") - F.col("sx1") * F.col("sx1") / n1) / (n1 - F.lit(1.0)) / n1
+    se2 = (F.col("sxx2") - F.col("sx2") * F.col("sx2") / n2) / (n2 - F.lit(1.0)) / n2
+    return p.select(
+        "type_a",
+        "type_b",
+        n1.cast("long").alias("n_a"),
+        n2.cast("long").alias("n_b"),
+        F.round(m1, 6).alias("mean_a"),
+        F.round(m2, 6).alias("mean_b"),
+        F.round((m1 - m2) / F.sqrt(se1 + se2), 6).alias("t_stat"),
+        F.round(
+            (se1 + se2) * (se1 + se2)
+            / (se1 * se1 / (n1 - F.lit(1.0)) + se2 * se2 / (n2 - F.lit(1.0))),
+            6,
+        ).alias("welch_df"),
+    ).orderBy("type_a", "type_b")
+
+
+@query(
+    "daily_activity_bitmask",
+    """
+    WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                      bit_or(CASE event_type
+                               WHEN 'signup' THEN 1 WHEN 'view' THEN 2
+                               WHEN 'click' THEN 4 WHEN 'purchase' THEN 8
+                               WHEN 'error' THEN 16 ELSE 0 END) AS mask
+               FROM events GROUP BY 1, 2)
+    SELECT CAST(mask AS INTEGER) AS mask,
+           CAST(COUNT(*) AS BIGINT) AS n_user_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM b GROUP BY mask ORDER BY mask
+    """,
+)
+def daily_activity_bitmask(spark, sf_dir):
+    """Bitwise aggregation (§2.4 scalar-fn family not otherwise
+    exercised): fold each user-day's event types into a 5-bit activity
+    mask with BIT_OR, then histogram the masks — the compact
+    behavioral-segment encoding (mask 8|4|2 = view+click+purchase day)
+    engagement models one-hot from.
+
+    Exactness: pure integer bit algebra end-to-end; both engines share
+    the CASE mapping and bit_or semantics.
+
+    Scale: keyed agg on (user_id, day) with map-side partial bit_or
+    (bitwise ops are associative/commutative — perfect combiner food),
+    then a ≤2⁵-row histogram. The distinct-user count per mask is a
+    second keyed agg; nothing global."""
+    e = _t(spark, sf_dir, "events")
+    mask_expr = (
+        F.when(F.col("event_type") == "signup", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "click", 4)
+        .when(F.col("event_type") == "purchase", 8)
+        .when(F.col("event_type") == "error", 16)
+        .otherwise(0)
+    )
+    b = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.bit_or(mask_expr).alias("mask")
+    )
+    return (
+        b.groupBy("mask")
+        .agg(
+            F.count("*").cast("long").alias("n_user_days"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .select(F.col("mask").cast("int").alias("mask"), "n_user_days", "n_users")
+        .orderBy("mask")
+    )
+
+
+@query(
+    "engagement_quartiles_by_type",
+    """
+    WITH c AS (SELECT event_type, user_id, COUNT(*) AS n_events
+               FROM events GROUP BY 1, 2),
+    q AS (SELECT event_type, n_events,
+                 ntile(4) OVER (PARTITION BY event_type
+                                ORDER BY n_events DESC, user_id) AS quartile
+          FROM c)
+    SELECT event_type, CAST(quartile AS INTEGER) AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS total_events,
+           CAST(MIN(n_events) AS BIGINT) AS min_events,
+           CAST(MAX(n_events) AS BIGINT) AS max_events
+    FROM q GROUP BY 1, 2 ORDER BY event_type, quartile
+    """,
+)
+def engagement_quartiles_by_type(spark, sf_dir):
+    """NTILE quartiling (the one §2.4 ranking window not otherwise
+    exercised): within each event type, split users into engagement
+    quartiles by their event count (deterministic total order — count
+    desc, user_id tie-break) and profile each quartile's volume — the
+    'top-quartile users drive X% of clicks' report.
+
+    Exactness: integer counts end-to-end; both engines share NTILE's
+    ceil-division bucket sizing and the total order, so assignments are
+    identical.
+
+    Scale: the window is PARTITIONED by event_type over the per-user
+    count table (users-per-type rows, not raw events). Quartiling
+    inherently ranks its partition — at 10^10 users the exact NTILE
+    becomes approx percentile cut points (the heavy_hitter_concentration
+    histogram trick); kept exact here for the oracle, disclosed."""
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy("event_type", "user_id").agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy(F.col("n_events").desc(), "user_id")
+    q = c.select("event_type", "n_events", F.ntile(4).over(w).alias("quartile"))
+    return (
+        q.groupBy("event_type", "quartile")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("n_events").cast("long").alias("total_events"),
+            F.min("n_events").cast("long").alias("min_events"),
+            F.max("n_events").cast("long").alias("max_events"),
+        )
+        .select(
+            "event_type",
+            F.col("quartile").cast("int").alias("quartile"),
+            "n_users",
+            "total_events",
+            "min_events",
+            "max_events",
+        )
+        .orderBy("event_type", "quartile")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-correctness window ordering (round-robin gate rotation)
 # ---------------------------------------------------------------------------

@@ -63,6 +63,11 @@ CHECKS = {
     "acf_daily_events": (["BroadcastHashJoin", "partial_sum"], ["CartesianProduct"]),
     "funnel_time_to_convert": (["partial_min"], ["CartesianProduct", "Window"]),
     "kl_source_drift": (["BroadcastHashJoin", "partial_sum"], ["CartesianProduct"]),
+    # t-test pair space is |types|^2 (bounded dim^2) — the BNLJ is the
+    # disclosed small-side exception, same as ann_cosine_topk
+    "welch_t_test_values": (["partial_sum", "BroadcastNestedLoopJoin"], ["CartesianProduct"]),
+    "daily_activity_bitmask": (["partial_bit_or"], ["CartesianProduct", "Window"]),
+    "engagement_quartiles_by_type": (["ntile", "Window", "partial_count"], ["CartesianProduct"]),
     # curation round 3b
     "line_dedup_stats": (["Generate explode", "partial_count(distinct"], ["CartesianProduct", "Window"]),
     # two-phase prefix sum (VERDICT r03 #3): the data-side window must be

@@ -636,6 +636,27 @@ def cmd_drop_column(args) -> int:
     return 0
 
 
+def cmd_check(args) -> int:
+    """Manage writer-enforced CHECK constraints: --add NAME EXPR adds one
+    (validating existing rows unless --no-validate), --drop NAME removes
+    one, no flags lists the table's checks as JSON."""
+    import json as _json
+
+    from etl_rust_spark.lake.format import IceliteTable
+
+    t = IceliteTable.load(_spark(args), args.table)
+    if args.add:
+        name, expr = args.add
+        snap = t.add_check(name, expr, validate=not args.no_validate)
+        print(f"added CHECK {name} at seq {snap['seq']} (metadata-only)")
+    elif args.drop:
+        snap = t.drop_check(args.drop)
+        print(f"dropped CHECK {args.drop} at seq {snap['seq']} (metadata-only)")
+    else:
+        print(_json.dumps(t.pointer().get("checks") or {}, indent=2))
+    return 0
+
+
 def cmd_remove_orphans(args) -> int:
     from etl_rust_spark.lake.format import IceliteTable
 
@@ -1101,6 +1122,18 @@ def build_parser() -> argparse.ArgumentParser:
     dc.add_argument("--table", required=True)
     dc.add_argument("--column", required=True)
     dc.set_defaults(fn=cmd_drop_column)
+
+    ck = sub.add_parser(
+        "check", help="manage writer-enforced CHECK constraints"
+    )
+    ck.add_argument("--table", required=True)
+    ck.add_argument("--add", nargs=2, metavar=("NAME", "EXPR"), default=None,
+                    help="add a CHECK: boolean SQL expr every live row "
+                         "must satisfy")
+    ck.add_argument("--drop", default=None, help="drop a CHECK by name")
+    ck.add_argument("--no-validate", action="store_true",
+                    help="skip the existing-rows validation scan on --add")
+    ck.set_defaults(fn=cmd_check)
 
     ro = sub.add_parser("remove-orphans", help="delete crash debris")
     ro.add_argument("--table", required=True)

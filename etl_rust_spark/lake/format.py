@@ -113,6 +113,53 @@ class ConcurrentCommitError(RuntimeError):
     """Another writer committed the same sequence number first."""
 
 
+class CheckViolationError(ValueError):
+    """A table CHECK constraint rejected incoming (or existing) rows.
+
+    Carries ``violations``: {check_name: row_count} for every failed
+    check, so a pipeline's error handler can report per-rule counts
+    without parsing the message."""
+
+    def __init__(self, context: str, violations: dict):
+        self.violations = dict(violations)
+        detail = ", ".join(f"{n}: {c} rows" for n, c in sorted(violations.items()))
+        super().__init__(
+            f"CHECK constraint violation in {context} — {detail}. "
+            "Fix the data upstream (or route expected bad rows through "
+            "ChangelogIngest quarantine rules); drop_check() removes the "
+            "constraint itself."
+        )
+
+
+def _enforce_checks(df, checks: dict, context: str) -> None:
+    """Count violations of every CHECK over ``df`` in ONE aggregation
+    pass and raise if any. SQL semantics: a NULL predicate result is a
+    PASS (only rows where the expression IS FALSE violate), matching
+    ANSI CHECK / Delta constraints."""
+    aggs = []
+    for name, expr in checks.items():
+        try:
+            cond = F.coalesce(F.expr(expr), F.lit(True))
+        except Exception as e:  # unparsable expr (should not survive add_check)
+            raise ValueError(f"CHECK {name!r} failed to parse: {expr!r} ({e})")
+        aggs.append(F.sum(F.when(~cond, 1).otherwise(0)).alias(name))
+    try:
+        row = df.agg(*aggs).collect()[0]
+    except CheckViolationError:
+        raise
+    except Exception as e:
+        # a check referencing a column this schema no longer resolves —
+        # fail loud with the actionable fix instead of a bare analyzer error
+        raise ValueError(
+            f"CHECK constraints could not be evaluated in {context} "
+            f"({e}); if a checked column was renamed or dropped, "
+            "drop_check() the stale constraint and re-add it"
+        )
+    bad = {n: int(row[n]) for n in checks if row[n]}
+    if bad:
+        raise CheckViolationError(context, bad)
+
+
 def _bucket_expr(bucket_key: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(bucket_key)), F.lit(n_buckets)).cast("int")
 
@@ -596,6 +643,7 @@ class IceliteTable:
             "applied_batches": ptr.get("applied_count", 0),
             "n_manifests": len(ptr["manifests"]),
             "agg_cols": ptr.get("agg_cols"),
+            "checks": ptr.get("checks") or {},
             # smallest since_seq a change-feed consumer can resume from
             "earliest_changes_seq": self.earliest_changes_seq(),
         }
@@ -1373,6 +1421,22 @@ class IceliteTable:
                 F.when(F.col(op_col) == "D", F.lit("U")).otherwise(F.col(op_col)),
             )
 
+        checks = ptr.get("checks") or {}
+        if checks:
+            # writer-side CHECK enforcement (Delta-constraint semantics):
+            # every incoming LIVE row must satisfy every check — deletes/
+            # tombstones are exempt (removing a bad row is always legal).
+            # Columns the batch doesn't carry are aligned as NULL (the
+            # same alignment merge itself applies), and NULL passes (ANSI
+            # CHECK). One extra aggregation pass, paid only when checks
+            # exist; a violation fails the batch BEFORE any file is
+            # written, so the table and ledger are untouched.
+            probe = ch.filter(~is_delete)
+            for f in merged_schema.fields:
+                if f.name not in probe.columns:
+                    probe = probe.withColumn(f.name, F.lit(None).cast(f.dataType))
+            _enforce_checks(probe, checks, f"merge(source={source!r})")
+
         old_manifests = ptr["manifests"]
         observation = None
         if mode == "mor":
@@ -1902,6 +1966,7 @@ class IceliteTable:
             "legacy_cols": parent_ptr.get("legacy_cols"),
             "zorder": parent_ptr.get("zorder"),
             "zorder_files_per_bucket": parent_ptr.get("zorder_files_per_bucket"),
+            "checks": parent_ptr.get("checks"),
             "manifests": manifests,
             "applied_tail": tail,
             "applied_archives": archives,
@@ -3065,8 +3130,9 @@ class IceliteTable:
             )
         }
         # evolution/layout state the carried files depend on (dropped-
-        # column masking, z-order split hints) must travel with them
-        for k in ("legacy_cols", "zorder", "zorder_files_per_bucket"):
+        # column masking, z-order split hints) must travel with them,
+        # as must writer-side CHECK constraints
+        for k in ("legacy_cols", "zorder", "zorder_files_per_bucket", "checks"):
             base[k] = ptr.get(k)
         zero = dict(
             base, seq=0, parent_seq=None, snapshot_id=str(uuid.uuid4()),
@@ -3199,6 +3265,110 @@ class IceliteTable:
         )
         return lineage_rec
 
+    def add_check(self, name: str, expr: str, validate: bool = True) -> dict:
+        """Add a writer-enforced CHECK constraint (Delta's ``ALTER TABLE
+        ADD CONSTRAINT``, public semantics): ``expr`` is a boolean SQL
+        expression every LIVE row must satisfy. From this commit on,
+        every ``merge``/``apply_changes``/``update_where`` batch fails
+        with :class:`CheckViolationError` BEFORE writing anything if any
+        incoming live row violates (NULL passes, per ANSI CHECK;
+        tombstones are exempt). The native ``format("icelite")`` sink
+        cannot evaluate SQL per-partition and refuses checked tables
+        unless told the upstream already enforced them.
+
+        ``validate=True`` (default, Delta's semantics) scans CURRENT
+        live rows once and refuses to add a check existing data already
+        violates — at 100 TB that is one predicate-pushed scan, the same
+        bill Delta pays; pass ``validate=False`` to skip for a
+        known-clean table.
+
+        Metadata-only commit (no data rewritten); the constraint rides
+        the snapshot pointer, so clones carry it and time travel shows
+        the rules in force at each commit."""
+        t0 = time.monotonic()
+        ptr = self.pointer()
+        if not name or not isinstance(expr, str) or not expr.strip():
+            raise ValueError("add_check needs a name and a SQL expression")
+        checks = dict(ptr.get("checks") or {})
+        if name in checks:
+            raise ValueError(
+                f"a CHECK named {name!r} already exists ({checks[name]!r}) "
+                "— drop_check it first (silent replacement would hide the "
+                "rule change from the audit trail)"
+            )
+        if ptr.get("agg_cols"):
+            raise ValueError(
+                "CHECK constraints are not supported on additive "
+                "(agg_cols) tables — rows are partials, so a per-row "
+                "predicate would check meaningless intermediate values; "
+                "validate the folded read() downstream instead"
+            )
+        if self.spark is not None:
+            # typecheck against the current schema (filter demands a
+            # boolean) on an empty slice — no data read
+            try:
+                self.read().limit(0).filter(F.expr(expr)).count()
+            except Exception as e:
+                raise ValueError(
+                    f"CHECK expression {expr!r} does not evaluate as a "
+                    f"boolean over the table schema: {e}"
+                )
+            if validate:
+                live = self.read()
+                if "__deleted" in live.columns:
+                    live = live.filter(
+                        ~F.coalesce(F.col("__deleted"), F.lit(False))
+                    )
+                _enforce_checks(
+                    live, {name: expr},
+                    f"add_check({name!r}) validation of existing rows "
+                    "(validate=False skips)",
+                )
+        checks[name] = expr
+        self._commit_rebasing(
+            ptr, T.StructType.fromJson(ptr["schema"]),
+            list(ptr["manifests"]), [], None,
+            self._meta_lineage(ptr, "add_check", t0), None,
+            max_retries=0, ptr_overrides={"checks": checks},
+        )
+        return self.snapshot()
+
+    def drop_check(self, name: str) -> dict:
+        """Remove a CHECK constraint (metadata-only commit). History is
+        unaffected — snapshots committed while the check was live still
+        record it in their pointers."""
+        t0 = time.monotonic()
+        ptr = self.pointer()
+        checks = dict(ptr.get("checks") or {})
+        if name not in checks:
+            raise KeyError(f"no CHECK named {name!r} (have: {sorted(checks)})")
+        del checks[name]
+        self._commit_rebasing(
+            ptr, T.StructType.fromJson(ptr["schema"]),
+            list(ptr["manifests"]), [], None,
+            self._meta_lineage(ptr, "drop_check", t0), None,
+            max_retries=0, ptr_overrides={"checks": checks or None},
+        )
+        return self.snapshot()
+
+    def _guard_checks_resolve(self, new_schema: T.StructType, what: str) -> None:
+        """Schema evolution guard: refuse a rename/drop that would strand
+        a CHECK expression on a column name that no longer resolves
+        (fail at DDL time, not at the next ingest batch)."""
+        checks = self.pointer().get("checks") or {}
+        if not checks or self.spark is None:
+            return
+        empty = self.spark.createDataFrame([], new_schema)
+        for cname, expr in checks.items():
+            try:
+                empty.filter(F.expr(expr)).count()
+            except Exception:
+                raise ValueError(
+                    f"{what} would break CHECK {cname!r} ({expr!r}) — "
+                    "drop_check it first, then re-add against the new "
+                    "schema"
+                )
+
     def rename_column(self, old: str, new: str) -> dict:
         """METADATA-ONLY column rename (Iceberg field-id evolution): no
         data file is touched, at any table size. Existing files keep
@@ -3225,6 +3395,7 @@ class IceliteTable:
                 for f in schema.fields
             ]
         )
+        self._guard_checks_resolve(new_schema, f"renaming {old!r} to {new!r}")
         ren = lambda c: new if c == old else c  # noqa: E731
         overrides = {
             "field_ids": fids,
@@ -3281,6 +3452,7 @@ class IceliteTable:
         new_schema = T.StructType(
             [f for f in schema.fields if f.name != name]
         )
+        self._guard_checks_resolve(new_schema, f"dropping {name!r}")
         overrides = {
             "field_ids": fids,
             "next_field_id": next_id,

@@ -122,6 +122,18 @@ class IceliteStreamWriter(DataSourceStreamArrowWriter):
                 "sink's per-commit winner collapse. Maintain additive "
                 "rollups with table.merge(...) in foreachBatch instead."
             )
+        if ptr.get("checks") and options.get(
+            "upstreamchecked", "false"
+        ).lower() != "true":
+            raise ValueError(
+                "the target table carries CHECK constraints "
+                f"({sorted(ptr['checks'])}) which the native sink cannot "
+                "evaluate (its writers are per-partition Arrow tasks, not "
+                "a driver DataFrame). Replicate from a source that "
+                "already enforced them and pass "
+                ".option('upstreamChecked', 'true'), or ingest through "
+                "apply_changes/merge which enforce checks."
+            )
         table_schema = T.StructType.fromJson(ptr["schema"])
         want = {f.name: f.dataType for f in table_schema.fields}
         got = {f.name: f.dataType for f in schema.fields}

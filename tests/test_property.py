@@ -1151,17 +1151,28 @@ def test_branch_interleavings_keep_both_chains_oracle_equal(
                 br = table.create_branch(f"fix{n_branches}")
                 branch_eff = list(main_eff)
                 main_moved_since_fork = False
+                branch_committed = False
         elif op == "branch_batch":
             if br is not None:
                 apply_to(br, branch_eff, 3)
+                branch_committed = True
         elif op == "publish":
             if br is not None:
                 name = f"fix{n_branches}"
-                if main_moved_since_fork:
+                if main_moved_since_fork and branch_committed:
+                    # true divergence: BOTH chains moved since the fork
                     with pytest.raises(
                         ConcurrentCommitError, match="advanced past the fork"
                     ):
                         table.fast_forward(name)
+                elif main_moved_since_fork:
+                    # empty branch: nothing after the fork to publish —
+                    # a no-op, NOT a conflict (divergence needs both
+                    # sides to move); main must be untouched
+                    seq_before = table.current_seq()
+                    rep = table.fast_forward(name)
+                    assert rep["published"] == 0
+                    assert table.current_seq() == seq_before
                 else:
                     table.fast_forward(name)
                     main_eff = list(branch_eff)

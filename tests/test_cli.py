@@ -1065,3 +1065,48 @@ def test_cli_feed_join_end_to_end(spark, tmp_path, capsys):
     assert {(r["user_id"], r["order_id_b"]) for r in live.collect()} == {
         ("u1", "o1"),
     }
+
+
+def test_cli_check_end_to_end(spark, tmp_path, capsys):
+    """Drive CHECK constraints through the CLI: add validates and lands
+    metadata-only, list shows the rule, a violating ingest batch fails
+    with per-rule counts, drop removes it and the batch then lands."""
+    import datetime as dt
+
+    import pytest
+
+    from etl_rust_spark.__main__ import main
+    from etl_rust_spark.lake.format import CheckViolationError, IceliteTable
+    from etl_rust_spark.operators.apply import (
+        apply_changes,
+        create_transcript_table,
+    )
+
+    t = str(tmp_path / "t")
+    tab = create_transcript_table(spark, t, n_buckets=2)
+    ddl = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+           "text string, tool string, ts timestamp")
+    seed = [(1, "I", "c0", 0, "user", "hi", "", dt.datetime(2025, 1, 1))]
+    apply_changes(tab, spark.createDataFrame(seed, ddl), batch_key="b0",
+                  mode="mor")
+
+    assert main(["check", "--table", t,
+                 "--add", "turn_nonneg", "turn_idx >= 0"]) == 0
+    assert "metadata-only" in capsys.readouterr().out
+    assert main(["check", "--table", t]) == 0
+    assert "turn_idx >= 0" in capsys.readouterr().out
+
+    bad = [(2, "I", "c1", -5, "user", "bad", "", dt.datetime(2025, 1, 2))]
+    victim = IceliteTable.load(spark, t)
+    seq0 = victim.current_seq()
+    with pytest.raises(CheckViolationError, match="turn_nonneg: 1 rows"):
+        apply_changes(victim, spark.createDataFrame(bad, ddl),
+                      batch_key="b1", mode="mor")
+    assert victim.current_seq() == seq0  # nothing written
+
+    assert main(["check", "--table", t, "--drop", "turn_nonneg"]) == 0
+    capsys.readouterr()
+    apply_changes(IceliteTable.load(spark, t),
+                  spark.createDataFrame(bad, ddl), batch_key="b1", mode="mor")
+    live = IceliteTable.load(spark, t).read()
+    assert live.filter("conv_id = 'c1'").count() == 1

@@ -95,6 +95,7 @@ def cmd_ingest(args) -> int:
         else None,
         quarantine_dir=args.quarantine_dir,
         rules=rules,
+        quarantine_checks=not args.no_quarantine_checks,
         on_quarantine=(
             (lambda e, n: print(f"QUARANTINED {n} row(s) epoch={e}"))
             if args.quarantine_dir
@@ -866,6 +867,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(repeatable; default rules derive from the table: "
                         "keys/lsn non-null, op valid); requires "
                         "--quarantine-dir")
+    i.add_argument("--no-quarantine-checks", action="store_true",
+                   help="do NOT auto-derive quarantine rules from the "
+                        "table's CHECK constraints (violations then fail "
+                        "the batch via merge's enforcement instead of "
+                        "diverting rows)")
     i.set_defaults(fn=cmd_ingest)
 
     s2 = sub.add_parser(

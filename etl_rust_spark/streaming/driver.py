@@ -121,6 +121,15 @@ class ChangelogIngest:
     rules: dict[str, str] | None = None
     on_quarantine: Callable[[int, int], None] | None = None  # (epoch, n)
     quarantined: list = field(default_factory=list)  # [(epoch, n), ...]
+    # Table CHECK constraints × DLQ: when the target table carries
+    # add_check() constraints AND quarantine_dir is set, each check
+    # auto-derives a rule ``check_<name>`` so violating rows DIVERT
+    # instead of failing the whole micro-batch (merge's fail-fast
+    # CheckViolationError remains as defense in depth behind the
+    # transform). Semantics mapped exactly: deletes exempt, NULL
+    # passes (the rule language alone counts NULL as a violation).
+    # False = leave check enforcement entirely to merge's fail-fast.
+    quarantine_checks: bool = True
 
     def _run_id(self) -> str:
         return _checkpoint_run_id(self.checkpoint_dir)
@@ -141,6 +150,30 @@ class ChangelogIngest:
         if rules is not None and self.quarantine_dir is None:
             raise ValueError("rules without quarantine_dir would drop rows "
                              "silently — set quarantine_dir")
+        checks = table.pointer().get("checks") or {}
+        if checks and self.quarantine_dir is not None and self.quarantine_checks:
+            # validate resolvability against the DECLARED WAL schema now
+            # (a check referencing a transform-produced column cannot be
+            # evaluated pre-transform — fail loud at start, not mid-stream)
+            probe = self.spark.createDataFrame([], self.schema)
+            rules = dict(rules or {})
+            for cname, expr in checks.items():
+                try:
+                    probe.where(F.expr(expr)).limit(0).count()
+                except Exception:
+                    raise ValueError(
+                        f"table CHECK {cname!r} ({expr!r}) does not resolve "
+                        "against the WAL event schema, so it cannot divert "
+                        "rows pre-transform; pass quarantine_checks=False "
+                        "to leave it to merge's fail-fast enforcement"
+                    )
+                # CHECK semantics mapped onto the rule language (where a
+                # NULL predicate counts as a violation): deletes exempt,
+                # NULL passes — violation only when expr IS FALSE on a
+                # live row.
+                rules[f"check_{cname}"] = (
+                    f"op = 'D' OR coalesce(({expr}), true)"
+                )
 
         def _apply(batch_df: DataFrame, epoch_id: int) -> None:
             if not rules:

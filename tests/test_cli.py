@@ -569,6 +569,10 @@ def test_parser_scd2_and_quarantine_args():
                       "--rule", "op_ok=op IN ('I')"])
     assert a.quarantine_dir == "/q"
     assert a.rule == ["lsn_ok=lsn IS NOT NULL", "op_ok=op IN ('I')"]
+    assert a.no_quarantine_checks is False
+    a = p.parse_args(["ingest", "--wal-dir", "/w", "--table", "/t",
+                      "--checkpoint", "/c", "--no-quarantine-checks"])
+    assert a.no_quarantine_checks is True
 
 
 def test_cli_enrich_end_to_end(spark, tmp_path, capsys):

@@ -134,3 +134,107 @@ def test_rules_without_sink_fail_fast(spark, tmp_path):
         bad.run_available()
     with pytest.raises(FileNotFoundError, match="no quarantined"):
         read_quarantine(spark, str(tmp_path / "nothing"))
+
+def test_table_checks_divert_rows_instead_of_failing(spark, tmp_path):
+    """A table CHECK constraint + quarantine_dir: violating live rows
+    divert as rule ``check_<name>`` (deletes exempt, NULL passes — CHECK
+    semantics, not the rule language's null-is-violation), the stream
+    survives, and the table equals the clean-rows oracle."""
+    rows = [
+        (1, "I", "c0", 0, "user", "ok", "", TS),
+        (2, "I", "c0", 1, "user", "way-too-long-text", "", TS),  # violates
+        (3, "I", "c1", 0, "user", None, "", TS),           # NULL passes
+        (4, "D", "c2", 0, "user", "also-way-too-long", "", TS),  # del exempt
+        (5, "I", None, 0, "user", "bad-key", "", TS),      # default rule
+    ]
+    log = pd.DataFrame(rows, columns=["lsn", "op", "conv_id", "turn_idx",
+                                      "role", "text", "tool", "ts"])
+    wal = str(tmp_path / "wal")
+    write_wal_segments(log, wal, 2, spark, schema=LAX_SCHEMA)
+    tbl = create_transcript_table(spark, str(tmp_path / "tbl"), n_buckets=4)
+    tbl.add_check("text_short", "length(text) <= 8")
+    ing = ChangelogIngest(
+        spark=spark, wal_dir=wal, table_path=str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ck"), schema=LAX_SCHEMA,
+        name="dlqchk", mode="mor",
+        quarantine_dir=str(tmp_path / "quarantine"),
+    )
+    ing.run_available()  # must NOT raise CheckViolationError
+    live = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in IceliteTable.load(spark, str(tmp_path / "tbl")).read()
+        .filter(~F.coalesce(F.col("__deleted"), F.lit(False))).collect()
+    }
+    assert live == {("c0", 0): "ok", ("c1", 0): None}
+    q = read_quarantine(spark, str(tmp_path / "quarantine"))
+    got = {r["text"]: set(r["_violations"]) for r in q.collect()}
+    assert got == {"way-too-long-text": {"check_text_short"},
+                   "bad-key": {"conv_id_not_null"}}
+
+
+def test_checks_without_quarantine_fail_the_batch(spark, tmp_path):
+    """No quarantine_dir: merge's writer-side enforcement fails the
+    stream fast — nothing lands, the table stays untouched."""
+    from etl_rust_spark.lake.format import CheckViolationError
+
+    rows = [(1, "I", "c0", -1, "user", "neg", "", TS)]
+    log = pd.DataFrame(rows, columns=["lsn", "op", "conv_id", "turn_idx",
+                                      "role", "text", "tool", "ts"])
+    wal = str(tmp_path / "wal")
+    write_wal_segments(log, wal, 1, spark, schema=LAX_SCHEMA)
+    tbl = create_transcript_table(spark, str(tmp_path / "tbl"), n_buckets=2)
+    tbl.add_check("turn_nonneg", "turn_idx >= 0")
+    seq0 = tbl.current_seq()
+    ing = ChangelogIngest(
+        spark=spark, wal_dir=wal, table_path=str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ck"), schema=LAX_SCHEMA,
+        name="nofence", mode="mor",
+    )
+    with pytest.raises(Exception) as ei:
+        ing.run_available()
+    # foreachBatch wraps the error; the root cause must be the CHECK
+    assert "turn_nonneg" in str(ei.value)
+    assert IceliteTable.load(
+        spark, str(tmp_path / "tbl")).current_seq() == seq0
+
+
+def test_unresolvable_check_fails_at_start(spark, tmp_path):
+    """A CHECK referencing a column the WAL schema lacks cannot divert
+    pre-transform — start() fails loud with the opt-out named."""
+    rows = [(1, "I", "c0", 0, "user", "ok", "", TS)]
+    log = pd.DataFrame(rows, columns=["lsn", "op", "conv_id", "turn_idx",
+                                      "role", "text", "tool", "ts"])
+    wal = str(tmp_path / "wal")
+    write_wal_segments(log, wal, 1, spark, schema=LAX_SCHEMA)
+    tbl = create_transcript_table(spark, str(tmp_path / "tbl"), n_buckets=2)
+    # evolve a column onto the table, then constrain it: the WAL events
+    # do not carry it
+    import datetime as _dt
+    evolved = spark.createDataFrame(
+        [(9, "I", "cx", 0, "user", "t", "", TS, 1.0)],
+        "lsn long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp, score double")
+    from etl_rust_spark.operators.apply import apply_changes
+    apply_changes(tbl, evolved, batch_key="evolve", mode="mor")
+    tbl.add_check("score_pos", "score > 0")
+    ing = ChangelogIngest(
+        spark=spark, wal_dir=wal, table_path=str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ck"), schema=LAX_SCHEMA,
+        name="unres", mode="mor",
+        quarantine_dir=str(tmp_path / "quarantine"),
+    )
+    # run_available name-wraps (B10): match the root cause message
+    with pytest.raises(Exception, match="quarantine_checks=False"):
+        ing.run_available()
+    # the opt-out works: enforcement falls back to merge (NULL passes ->
+    # the clean row lands)
+    ok = ChangelogIngest(
+        spark=spark, wal_dir=wal, table_path=str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ck2"), schema=LAX_SCHEMA,
+        name="unres2", mode="mor",
+        quarantine_dir=str(tmp_path / "quarantine"),
+        quarantine_checks=False,
+    )
+    ok.run_available()
+    assert IceliteTable.load(spark, str(tmp_path / "tbl")).read() \
+        .filter("conv_id = 'c0'").count() == 1

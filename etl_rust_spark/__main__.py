@@ -658,6 +658,29 @@ def cmd_check(args) -> int:
     return 0
 
 
+def cmd_sync_snapshot(args) -> int:
+    """Reconcile the table's live state against a full upstream snapshot
+    (parquet dir/file): diff → one CDC commit of exactly the changes."""
+    import json as _json
+
+    from etl_rust_spark.lake.format import IceliteTable
+    from etl_rust_spark.operators.apply import sync_snapshot
+
+    spark = _spark(args)
+    t = IceliteTable.load(spark, args.table)
+    snap = spark.read.parquet(args.snapshot)
+    rep = sync_snapshot(
+        t, snap, batch_key=args.batch_key, at_seq=args.at_seq,
+        mode=args.mode,
+    )
+    if rep is None:
+        print('{"status": "no-op (already applied or zero diff)"}')
+    else:
+        rep.pop("lineage", None)
+        print(_json.dumps(rep))
+    return 0
+
+
 def cmd_remove_orphans(args) -> int:
     from etl_rust_spark.lake.format import IceliteTable
 
@@ -1140,6 +1163,22 @@ def build_parser() -> argparse.ArgumentParser:
     ck.add_argument("--no-validate", action="store_true",
                     help="skip the existing-rows validation scan on --add")
     ck.set_defaults(fn=cmd_check)
+
+    sy = sub.add_parser(
+        "sync-snapshot",
+        help="reconcile live state against a full upstream snapshot "
+             "(binlog-less CDC): diff -> one commit of the changes",
+    )
+    sy.add_argument("--table", required=True)
+    sy.add_argument("--snapshot", required=True,
+                    help="parquet path holding the upstream's full state")
+    sy.add_argument("--batch-key", default=None,
+                    help="exactly-once ledger key for this sync")
+    sy.add_argument("--at-seq", type=int, default=None,
+                    help="LWW seq assigned to the sync's events "
+                         "(default: 1 + max stored seq)")
+    sy.add_argument("--mode", default="mor", choices=["mor", "cow"])
+    sy.set_defaults(fn=cmd_sync_snapshot)
 
     ro = sub.add_parser("remove-orphans", help="delete crash debris")
     ro.add_argument("--table", required=True)

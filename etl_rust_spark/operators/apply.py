@@ -113,6 +113,142 @@ def apply_changes(
     )
 
 
+def sync_snapshot(
+    table: IceliteTable,
+    snap_df: DataFrame,
+    batch_key: str | None = None,
+    at_seq: int | None = None,
+    mode: str = "mor",
+    source: str = "snapshot_sync",
+) -> dict | None:
+    """Make the table's LIVE state equal ``snap_df`` by diffing and
+    committing ONE synthesized CDC batch — the ingest path for upstream
+    systems that cannot emit a binlog (Debezium snapshot mode / Delta
+    MERGE ``WHEN NOT MATCHED BY SOURCE DELETE``, public semantics; the
+    reference's Mongo cursor scan is exactly such a full-state source,
+    /root/reference/src/etl/processor.rs:99).
+
+    Diff semantics (keys = the table's key columns, which ``snap_df``
+    must carry):
+    - key only in the snapshot (or currently tombstoned)  → INSERT
+    - key in both, any payload column differs (null-safe) → UPDATE
+    - live key absent from the snapshot                   → DELETE
+
+    Unchanged rows emit NOTHING, so everything downstream of the diff —
+    shuffle, delta files, manifests, the change feed — is O(changed),
+    not O(table); consumers tailing the feed see exactly the diff. The
+    diff itself is one full-outer join, O(table + snapshot), inherent
+    to snapshot reconciliation (both sides shuffle on the same key
+    columns; at 100 TB, shard the snapshot by key range and sync shards
+    independently — each diff then only reads the matching key range via
+    predicate pushdown).
+
+    The snapshot must carry EVERY live payload column (missing ones
+    fail fast — a 'U' row would silently null them); extra columns
+    evolve the schema through merge, counting as changes only where
+    non-null. All sync events share one seq = ``at_seq`` (default
+    1 + max stored seq, tombstones included, so re-inserts of deleted
+    keys win) — a CDC event with a newer seq still beats the sync,
+    an older one still loses (LWW interplay preserved). Exactly-once
+    via ``batch_key``; a no-diff sync commits nothing. Returns
+    {inserted, updated, deleted, seq, lineage} or None (already
+    applied / empty diff)."""
+    ptr = table.pointer()
+    if batch_key is not None and table.is_applied(batch_key, ptr):
+        return None
+    if ptr.get("agg_cols"):
+        raise ValueError(
+            "sync_snapshot targets last-writer-wins tables; additive "
+            "(agg_cols) rows are partials with no per-key 'current "
+            "state' to diff against"
+        )
+    seq_col = ptr.get("seq_col")
+    if not seq_col:
+        raise ValueError("sync_snapshot requires a table seq_col (the "
+                         "sync commits as a MoR CDC batch)")
+    key_cols = list(ptr["key_cols"])
+    missing_keys = [k for k in key_cols if k not in snap_df.columns]
+    if missing_keys:
+        raise ValueError(f"snapshot is missing key columns {missing_keys}")
+
+    cur = table.read()
+    has_del = DELETED_COL in cur.columns
+    live_payload = [c for c in cur.columns
+                    if c not in key_cols and c not in (seq_col, DELETED_COL)]
+    absent = [c for c in live_payload if c not in snap_df.columns]
+    if absent:
+        raise ValueError(
+            f"snapshot is missing live payload columns {absent} — a sync "
+            "would silently null them on every updated row; select them "
+            "from table.read() into the snapshot if the omission is "
+            "intentional"
+        )
+    new_cols = [c for c in snap_df.columns
+                if c not in key_cols and c not in live_payload
+                and c not in (seq_col, DELETED_COL)]
+
+    if at_seq is None:
+        row = cur.agg(F.max(seq_col).alias("m")).collect()[0]
+        at_seq = int(row["m"] or 0) + 1
+
+    l = cur.select(
+        *key_cols, *live_payload,
+        (F.coalesce(F.col(DELETED_COL), F.lit(False)) if has_del
+         else F.lit(False)).alias("__l_dead"),
+        F.lit(True).alias("__l_present"),
+    )
+    l = l.select(*key_cols,
+                 *[F.col(c).alias(f"__l_{c}") for c in live_payload],
+                 "__l_dead", "__l_present")
+    s = snap_df.withColumn("__s_present", F.lit(True))
+    j = s.join(l, on=key_cols, how="full_outer")
+
+    s_here = F.coalesce(F.col("__s_present"), F.lit(False))
+    l_live = (F.coalesce(F.col("__l_present"), F.lit(False))
+              & ~F.col("__l_dead"))
+    differs = F.lit(False)
+    for c in live_payload:
+        differs = differs | ~F.col(c).eqNullSafe(F.col(f"__l_{c}"))
+    for c in new_cols:  # a brand-new column changes a row only if non-null
+        differs = differs | F.col(c).isNotNull()
+
+    op = (
+        F.when(s_here & ~l_live, F.lit("I"))
+        .when(s_here & l_live & differs, F.lit("U"))
+        .when(~s_here & l_live, F.lit("D"))
+    )
+    changes = (
+        j.withColumn("__op", op)
+        .filter(F.col("__op").isNotNull())
+        .select(*key_cols, *live_payload, *new_cols, "__op")
+        .withColumn(seq_col, F.lit(at_seq).cast("long"))
+        .persist()
+    )
+    # MoR contract (same conversion apply_changes performs): deletes ride
+    # as flagged tombstone upserts so the LWW seq also guards deleted keys
+    merged = (
+        changes.withColumn(DELETED_COL, F.col("__op") == "D")
+        .withColumn("__op", F.lit("U"))
+    )
+    try:
+        by_op = {r["__op"]: r["count"]
+                 for r in changes.groupBy("__op").count().collect()}
+        counts = {"inserted": by_op.get("I", 0),
+                  "updated": by_op.get("U", 0),
+                  "deleted": by_op.get("D", 0), "seq": None}
+        if not by_op:
+            return None  # state already equal: no commit, nothing in the feed
+        rec = table.merge(
+            merged, batch_key=batch_key, op_col="__op", source=source,
+            seq_col=seq_col, mode=mode,
+        )
+        counts["seq"] = table.current_seq()
+        counts["lineage"] = rec
+        return counts
+    finally:
+        changes.unpersist()
+
+
 def create_transcript_table(
     spark,
     path: str,

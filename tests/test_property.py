@@ -10,11 +10,16 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from etl_rust_spark.changelog import CHANGELOG_SCHEMA, replay_oracle_pandas
+from etl_rust_spark.changelog import (
+    CHANGELOG_SCHEMA,
+    TRANSCRIPT_SCHEMA,
+    replay_oracle_pandas,
+)
 from etl_rust_spark.operators.apply import (
     apply_changes,
     create_transcript_table,
     read_transcripts,
+    sync_snapshot,
 )
 from tests.conftest import assert_pdf_equal
 
@@ -863,11 +868,15 @@ def maintenance_scripts(draw):
                     "update_where",
                     "rebucket",
                     "clone",
+                    "sync",
                 ]
             )
         )
         if kind == "batch":
             script.append(("batch", batch_spec()))
+        elif kind == "sync":
+            script.append(("sync", (draw(st.sampled_from(_MAINT_CONVS)),
+                                    draw(st.sampled_from(_MAINT_CONVS)))))
         elif kind in ("delete_where", "update_where"):
             script.append((kind, draw(st.sampled_from(_MAINT_CONVS))))
         elif kind == "rebucket":
@@ -1003,6 +1012,59 @@ def test_maintenance_interleavings_preserve_live_state(
                         }
                     )
                 lsn = max(lsn, t_lsn + 1)
+            check()
+        elif kind == "sync":
+            # snapshot-diff sync mid-script: upstream's "full state" is
+            # the current live state with conv_del dropped, conv_edit's
+            # texts suffixed, and one fresh key appended. The model
+            # appends the SAME diff as ordinary events at the engine's
+            # sync seq (1 + max stored lsn, tombstones included), so
+            # every later op sees it as plain history.
+            conv_del, conv_edit = arg
+            live = expected()
+            t_lsn = max(r["lsn"] for r in eff) + 1
+            snap = live[live.conv_id != conv_del].copy() if len(live) else live
+            if len(snap):
+                snap.loc[snap.conv_id == conv_edit, "text"] = (
+                    snap.loc[snap.conv_id == conv_edit, "text"] + "?"
+                )
+            new_row = {
+                "conv_id": "m9", "turn_idx": np.int32(step % 3),
+                "role": "user", "text": f"s-{t_lsn}", "tool": "",
+                "ts": pd.Timestamp("2025-01-01")
+                + pd.Timedelta(seconds=t_lsn),
+            }
+            snap_pdf = pd.concat(
+                [snap, pd.DataFrame([new_row])], ignore_index=True
+            ) if len(snap) else pd.DataFrame([new_row])
+            # createDataFrame(pdf, schema) binds by POSITION: pin the order
+            snap_pdf = snap_pdf[[f.name for f in TRANSCRIPT_SCHEMA.fields]]
+            rep = sync_snapshot(
+                table,
+                spark.createDataFrame(snap_pdf, schema=TRANSCRIPT_SCHEMA),
+                batch_key=f"sy{step}",
+            )
+            assert rep is not None  # the fresh key guarantees a diff
+            # model: deletes for conv_del's live keys, updates for
+            # conv_edit's (unless dropped), the new key as an upsert
+            if len(live):
+                for _, m in live[live.conv_id == conv_del].iterrows():
+                    eff.append({
+                        "lsn": t_lsn, "op": "D", "conv_id": m["conv_id"],
+                        "turn_idx": np.int32(m["turn_idx"]), "role": None,
+                        "text": None, "tool": None, "ts": pd.NaT,
+                    })
+                if conv_edit != conv_del:
+                    for _, m in live[live.conv_id == conv_edit].iterrows():
+                        eff.append({
+                            "lsn": t_lsn, "op": "U",
+                            "conv_id": m["conv_id"],
+                            "turn_idx": np.int32(m["turn_idx"]),
+                            "role": m["role"], "text": m["text"] + "?",
+                            "tool": m["tool"], "ts": m["ts"],
+                        })
+            eff.append(dict(new_row, lsn=t_lsn, op="U"))
+            lsn = max(lsn, t_lsn + 1)
             check()
         elif kind == "compact":
             table.compact()

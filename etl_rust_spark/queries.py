@@ -8328,6 +8328,94 @@ def engagement_quartiles_by_type(spark, sf_dir):
     )
 
 
+@query(
+    "snapshot_diff",
+    """
+    WITH a AS (
+      SELECT c_custkey, c_name,
+             CAST(c_acctbal AS DECIMAL(12,2)) AS bal, c_nationkey
+      FROM customer WHERE c_custkey % 7 <> 0
+    ),
+    b AS (
+      SELECT c_custkey, c_name,
+             CAST(c_acctbal AS DECIMAL(12,2))
+               + CASE WHEN c_custkey % 3 = 0
+                      THEN CAST(10 AS DECIMAL(12,2))
+                      ELSE CAST(0 AS DECIMAL(12,2)) END AS bal,
+             c_nationkey
+      FROM customer WHERE c_custkey % 5 <> 0
+    ),
+    j AS (
+      SELECT COALESCE(a.c_custkey, b.c_custkey) AS k,
+             a.c_custkey IS NOT NULL AS in_a,
+             b.c_custkey IS NOT NULL AS in_b,
+             (a.c_name IS DISTINCT FROM b.c_name)
+               OR (a.bal IS DISTINCT FROM b.bal)
+               OR (a.c_nationkey IS DISTINCT FROM b.c_nationkey) AS differs
+      FROM a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey
+    )
+    SELECT CASE WHEN in_b AND NOT in_a THEN 'I'
+                WHEN in_a AND NOT in_b THEN 'D'
+                ELSE 'U' END AS op,
+           COUNT(*) AS n_keys,
+           CAST(SUM(k) AS BIGINT) AS key_sum
+    FROM j
+    WHERE (NOT in_a) OR (NOT in_b) OR differs
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def snapshot_diff(spark, sf_dir):
+    """Snapshot reconciliation (the `sync_snapshot` kernel, operators/
+    apply.py — binlog-less CDC for full-state sources like the
+    reference's Mongo cursor scan, src/etl/processor.rs:99) as an
+    oracle-checked query: two deterministic 'versions' of customer diff
+    into per-op change counts. Plan: one full-outer sort-merge join on
+    the key (both sides shuffle once on c_custkey), null-safe payload
+    comparison in the join output, then a 3-group hash agg — unchanged
+    keys are filtered BEFORE the agg, so downstream cost is O(changed),
+    the property that makes snapshot sync affordable at 100 TB."""
+    cust = _t(spark, sf_dir, "customer")
+    bal = _dec("c_acctbal", 12, 2)
+    a = cust.filter(F.col("c_custkey") % 7 != 0).select(
+        "c_custkey",
+        F.col("c_name").alias("name_a"),
+        bal.alias("bal_a"),
+        F.col("c_nationkey").alias("nat_a"),
+        F.lit(True).alias("in_a"),
+    )
+    b = cust.filter(F.col("c_custkey") % 5 != 0).select(
+        "c_custkey",
+        F.col("c_name").alias("name_b"),
+        (bal + F.when(F.col("c_custkey") % 3 == 0, F.lit(10))
+         .otherwise(F.lit(0)).cast("decimal(12,2)")).alias("bal_b"),
+        F.col("c_nationkey").alias("nat_b"),
+        F.lit(True).alias("in_b"),
+    )
+    j = a.join(b, on="c_custkey", how="full_outer")
+    in_a = F.coalesce(F.col("in_a"), F.lit(False))
+    in_b = F.coalesce(F.col("in_b"), F.lit(False))
+    differs = ~(
+        F.col("name_a").eqNullSafe(F.col("name_b"))
+        & F.col("bal_a").eqNullSafe(F.col("bal_b"))
+        & F.col("nat_a").eqNullSafe(F.col("nat_b"))
+    )
+    op = (
+        F.when(in_b & ~in_a, F.lit("I"))
+        .when(in_a & ~in_b, F.lit("D"))
+        .otherwise(F.lit("U"))
+    )
+    return (
+        j.filter(~in_a | ~in_b | differs)
+        .select(op.alias("op"), "c_custkey")
+        .groupBy("op")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum("c_custkey").cast("long").alias("key_sum"),
+        )
+        .orderBy("op")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-correctness window ordering (round-robin gate rotation)
 # ---------------------------------------------------------------------------

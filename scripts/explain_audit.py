@@ -57,6 +57,10 @@ CHECKS = {
     "q22_dormant_customers": (["LeftAnti", "partial_sum"], ["CartesianProduct"]),
     "q2_min_price_supplier": (["BroadcastHashJoin", "partial_min"], ["CartesianProduct"]),
     # round-5 closing additions
+    # one co-partitioned full-outer SMJ + map-side partial agg; unchanged
+    # keys filtered before the agg (the O(changed) snapshot-sync shape)
+    "snapshot_diff": (["SortMergeJoin [c_custkey", "FullOuter",
+                       "partial_sum"], ["CartesianProduct"]),
     "triangle_census": (["LeftSemi", "partial_sum"], ["CartesianProduct"]),
     "assoc_rules_lift": (["BroadcastHashJoin", "TakeOrderedAndProject"], ["CartesianProduct"]),
     "event_trigram_paths": (["Window", "TakeOrderedAndProject", "partial_count"], ["CartesianProduct"]),

@@ -646,6 +646,11 @@ def cmd_check(args) -> int:
     from etl_rust_spark.lake.format import IceliteTable
 
     t = IceliteTable.load(_spark(args), args.table)
+    if args.report:
+        extra = dict(r.split("=", 1) for r in args.rule or [])
+        rep = t.check_report(extra=extra)
+        print(_json.dumps(rep, indent=2))
+        return 1 if any(rep.values()) else 0
     if args.add:
         name, expr = args.add
         snap = t.add_check(name, expr, validate=not args.no_validate)
@@ -1162,6 +1167,11 @@ def build_parser() -> argparse.ArgumentParser:
     ck.add_argument("--drop", default=None, help="drop a CHECK by name")
     ck.add_argument("--no-validate", action="store_true",
                     help="skip the existing-rows validation scan on --add")
+    ck.add_argument("--report", action="store_true",
+                    help="one-pass violation counts of every CHECK over "
+                         "live rows (exit 1 on findings, never raises)")
+    ck.add_argument("--rule", action="append", default=None,
+                    help="<name>=<expr> ad-hoc rule added to --report")
     ck.set_defaults(fn=cmd_check)
 
     sy = sub.add_parser(

@@ -3265,6 +3265,31 @@ class IceliteTable:
         )
         return lineage_rec
 
+    def check_report(self, extra: dict | None = None) -> dict:
+        """Data-quality REPORT: violation counts of every registered
+        CHECK (plus ad-hoc ``extra`` {name: expr} rules) over the
+        current LIVE rows, in ONE aggregation pass — never raises on
+        findings (that is the writers' job); the audit surface a
+        governance job runs on a table whose checks were added with
+        ``validate=False`` or that predates its constraints. Returns
+        {check_name: violating_row_count} (0 = clean). ANSI semantics
+        (NULL passes); tombstones excluded."""
+        checks = dict(self.pointer().get("checks") or {})
+        checks.update(extra or {})
+        if not checks:
+            return {}
+        live = self.read()
+        if "__deleted" in live.columns:
+            live = live.filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
+        aggs = [
+            F.sum(
+                F.when(~F.coalesce(F.expr(expr), F.lit(True)), 1).otherwise(0)
+            ).alias(name)
+            for name, expr in checks.items()
+        ]
+        row = live.agg(*aggs).collect()[0]
+        return {n: int(row[n] or 0) for n in checks}
+
     def add_check(self, name: str, expr: str, validate: bool = True) -> dict:
         """Add a writer-enforced CHECK constraint (Delta's ``ALTER TABLE
         ADD CONSTRAINT``, public semantics): ``expr`` is a boolean SQL

@@ -181,3 +181,29 @@ def test_native_sink_refuses_checked_table(spark, tmp_path):
     IceliteStreamWriter(
         {"path": str(tmp_path / "t"), "upstreamchecked": "true"}, schema
     )
+
+
+def test_check_report_counts_without_raising(spark, tmp_path):
+    """check_report: violation counts over live rows in one pass —
+    reports, never raises; tombstones excluded; ad-hoc extra rules ride
+    the same aggregation; CLI twin exits 1 on findings."""
+    from etl_rust_spark.__main__ import main
+
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(t, _rows(spark, [
+        (1, "I", "c0", 0, "user", "ok", "", TS),
+        (2, "I", "c0", 1, "assistant", "way-too-long-here", "", TS),
+        (3, "I", "c1", 0, "user", "fine", "", TS),
+    ]), batch_key="seed", mode="mor")
+    # constrain AFTER the bad row exists (validate=False = known-dirty)
+    t.add_check("text_short", "length(text) <= 8", validate=False)
+    rep = t.check_report()
+    assert rep == {"text_short": 1}
+    # a tombstoned violator stops counting
+    t.delete_where([("conv_id", "=", "c0")], batch_key="purge")
+    rep = t.check_report(extra={"role_known": "role in ('user')"})
+    assert rep == {"text_short": 0, "role_known": 0}
+    # CLI: clean = exit 0; findings (ad-hoc rule) = exit 1
+    assert main(["check", "--table", str(tmp_path / "t"), "--report"]) == 0
+    assert main(["check", "--table", str(tmp_path / "t"), "--report",
+                 "--rule", "never=text IS NULL"]) == 1

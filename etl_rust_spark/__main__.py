@@ -674,9 +674,11 @@ def cmd_sync_snapshot(args) -> int:
     spark = _spark(args)
     t = IceliteTable.load(spark, args.table)
     snap = spark.read.parquet(args.snapshot)
+    where = [(c, "=", v) for c, v in
+             (s.split("=", 1) for s in args.scope or [])] or None
     rep = sync_snapshot(
         t, snap, batch_key=args.batch_key, at_seq=args.at_seq,
-        mode=args.mode,
+        mode=args.mode, where=where,
     )
     if rep is None:
         print('{"status": "no-op (already applied or zero diff)"}')
@@ -1188,6 +1190,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="LWW seq assigned to the sync's events "
                          "(default: 1 + max stored seq)")
     sy.add_argument("--mode", default="mor", choices=["mor", "cow"])
+    sy.add_argument("--scope", action="append", default=None,
+                    help="<keycol>=<value> (repeatable, ANDed): sharded "
+                         "sync — diff and delete only within this key "
+                         "scope; the snapshot must be scoped to match")
     sy.set_defaults(fn=cmd_sync_snapshot)
 
     ro = sub.add_parser("remove-orphans", help="delete crash debris")

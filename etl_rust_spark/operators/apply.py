@@ -120,6 +120,7 @@ def sync_snapshot(
     at_seq: int | None = None,
     mode: str = "mor",
     source: str = "snapshot_sync",
+    where: list | None = None,
 ) -> dict | None:
     """Make the table's LIVE state equal ``snap_df`` by diffing and
     committing ONE synthesized CDC batch — the ingest path for upstream
@@ -140,8 +141,14 @@ def sync_snapshot(
     diff itself is one full-outer join, O(table + snapshot), inherent
     to snapshot reconciliation (both sides shuffle on the same key
     columns; at 100 TB, shard the snapshot by key range and sync shards
-    independently — each diff then only reads the matching key range via
-    predicate pushdown).
+    independently via ``where=`` — the SHARDED sync path: the table side
+    of the diff is then a file-pruned ``read(where=...)`` of just that
+    key range, deletes are computed only within it, and rows outside
+    the scope are untouched by contract. The snapshot must contain
+    exactly the upstream's full state FOR THAT SCOPE — out-of-scope
+    snapshot rows fail fast (another shard's sync would otherwise
+    delete them right back). Scope on key/bucket columns to get file
+    pruning; shard batch keys must differ.
 
     The snapshot must carry EVERY live payload column (missing ones
     fail fast — a 'U' row would silently null them); extra columns
@@ -171,7 +178,28 @@ def sync_snapshot(
     if missing_keys:
         raise ValueError(f"snapshot is missing key columns {missing_keys}")
 
-    cur = table.read()
+    cur = table.read(where=where) if where else table.read()
+    if where:
+        from etl_rust_spark.lake.format import _where_filter, _where_groups
+
+        bad_cols = {c for g in _where_groups(where) for c, _, _ in g
+                    if c not in key_cols}
+        if bad_cols:
+            raise ValueError(
+                f"sync_snapshot where= must use key columns only (got "
+                f"{sorted(bad_cols)}): a payload-column scope excludes "
+                "tombstones and rows whose current value changed, so the "
+                "diff would mis-classify them and sync events could "
+                "silently lose the per-key LWW"
+            )
+        scope = _where_filter(where)
+        n_out = snap_df.filter(~F.coalesce(scope, F.lit(False))).count()
+        if n_out:
+            raise ValueError(
+                f"snapshot carries {n_out} row(s) OUTSIDE the where scope "
+                f"{where!r} — they would insert here and be deleted by the "
+                "shard that owns them; scope the snapshot to match"
+            )
     has_del = DELETED_COL in cur.columns
     live_payload = [c for c in cur.columns
                     if c not in key_cols and c not in (seq_col, DELETED_COL)]

@@ -180,3 +180,45 @@ def test_cli_sync_snapshot_end_to_end(spark, tmp_path, capsys):
                  "--snapshot", str(tmp_path / "snap"),
                  "--batch-key", "cli1"]) == 0
     assert "no-op" in capsys.readouterr().out
+
+
+def test_sharded_sync_with_where_scope(spark, tmp_path):
+    """where= scope: each shard diffs and deletes only inside its key
+    range — out-of-scope rows untouched, two shard syncs compose to the
+    full sync, the table side is file-pruned, and guards fire on
+    out-of-scope snapshot rows / non-key scope columns."""
+    t = _seed(spark, str(tmp_path / "t"))  # live: c0/0, c0/1, c1/0, c1/1
+    # shard 1 owns conv c0: change one row, keep the other
+    snap_c0 = _snap(spark, [
+        ("c0", 0, "user", "keep-me", "", TS),
+        ("c0", 1, "user", "SHARD0", "", TS),
+    ])
+    rep = sync_snapshot(t, snap_c0, batch_key="sh0",
+                        where=[("conv_id", "=", "c0")])
+    assert (rep["inserted"], rep["updated"], rep["deleted"]) == (0, 1, 0)
+    # c1 rows are OUTSIDE the scope: untouched even though absent from
+    # the shard's snapshot
+    got = {(r["conv_id"], r["turn_idx"]): r["text"]
+           for r in read_transcripts(t).collect()}
+    assert got == {("c0", 0): "keep-me", ("c0", 1): "SHARD0",
+                   ("c1", 0): "delete-me", ("c1", 1): "also-keep"}
+    # shard 2 owns c1: drop one row, add one
+    snap_c1 = _snap(spark, [
+        ("c1", 1, "user", "also-keep", "", TS),
+        ("c1", 2, "user", "SHARD1-new", "", TS),
+    ])
+    rep = sync_snapshot(t, snap_c1, batch_key="sh1",
+                        where=[("conv_id", "=", "c1")])
+    assert (rep["inserted"], rep["updated"], rep["deleted"]) == (1, 0, 1)
+    got = {(r["conv_id"], r["turn_idx"]): r["text"]
+           for r in read_transcripts(t).collect()}
+    assert got == {("c0", 0): "keep-me", ("c0", 1): "SHARD0",
+                   ("c1", 1): "also-keep", ("c1", 2): "SHARD1-new"}
+    # guard: snapshot rows outside the scope fail fast
+    with pytest.raises(ValueError, match="OUTSIDE the where scope"):
+        sync_snapshot(t, snap_c0, batch_key="bad",
+                      where=[("conv_id", "=", "c1")])
+    # guard: non-key scope columns refused
+    with pytest.raises(ValueError, match="key columns only"):
+        sync_snapshot(t, snap_c0, batch_key="bad2",
+                      where=[("text", "=", "keep-me")])

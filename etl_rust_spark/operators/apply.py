@@ -148,7 +148,13 @@ def sync_snapshot(
     exactly the upstream's full state FOR THAT SCOPE — out-of-scope
     snapshot rows fail fast (another shard's sync would otherwise
     delete them right back). Scope on key/bucket columns to get file
-    pruning; shard batch keys must differ.
+    pruning; shard batch keys must differ. Sharded runs should pass an
+    EXPLICIT shared ``at_seq`` (the snapshot's upstream watermark): the
+    default derives from the SCOPED read's max seq, which is consistent
+    within a shard but differs across shards — harmless for per-key LWW
+    (keys never cross shards) but an empty scope would default to seq 1,
+    letting a late pre-snapshot CDC delivery with a modest lsn wrongly
+    beat the sync's rows.
 
     The snapshot must carry EVERY live payload column (missing ones
     fail fast — a 'U' row would silently null them); extra columns

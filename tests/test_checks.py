@@ -207,3 +207,25 @@ def test_check_report_counts_without_raising(spark, tmp_path):
     assert main(["check", "--table", str(tmp_path / "t"), "--report"]) == 0
     assert main(["check", "--table", str(tmp_path / "t"), "--report",
                  "--rule", "never=text IS NULL"]) == 1
+
+
+def test_checks_survive_maintenance_commits(spark, tmp_path):
+    """Every commit path re-emits the pointer: compact / rewrite_manifests
+    / expire must all carry the checks map forward (a maintenance op that
+    dropped it would silently disarm every writer)."""
+    t = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=2)
+    for i in range(3):
+        apply_changes(t, _clean(spark, conv=f"c{i}", lsn0=i * 10),
+                      batch_key=f"b{i}", mode="mor")
+    t.add_check("turn_nonneg", "turn_idx >= 0")
+    t.compact()
+    t.rewrite_manifests(target_files_per_manifest=2)
+    t.expire_snapshots(keep_last=2)
+    assert t.pointer().get("checks") == {"turn_nonneg": "turn_idx >= 0"}
+    # and the constraint still bites after the maintenance chain
+    with pytest.raises(CheckViolationError):
+        apply_changes(
+            t,
+            _rows(spark, [(99, "I", "cx", -1, "user", "bad", "", TS)]),
+            batch_key="bad", mode="mor",
+        )

@@ -738,6 +738,21 @@ def cmd_describe(args) -> int:
     return 0
 
 
+def cmd_count(args) -> int:
+    """Exact live-row count, metadata-first (count_live's tier split is
+    printed so an operator sees whether the snapshot's count was free or
+    paid a scan — a big tombstone_scan/dedup tier is the cue to run
+    maintain)."""
+    import json as _json
+
+    from etl_rust_spark.lake.format import IceliteTable
+
+    t = IceliteTable.load(_spark(args), args.table)
+    d = t.count_live(seq=args.seq, detail=True)
+    print(_json.dumps(d, indent=2))
+    return 0
+
+
 def cmd_tail(args) -> int:
     """Continuously tail the table's commit log as a STREAM (the
     format('icelite') source) and emit each micro-batch of changes as
@@ -1213,6 +1228,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     de.add_argument("--table", required=True)
     de.set_defaults(fn=cmd_describe)
+
+    cn = sub.add_parser(
+        "count",
+        help="exact live-row count, metadata-first (tier breakdown JSON)",
+    )
+    cn.add_argument("--table", required=True)
+    cn.add_argument("--seq", type=int, default=None)
+    cn.set_defaults(fn=cmd_count)
 
     tl = sub.add_parser(
         "tail",

@@ -648,6 +648,114 @@ class IceliteTable:
             "earliest_changes_seq": self.earliest_changes_seq(),
         }
 
+    def count_live(
+        self,
+        seq: int | None = None,
+        as_of=None,
+        tag: str | None = None,
+        detail: bool = False,
+    ):
+        """Exact LIVE-row count — the ``SELECT count(*)`` fast path.
+
+        Iceberg answers counts from manifest row counts without touching
+        data (public semantics; the reference pays a full collection scan
+        for the same number, src/etl/processor.rs:99). Adapted to
+        merge-on-read, three tiers — every tier exact, cheapest proof
+        wins per file:
+
+        - **metadata** — base files in delta-free buckets whose per-file
+          ``__deleted`` stats prove zero tombstones (``max=false``), or
+          any file when the snapshot schema has no ``__deleted`` column
+          at all: count = the manifest's ``rows``, no file opened. The
+          steady post-compaction state (tombstones folded by retention)
+          lands here entirely — O(manifests) driver-side, ZERO Spark
+          jobs, at 100 TB the difference between instant and an
+          O(table) scan.
+        - **tombstone scan** — base files that MAY hold tombstones
+          (``max=true``, or pre-stat manifests with no ``__deleted``
+          entry): a schema-projected scan of ONLY the boolean column
+          (RLE-encoded pages, ~KB per file regardless of row width)
+          subtracts them. Files physically missing the column project
+          NULL → live.
+        - **dedup scan** — buckets holding delta files need max-seq
+          version resolution; they route through ``read(buckets=...)``
+          (which also folds additive tables), filtered live.
+
+        Time-travel via ``seq``/``as_of``/``tag`` exactly like ``read``.
+        ``detail=True`` returns the tier breakdown instead of the bare
+        int. Predicate counts (``count where ...``) go through
+        ``read(where=...)`` — this is the whole-table shape."""
+        if sum(x is not None for x in (seq, as_of, tag)) > 1:
+            raise ValueError("pass at most one of seq / as_of / tag")
+        if as_of is not None:
+            seq = self.seq_as_of(as_of)
+        if tag is not None:
+            found = self.tags().get(tag)
+            if found is None:
+                raise FileNotFoundError(f"no tag {tag!r}")
+            seq = found
+        ptr = self.pointer(seq)
+        pinned = ptr["seq"]  # one snapshot for all three tiers
+        files = self._files(ptr)
+        schema = T.StructType.fromJson(ptr["schema"])
+        has_del_col = any(f.name == "__deleted" for f in schema.fields)
+        delta_buckets = {
+            f["bucket"] for f in files if f.get("kind", "base") == "delta"
+        }
+        meta_rows, n_meta = 0, 0
+        tomb_files: list = []
+        for f in files:
+            if f["bucket"] in delta_buckets:
+                continue
+            st = (f.get("stats") or {}).get("__deleted")
+            if not has_del_col or (st is not None and st[1] is False):
+                meta_rows += int(f["rows"])
+                n_meta += 1
+            else:
+                tomb_files.append(f)
+        scanned_live = 0
+        if tomb_files:
+            if self.spark is None:
+                raise ValueError(
+                    "count_live needs a SparkSession when tombstone/delta "
+                    "scans are required (metadata alone cannot prove the "
+                    "count for this snapshot)"
+                )
+            proj = T.StructType(
+                [T.StructField("__deleted", T.BooleanType(), True)]
+            )
+            scanned_live = int(
+                self.spark.read.schema(proj)
+                .parquet(*[f["path"] for f in tomb_files])
+                .filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
+                .count()
+            )
+        dedup_live = 0
+        if delta_buckets:
+            if self.spark is None:
+                raise ValueError(
+                    "count_live needs a SparkSession when tombstone/delta "
+                    "scans are required (metadata alone cannot prove the "
+                    "count for this snapshot)"
+                )
+            df = self.read(seq=pinned, buckets=delta_buckets)
+            if "__deleted" in df.columns:
+                df = df.filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
+            dedup_live = int(df.count())
+        total = meta_rows + scanned_live + dedup_live
+        if not detail:
+            return total
+        return {
+            "count": total,
+            "seq": pinned,
+            "metadata_files": n_meta,
+            "metadata_rows": meta_rows,
+            "tombstone_scan_files": len(tomb_files),
+            "tombstone_scan_live": scanned_live,
+            "dedup_scan_buckets": len(delta_buckets),
+            "dedup_scan_live": dedup_live,
+        }
+
     def fsck(self, deep: bool = False) -> dict:
         """Lake integrity check (read-only fsck) — metadata ↔ filesystem
         consistency for every RETAINED snapshot, main and branches: the
@@ -2161,7 +2269,12 @@ class IceliteTable:
                 f.dataType,
                 (T.NumericType, T.TimestampType, T.TimestampNTZType, T.DateType),
             ) and not isinstance(f.dataType, T.DecimalType)
-            if (f.name in keyish or rangy) and _stat_supported(f.dataType):
+            # __deleted's [min, max] proves a file tombstone-free
+            # (max=False) — the key to metadata-only count_live; two
+            # booleans per file in the manifest JSON
+            if (
+                f.name in keyish or rangy or f.name == "__deleted"
+            ) and _stat_supported(f.dataType):
                 out.append(f)
         return out
 

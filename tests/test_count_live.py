@@ -1,0 +1,115 @@
+"""count_live: the metadata-first SELECT count(*) path.
+
+Iceberg answers whole-table counts from manifest row counts; the
+reference pays a full collection scan for the same number
+(src/etl/processor.rs:99). count_live must be EXACT in every table
+state — deltas pending, tombstones present, post-compaction — while the
+detail breakdown proves WHICH tier paid (metadata / tombstone-column
+scan / dedup scan)."""
+
+import datetime as dt
+
+from etl_rust_spark.operators.apply import (
+    apply_changes,
+    create_transcript_table,
+    read_transcripts,
+)
+
+CHANGE_SCHEMA = (
+    "lsn long, op string, conv_id string, turn_idx int, role string, "
+    "text string, tool string, ts timestamp"
+)
+TS = dt.datetime(2025, 1, 1)
+
+
+def _batch(spark, conv, lsn0, n=4, op="I"):
+    rows = [
+        (
+            lsn0 + t,
+            op,
+            conv,
+            t,
+            None if op == "D" else "user",
+            None if op == "D" else f"{conv} t{t}",
+            None if op == "D" else "",
+            None if op == "D" else TS,
+        )
+        for t in range(n)
+    ]
+    return spark.createDataFrame(rows, CHANGE_SCHEMA)
+
+
+def _live_count(table):
+    return read_transcripts(table).count()
+
+
+def test_count_live_exact_across_table_states(spark, tmp_path):
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+
+    # MoR deltas pending: dedup tier carries the whole count
+    apply_changes(table, _batch(spark, "c0", 0), batch_key="b0", mode="mor")
+    apply_changes(table, _batch(spark, "c1", 100), batch_key="b1", mode="mor")
+    d = table.count_live(detail=True)
+    assert d["count"] == _live_count(table) == 8
+    assert d["dedup_scan_buckets"] > 0
+
+    # updates + deletes still pending as deltas: count is live winners
+    apply_changes(table, _batch(spark, "c0", 200), batch_key="b2", mode="mor")
+    apply_changes(
+        table, _batch(spark, "c1", 300, n=2, op="D"), batch_key="b3", mode="mor"
+    )
+    assert table.count_live() == _live_count(table) == 6
+
+    seq_before_compact = table.pointer()["seq"]
+
+    # full compaction folds deltas; tombstone winners survive in base
+    # files, so the per-file __deleted stats split the files between the
+    # metadata tier (max=false) and the tombstone-column scan (max=true)
+    table.compact()
+    d = table.count_live(detail=True)
+    assert d["count"] == _live_count(table) == 6
+    assert d["dedup_scan_buckets"] == 0
+    assert d["metadata_files"] + d["tombstone_scan_files"] > 0
+    assert (
+        d["metadata_rows"] + d["tombstone_scan_live"] == 6
+    )
+
+    # time travel: count at the pre-compaction snapshot
+    assert table.count_live(seq=seq_before_compact) == 6
+    assert table.count_live(seq=2) == 8  # before the delete batch
+
+
+def test_count_live_pure_metadata_when_no_tombstones(spark, tmp_path):
+    """A compacted table whose buckets never saw a delete counts from
+    manifests alone — zero files opened, zero Spark jobs (the 100 TB
+    instant-count state)."""
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    for i, conv in enumerate(["a", "b", "c"]):
+        apply_changes(
+            table, _batch(spark, conv, i * 100), batch_key=f"b{i}", mode="mor"
+        )
+    table.compact()
+    d = table.count_live(detail=True)
+    assert d["count"] == _live_count(table) == 12
+    assert d["tombstone_scan_files"] == 0
+    assert d["dedup_scan_buckets"] == 0
+    assert d["metadata_rows"] == 12
+    assert d["metadata_files"] > 0
+
+
+def test_cli_count_end_to_end(spark, tmp_path, capsys):
+    import json
+
+    from etl_rust_spark.__main__ import main
+
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_changes(table, _batch(spark, "c0", 0), batch_key="b0", mode="mor")
+    apply_changes(
+        table, _batch(spark, "c0", 100, n=1, op="D"), batch_key="b1", mode="mor"
+    )
+    assert main(["count", "--table", str(tmp_path / "t")]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["count"] == 3 == _live_count(table)
+    # historical count by snapshot id
+    assert main(["count", "--table", str(tmp_path / "t"), "--seq", "1"]) == 0
+    assert json.loads(capsys.readouterr().out)["count"] == 4

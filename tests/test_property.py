@@ -909,6 +909,10 @@ def test_maintenance_interleavings_preserve_live_state(
             assert len(actual) == 0
         else:
             assert_pdf_equal(actual, exp)
+        # the metadata-first count(*) must stay exact through EVERY
+        # interleaving — tombstones pending, deltas pending, folded,
+        # rebucketed — because its metadata tier trusts manifest stats
+        assert table.count_live() == len(exp)
 
     for kind, arg in script:
         step += 1

@@ -756,6 +756,133 @@ class IceliteTable:
             "dedup_scan_live": dedup_live,
         }
 
+    def min_max(
+        self,
+        col: str,
+        seq: int | None = None,
+        as_of=None,
+        tag: str | None = None,
+        detail: bool = False,
+    ):
+        """Exact live-row ``(min, max)`` of a column — the watermark
+        query (``SELECT min(ts), max(ts)``), metadata-first like
+        ``count_live`` and exact by the same tier discipline:
+
+        - **metadata** — base files in delta-free buckets, PROVEN
+          tombstone-free (``__deleted`` stats ``max=false``, or no
+          ``__deleted`` in the snapshot schema), with recorded non-null
+          stats for ``col``: the manifest [min, max] IS the file's
+          live range (delta-free ⇒ one live version per key; parquet
+          stats skip nulls). Strings never use this tier — parquet
+          writers may TRUNCATE string min/max (lower/raise the bound:
+          conservative for pruning, wrong as an exact answer).
+        - **scan** — files with tombstones, absent/NaN-wide stats, or a
+          string column: a projection of only ``col`` (+ ``__deleted``
+          where stored), filtered live.
+        - **dedup scan** — buckets holding delta files route through
+          ``read(buckets=...)``, filtered live.
+
+        Stored stats live in the footer's raw domain (timestamps =
+        epoch micros, dates = epoch days); results convert back to
+        Python values matching a collected Spark aggregate. Returns
+        ``(None, None)`` for an empty/all-null column."""
+        if sum(x is not None for x in (seq, as_of, tag)) > 1:
+            raise ValueError("pass at most one of seq / as_of / tag")
+        if as_of is not None:
+            seq = self.seq_as_of(as_of)
+        if tag is not None:
+            found = self.tags().get(tag)
+            if found is None:
+                raise FileNotFoundError(f"no tag {tag!r}")
+            seq = found
+        ptr = self.pointer(seq)
+        pinned = ptr["seq"]
+        schema = T.StructType.fromJson(ptr["schema"])
+        fld = next((f for f in schema.fields if f.name == col), None)
+        if fld is None:
+            raise ValueError(f"no column {col!r} in the table schema")
+        has_del_col = any(f.name == "__deleted" for f in schema.fields)
+        stat_ok = _stat_supported(fld.dataType) and not isinstance(
+            fld.dataType, T.StringType
+        )
+
+        def _from_stored(v):
+            if isinstance(fld.dataType, (T.TimestampType, T.TimestampNTZType)):
+                return _dt.datetime(1970, 1, 1) + _dt.timedelta(
+                    microseconds=int(v)
+                )
+            if isinstance(fld.dataType, T.DateType):
+                return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(v))
+            return v
+
+        files = self._files(ptr)
+        delta_buckets = {
+            f["bucket"] for f in files if f.get("kind", "base") == "delta"
+        }
+        lo = hi = None
+        n_meta = 0
+        scan_files: list = []
+        for f in files:
+            if f["bucket"] in delta_buckets:
+                continue
+            dstat = (f.get("stats") or {}).get("__deleted")
+            tomb_free = not has_del_col or (
+                dstat is not None and dstat[1] is False
+            )
+            cstat = (f.get("stats") or {}).get(col) if stat_ok else None
+            if tomb_free and cstat is not None and cstat[0] is not None:
+                a, b = _from_stored(cstat[0]), _from_stored(cstat[1])
+                lo = a if lo is None or a < lo else lo
+                hi = b if hi is None or b > hi else hi
+                n_meta += 1
+            else:
+                scan_files.append(f)
+
+        def _fold(vals):
+            nonlocal lo, hi
+            a, b = vals
+            if a is not None:
+                lo = a if lo is None or a < lo else lo
+            if b is not None:
+                hi = b if hi is None or b > hi else hi
+
+        n_scanned = len(scan_files)
+        if scan_files:
+            if self.spark is None:
+                raise ValueError(
+                    "min_max needs a SparkSession when scans are required"
+                )
+            proj = [T.StructField(col, fld.dataType, True)]
+            if has_del_col:
+                proj.append(T.StructField("__deleted", T.BooleanType(), True))
+            df = self.spark.read.schema(T.StructType(proj)).parquet(
+                *[f["path"] for f in scan_files]
+            )
+            if has_del_col:
+                df = df.filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
+            row = df.agg(F.min(col).alias("a"), F.max(col).alias("b")).first()
+            _fold((row["a"], row["b"]))
+        if delta_buckets:
+            if self.spark is None:
+                raise ValueError(
+                    "min_max needs a SparkSession when scans are required"
+                )
+            df = self.read(seq=pinned, buckets=delta_buckets)
+            if "__deleted" in df.columns:
+                df = df.filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
+            row = df.agg(F.min(col).alias("a"), F.max(col).alias("b")).first()
+            _fold((row["a"], row["b"]))
+        if not detail:
+            return (lo, hi)
+        return {
+            "min": lo,
+            "max": hi,
+            "seq": pinned,
+            "metadata_files": n_meta,
+            "scan_files": n_scanned,
+            "dedup_scan_buckets": len(delta_buckets),
+        }
+
     def fsck(self, deep: bool = False) -> dict:
         """Lake integrity check (read-only fsck) — metadata ↔ filesystem
         consistency for every RETAINED snapshot, main and branches: the

@@ -115,6 +115,22 @@ assert replayed.exceptAll(live).count() == 0
 assert live.exceptAll(replayed).count() == 0
 print("OK feed replay == live state", live.count())
 
+# metadata-first aggregates (round-5g): count_live and min_max must
+# equal full-scan answers in whatever delta/tombstone state the table
+# is in right here, and again post-compaction (where the metadata tier
+# should carry most files)
+live_now = read_transcripts(table)
+n_oracle = live_now.count()
+cd = table.count_live(detail=True)
+assert cd["count"] == n_oracle, (cd, n_oracle)
+mm = table.min_max("turn_idx")
+r = live_now.agg(F.min("turn_idx"), F.max("turn_idx")).first()
+assert mm == (r[0], r[1]), (mm, r)
+mt = table.min_max("ts")
+rt = live_now.agg(F.min("ts"), F.max("ts")).first()
+assert mt == (rt[0], rt[1]), (mt, rt)
+print("OK metadata-first count/min_max", cd["count"], mm)
+
 # ---- round-5: rewrite_manifests through the deployed surface ----
 n_manifests_before = table.describe()["n_manifests"]
 files_before = sorted(e["path"] for e in table._files(table.pointer()))
@@ -170,6 +186,14 @@ pd.testing.assert_frame_equal(
     check_dtype=False,
 )
 print("OK files_per_bucket split: buckets split, reads identical")
+
+# post-compaction, count_live should answer mostly from metadata (no
+# delta buckets left; only files still holding tombstone winners scan)
+cd2 = table.count_live(detail=True)
+assert cd2["count"] == read_transcripts(table).count(), cd2
+assert cd2["dedup_scan_buckets"] == 0, cd2
+assert cd2["metadata_files"] > 0, cd2
+print("OK post-compaction metadata count", cd2["metadata_files"], "meta files")
 
 # clone: snapshot export to a new independent table (round-5e)
 cl = table.clone(os.path.join(root, "clone"))

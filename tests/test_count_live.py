@@ -113,3 +113,56 @@ def test_cli_count_end_to_end(spark, tmp_path, capsys):
     # historical count by snapshot id
     assert main(["count", "--table", str(tmp_path / "t"), "--seq", "1"]) == 0
     assert json.loads(capsys.readouterr().out)["count"] == 4
+
+
+def test_min_max_exact_across_states(spark, tmp_path):
+    """min_max must track LIVE rows only: a delete that removes the row
+    holding the max (key columns are non-null on tombstones — the trap)
+    must drop it from the answer, pending or compacted."""
+    from pyspark.sql import functions as F
+
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(table, _batch(spark, "c0", 0, n=3), batch_key="b0", mode="mor")
+    apply_changes(table, _batch(spark, "c1", 100, n=9), batch_key="b1", mode="mor")
+
+    def oracle(col):
+        r = (
+            read_transcripts(table)
+            .agg(F.min(col).alias("a"), F.max(col).alias("b"))
+            .first()
+        )
+        return (r["a"], r["b"])
+
+    assert table.min_max("turn_idx") == oracle("turn_idx") == (0, 8)
+    assert table.min_max("ts") == oracle("ts")
+
+    # delete the conv holding turn_idx 3..8 — max must fall to 2 even
+    # though the tombstones still carry turn_idx values
+    apply_changes(
+        table, _batch(spark, "c1", 200, n=9, op="D"), batch_key="b2", mode="mor"
+    )
+    assert table.min_max("turn_idx") == oracle("turn_idx") == (0, 2)
+
+    table.compact()
+    d = table.min_max("turn_idx", detail=True)
+    assert (d["min"], d["max"]) == (0, 2)
+    assert d["dedup_scan_buckets"] == 0
+    # string columns never answer from stats (truncation hazard)
+    ds = table.min_max("text", detail=True)
+    assert ds["metadata_files"] == 0
+    assert (ds["min"], ds["max"]) == oracle("text")
+
+
+def test_min_max_pure_metadata_when_no_tombstones(spark, tmp_path):
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    for i, conv in enumerate(["a", "b"]):
+        apply_changes(
+            table, _batch(spark, conv, i * 100), batch_key=f"b{i}", mode="mor"
+        )
+    table.compact()
+    d = table.min_max("__lsn", detail=True)
+    assert d["scan_files"] == 0 and d["dedup_scan_buckets"] == 0
+    assert d["metadata_files"] > 0
+    assert (d["min"], d["max"]) == (0, 103)
+    # time travel
+    assert table.min_max("__lsn", seq=1) == (0, 3)

@@ -166,3 +166,19 @@ def test_min_max_pure_metadata_when_no_tombstones(spark, tmp_path):
     assert (d["min"], d["max"]) == (0, 103)
     # time travel
     assert table.min_max("__lsn", seq=1) == (0, 3)
+
+
+def test_count_live_and_min_max_on_branch(spark, tmp_path):
+    """Branch handles resolve through their own chain: counts diverge
+    from main after the fork and main stays untouched."""
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_changes(table, _batch(spark, "c0", 0), batch_key="b0", mode="mor")
+    br = table.create_branch("fix")
+    apply_changes(br, _batch(spark, "c1", 100, n=2), batch_key="b1", mode="mor")
+    apply_changes(
+        br, _batch(spark, "c0", 200, n=1, op="D"), batch_key="b2", mode="mor"
+    )
+    assert table.count_live() == 4
+    assert br.count_live() == _live_count(br) == 5
+    assert br.min_max("turn_idx") == (0, 3)
+    assert table.min_max("turn_idx") == (0, 3)

@@ -909,10 +909,15 @@ def test_maintenance_interleavings_preserve_live_state(
             assert len(actual) == 0
         else:
             assert_pdf_equal(actual, exp)
-        # the metadata-first count(*) must stay exact through EVERY
+        # the metadata-first aggregates must stay exact through EVERY
         # interleaving — tombstones pending, deltas pending, folded,
-        # rebucketed — because its metadata tier trusts manifest stats
+        # rebucketed — because their metadata tier trusts manifest stats
         assert table.count_live() == len(exp)
+        lo, hi = table.min_max("turn_idx")
+        if len(exp) == 0:
+            assert (lo, hi) == (None, None)
+        else:
+            assert (lo, hi) == (exp.turn_idx.min(), exp.turn_idx.max())
 
     for kind, arg in script:
         step += 1

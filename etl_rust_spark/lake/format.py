@@ -819,6 +819,20 @@ class IceliteTable:
         delta_buckets = {
             f["bucket"] for f in files if f.get("kind", "base") == "delta"
         }
+        # stats are keyed by WRITE-TIME column names — resolve the
+        # requested column's name per file through the field-id map, or
+        # a renamed column's pre-rename files would silently fall out of
+        # the metadata tier AND null out in a raw projection scan
+        fids = ptr.get("field_ids")
+        legacy = ptr.get("legacy_cols")
+        col_id = str(fids.get(col)) if fids else None
+
+        def _write_name(f):
+            cmap = _file_cols(f, legacy)
+            if cmap is None or col_id is None:
+                return col
+            return cmap.get(col_id)  # None: file predates the column
+
         lo = hi = None
         n_meta = 0
         scan_files: list = []
@@ -829,7 +843,13 @@ class IceliteTable:
             tomb_free = not has_del_col or (
                 dstat is not None and dstat[1] is False
             )
-            cstat = (f.get("stats") or {}).get(col) if stat_ok else None
+            w = _write_name(f)
+            if w is None:
+                # file predates the column entirely: every row is NULL
+                # for it — nothing to fold, regardless of tombstones
+                n_meta += 1
+                continue
+            cstat = (f.get("stats") or {}).get(w) if stat_ok else None
             if tomb_free and cstat is not None and cstat[0] is not None:
                 a, b = _from_stored(cstat[0]), _from_stored(cstat[1])
                 lo = a if lo is None or a < lo else lo
@@ -852,12 +872,14 @@ class IceliteTable:
                 raise ValueError(
                     "min_max needs a SparkSession when scans are required"
                 )
+            # narrow field-id-resolved scan: _read_file_groups aliases
+            # each file's write-time names to current ones, so renamed
+            # columns read their real values (a raw projection by the
+            # current name would silently null pre-rename files)
             proj = [T.StructField(col, fld.dataType, True)]
             if has_del_col:
                 proj.append(T.StructField("__deleted", T.BooleanType(), True))
-            df = self.spark.read.schema(T.StructType(proj)).parquet(
-                *[f["path"] for f in scan_files]
-            )
+            df = self._read_file_groups(scan_files, T.StructType(proj), ptr)
             if has_del_col:
                 df = df.filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
             row = df.agg(F.min(col).alias("a"), F.max(col).alias("b")).first()

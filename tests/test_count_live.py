@@ -182,3 +182,37 @@ def test_count_live_and_min_max_on_branch(spark, tmp_path):
     assert br.count_live() == _live_count(br) == 5
     assert br.min_max("turn_idx") == (0, 3)
     assert table.min_max("turn_idx") == (0, 3)
+
+
+def test_min_max_survives_column_rename(spark, tmp_path):
+    """Stats are keyed by WRITE-TIME names and files keep their physical
+    columns across a rename — min_max must resolve both through the
+    field-id map (a raw by-current-name read would silently null every
+    pre-rename file)."""
+    from pyspark.sql import functions as F
+
+    # scan tier: tombstones force the field-id-resolved projection
+    t1 = create_transcript_table(spark, str(tmp_path / "t1"), n_buckets=2)
+    apply_changes(t1, _batch(spark, "c0", 0), batch_key="b0", mode="mor")
+    apply_changes(
+        t1, _batch(spark, "c0", 100, n=1, op="D"), batch_key="b1", mode="mor"
+    )
+    t1.compact()
+    t1.rename_column("turn_idx", "pos")
+    r = (
+        read_transcripts(t1)
+        .agg(F.min("pos").alias("a"), F.max("pos").alias("b"))
+        .first()
+    )
+    assert (r["a"], r["b"]) == (1, 3)
+    assert t1.min_max("pos") == (1, 3)
+
+    # metadata tier: tombstone-free pre-rename files answer from their
+    # write-name stats
+    t2 = create_transcript_table(spark, str(tmp_path / "t2"), n_buckets=2)
+    apply_changes(t2, _batch(spark, "c0", 0), batch_key="b0", mode="mor")
+    t2.compact()
+    t2.rename_column("turn_idx", "pos")
+    d = t2.min_max("pos", detail=True)
+    assert (d["min"], d["max"]) == (0, 3)
+    assert d["metadata_files"] > 0 and d["scan_files"] == 0

@@ -748,7 +748,7 @@ def cmd_count(args) -> int:
     from etl_rust_spark.lake.format import IceliteTable
 
     t = IceliteTable.load(_spark(args), args.table)
-    d = t.count_live(seq=args.seq, detail=True)
+    d = t.count_live(col=args.col, seq=args.seq, detail=True)
     print(_json.dumps(d, indent=2))
     return 0
 
@@ -1235,6 +1235,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     cn.add_argument("--table", required=True)
     cn.add_argument("--seq", type=int, default=None)
+    cn.add_argument("--col", default=None,
+                    help="count non-null values of this column instead")
     cn.set_defaults(fn=cmd_count)
 
     tl = sub.add_parser(

@@ -229,7 +229,9 @@ def _footer_stats_entry(path: str, stat_names: tuple) -> dict:
     md = pq.ParquetFile(path).metadata
     lo_all: dict = {}
     hi_all: dict = {}
+    nulls_all: dict = {}
     bad: set = set()
+    bad_nulls: set = set()
     for g in range(md.num_row_groups):
         rg = md.row_group(g)
         if rg.num_rows == 0:
@@ -237,9 +239,18 @@ def _footer_stats_entry(path: str, stat_names: tuple) -> dict:
         for i in range(rg.num_columns):
             c = rg.column(i)
             name = c.path_in_schema
+            st = c.statistics
+            # null counts: EVERY column (one small int each, no manifest
+            # bloat), independent of min/max validity — an all-null
+            # column has no min/max but an exact null count, and a
+            # NaN-polluted float still counts its nulls exactly
+            if name not in bad_nulls and st is not None and st.has_null_count:
+                nulls_all[name] = nulls_all.get(name, 0) + int(st.null_count)
+            else:
+                bad_nulls.add(name)
+                nulls_all.pop(name, None)
             if name not in stat_names or name in bad:
                 continue
-            st = c.statistics
             if st is None or not st.has_min_max or c.physical_type == "INT96":
                 bad.add(name)
                 continue
@@ -266,6 +277,9 @@ def _footer_stats_entry(path: str, stat_names: tuple) -> dict:
             n: [None, None] if n in bad or n not in lo_all else [lo_all[n], hi_all[n]]
             for n in stat_names
         },
+        # exact per-column null counts (column absent = unknown) — the
+        # metadata tier of count_live(col=...) / completeness profiling
+        "nulls": {n: v for n, v in nulls_all.items()},
     }
 
 
@@ -399,6 +413,16 @@ def _file_cols(entry: dict, legacy_cols: dict | None) -> dict | None:
     """The id→name map in force when this file was written (None: the
     table has never renamed/dropped, names are current)."""
     return entry.get("cols") or legacy_cols
+
+
+def _write_time_name(entry: dict, legacy_cols, col: str, col_id):
+    """``col``'s name at the time this file was written (stats and the
+    physical parquet columns are keyed by it), or None when the file
+    predates the column entirely."""
+    cmap = _file_cols(entry, legacy_cols)
+    if cmap is None or col_id is None:
+        return col
+    return cmap.get(col_id)
 
 
 def _group_conds(conds: list, cmap: dict | None, fids: dict | None, by_name: dict):
@@ -650,12 +674,14 @@ class IceliteTable:
 
     def count_live(
         self,
+        col: str | None = None,
         seq: int | None = None,
         as_of=None,
         tag: str | None = None,
         detail: bool = False,
     ):
-        """Exact LIVE-row count — the ``SELECT count(*)`` fast path.
+        """Exact LIVE-row count — the ``SELECT count(*)`` fast path;
+        with ``col``, the ``SELECT count(col)`` (non-null) twin.
 
         Iceberg answers counts from manifest row counts without touching
         data (public semantics; the reference pays a full collection scan
@@ -681,6 +707,13 @@ class IceliteTable:
           version resolution; they route through ``read(buckets=...)``
           (which also folds additive tables), filtered live.
 
+        ``col`` counts non-null live values (the completeness probe):
+        the metadata tier additionally needs the column's exact footer
+        null count (harvested per write-time name since r5g; older
+        manifests route to the scan tier), and the scan tier becomes a
+        field-id-resolved projection of ``col`` + ``__deleted``. Files
+        predating the column contribute zero from metadata.
+
         Time-travel via ``seq``/``as_of``/``tag`` exactly like ``read``.
         ``detail=True`` returns the tier breakdown instead of the bare
         int. Predicate counts (``count where ...``) go through
@@ -699,6 +732,14 @@ class IceliteTable:
         files = self._files(ptr)
         schema = T.StructType.fromJson(ptr["schema"])
         has_del_col = any(f.name == "__deleted" for f in schema.fields)
+        fld = None
+        if col is not None:
+            fld = next((f for f in schema.fields if f.name == col), None)
+            if fld is None:
+                raise ValueError(f"no column {col!r} in the table schema")
+        fids = ptr.get("field_ids")
+        legacy = ptr.get("legacy_cols")
+        col_id = str(fids.get(col)) if (fids and col is not None) else None
         delta_buckets = {
             f["bucket"] for f in files if f.get("kind", "base") == "delta"
         }
@@ -708,8 +749,24 @@ class IceliteTable:
             if f["bucket"] in delta_buckets:
                 continue
             st = (f.get("stats") or {}).get("__deleted")
-            if not has_del_col or (st is not None and st[1] is False):
-                meta_rows += int(f["rows"])
+            tomb_free = not has_del_col or (st is not None and st[1] is False)
+            if col is None:
+                if tomb_free:
+                    meta_rows += int(f["rows"])
+                    n_meta += 1
+                else:
+                    tomb_files.append(f)
+                continue
+            # count(col): non-null live values — needs the tombstone
+            # proof (tombstones are physical rows) AND an exact footer
+            # null count for the column's WRITE-TIME name
+            w = _write_time_name(f, legacy, col, col_id)
+            if w is None:  # file predates the column: all-null for it
+                n_meta += 1
+                continue
+            nn = (f.get("nulls") or {}).get(w)
+            if tomb_free and nn is not None:
+                meta_rows += int(f["rows"]) - int(nn)
                 n_meta += 1
             else:
                 tomb_files.append(f)
@@ -721,14 +778,26 @@ class IceliteTable:
                     "scans are required (metadata alone cannot prove the "
                     "count for this snapshot)"
                 )
-            proj = T.StructType(
-                [T.StructField("__deleted", T.BooleanType(), True)]
-            )
+            if col is None:
+                proj = T.StructType(
+                    [T.StructField("__deleted", T.BooleanType(), True)]
+                )
+                df = self.spark.read.schema(proj).parquet(
+                    *[f["path"] for f in tomb_files]
+                )
+            else:
+                # field-id-resolved narrow scan (renamed columns read
+                # their real values; see min_max)
+                proj = [T.StructField(col, fld.dataType, True)]
+                if has_del_col:
+                    proj.append(
+                        T.StructField("__deleted", T.BooleanType(), True)
+                    )
+                df = self._read_file_groups(tomb_files, T.StructType(proj), ptr)
+            if has_del_col and "__deleted" in df.columns:
+                df = df.filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
             scanned_live = int(
-                self.spark.read.schema(proj)
-                .parquet(*[f["path"] for f in tomb_files])
-                .filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
-                .count()
+                df.count() if col is None else df.agg(F.count(col)).first()[0]
             )
         dedup_live = 0
         if delta_buckets:
@@ -741,12 +810,15 @@ class IceliteTable:
             df = self.read(seq=pinned, buckets=delta_buckets)
             if "__deleted" in df.columns:
                 df = df.filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
-            dedup_live = int(df.count())
+            dedup_live = int(
+                df.count() if col is None else df.agg(F.count(col)).first()[0]
+            )
         total = meta_rows + scanned_live + dedup_live
         if not detail:
             return total
         return {
             "count": total,
+            "column": col,
             "seq": pinned,
             "metadata_files": n_meta,
             "metadata_rows": meta_rows,
@@ -826,13 +898,6 @@ class IceliteTable:
         fids = ptr.get("field_ids")
         legacy = ptr.get("legacy_cols")
         col_id = str(fids.get(col)) if fids else None
-
-        def _write_name(f):
-            cmap = _file_cols(f, legacy)
-            if cmap is None or col_id is None:
-                return col
-            return cmap.get(col_id)  # None: file predates the column
-
         lo = hi = None
         n_meta = 0
         scan_files: list = []
@@ -843,7 +908,7 @@ class IceliteTable:
             tomb_free = not has_del_col or (
                 dstat is not None and dstat[1] is False
             )
-            w = _write_name(f)
+            w = _write_time_name(f, legacy, col, col_id)
             if w is None:
                 # file predates the column entirely: every row is NULL
                 # for it — nothing to fold, regardless of tombstones
@@ -2519,6 +2584,7 @@ class IceliteTable:
                     "kmin": stats.get(bucket_key, [None, None])[0],
                     "kmax": stats.get(bucket_key, [None, None])[1],
                     "stats": stats,
+                    "nulls": e.get("nulls") or {},
                 }
             )
             total += n

@@ -216,3 +216,73 @@ def test_min_max_survives_column_rename(spark, tmp_path):
     d = t2.min_max("pos", detail=True)
     assert (d["min"], d["max"]) == (0, 3)
     assert d["metadata_files"] > 0 and d["scan_files"] == 0
+
+
+def test_count_col_non_null_across_states(spark, tmp_path):
+    """count_live(col) = SELECT count(col): non-null LIVE values, exact
+    through deltas, tombstones, compaction, and renames — metadata tier
+    backed by footer null counts."""
+    from pyspark.sql import functions as F
+
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=2)
+    # tool is '' on inserts; null it on a couple of rows via update rows
+    rows = [
+        (0, "I", "c0", 0, "user", "a", "x", TS),
+        (1, "I", "c0", 1, "user", "b", None, TS),
+        (2, "I", "c0", 2, "user", "c", None, TS),
+        (3, "I", "c1", 0, "user", "d", "y", TS),
+    ]
+    apply_changes(
+        table,
+        spark.createDataFrame(rows, CHANGE_SCHEMA),
+        batch_key="b0",
+        mode="mor",
+    )
+
+    def oracle(col):
+        return read_transcripts(table).agg(F.count(col)).first()[0]
+
+    assert table.count_live("tool") == oracle("tool") == 2
+    assert table.count_live("text") == 4
+
+    # delete a non-null-tool row: the live non-null count drops
+    apply_changes(
+        table,
+        spark.createDataFrame(
+            [(10, "D", "c1", 0, None, None, None, None)], CHANGE_SCHEMA
+        ),
+        batch_key="b1",
+        mode="mor",
+    )
+    assert table.count_live("tool") == oracle("tool") == 1
+
+    table.compact()
+    d = table.count_live("tool", detail=True)
+    assert d["count"] == 1 and d["column"] == "tool"
+    assert d["dedup_scan_buckets"] == 0
+
+    # rename: null counts and scans resolve through the write-time name
+    table.rename_column("tool", "fn")
+    assert table.count_live("fn") == 1
+
+
+def test_count_col_pure_metadata_when_no_tombstones(spark, tmp_path):
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=2)
+    rows = [
+        (0, "I", "c0", 0, "user", "a", None, TS),
+        (1, "I", "c0", 1, "user", "b", "x", TS),
+        (2, "I", "c1", 0, "user", None, "y", TS),
+    ]
+    apply_changes(
+        table,
+        spark.createDataFrame(rows, CHANGE_SCHEMA),
+        batch_key="b0",
+        mode="mor",
+    )
+    table.compact()
+    d = table.count_live("tool", detail=True)
+    assert d["count"] == 2
+    assert d["tombstone_scan_files"] == 0 and d["dedup_scan_buckets"] == 0
+    assert d["metadata_files"] > 0 and d["metadata_rows"] == 2
+    dt2 = table.count_live("text", detail=True)
+    assert dt2["count"] == 2 and dt2["tombstone_scan_files"] == 0

@@ -415,6 +415,47 @@ def _file_cols(entry: dict, legacy_cols: dict | None) -> dict | None:
     return entry.get("cols") or legacy_cols
 
 
+def _file_all_match(entry: dict, conds: list, schema_by_name: dict) -> bool:
+    """Containment proof (the dual of ``_file_may_match``): True only
+    when a file's [min, max] stats PROVE every NON-NULL row satisfies
+    ALL the ANDed conditions. Missing/null stats, string columns
+    (parquet may truncate string bounds — safe for exclusion, unsafe as
+    a containment witness), or uncomparable types are never provable."""
+    stats = entry.get("stats") or {}
+    for col, op, val in conds:
+        dtype = schema_by_name.get(col)
+        if isinstance(dtype, T.StringType):
+            return False
+        rng = stats.get(col)
+        if rng is None:
+            return False
+        lo, hi = rng
+        if lo is None or hi is None:
+            return False
+        try:
+            if op == "between":
+                a, b = (_norm_stat_value(x, dtype) for x in val)
+                if lo < a or hi > b:
+                    return False
+            elif op == "in":
+                vs = [_norm_stat_value(x, dtype) for x in val]
+                if not (lo == hi and lo in vs):
+                    return False
+            else:
+                v = _norm_stat_value(val, dtype)
+                if (
+                    (op == "=" and not (lo == hi == v))
+                    or (op == "<" and not hi < v)
+                    or (op == "<=" and not hi <= v)
+                    or (op == ">" and not lo > v)
+                    or (op == ">=" and not lo >= v)
+                ):
+                    return False
+        except TypeError:
+            return False
+    return True
+
+
 def _write_time_name(entry: dict, legacy_cols, col: str, col_id):
     """``col``'s name at the time this file was written (stats and the
     physical parquet columns are keyed by it), or None when the file
@@ -826,6 +867,169 @@ class IceliteTable:
             "tombstone_scan_live": scanned_live,
             "dedup_scan_buckets": len(delta_buckets),
             "dedup_scan_live": dedup_live,
+        }
+
+    def count_where(
+        self,
+        where: list,
+        seq: int | None = None,
+        as_of=None,
+        tag: str | None = None,
+        detail: bool = False,
+    ):
+        """Exact count of LIVE rows matching ``where`` (one AND group of
+        ``(col, op, value)`` conditions, the ``read(where=...)`` ops) —
+        Iceberg's planFiles+residual move turned into a count: every
+        file pays the cheapest sufficient proof.
+
+        Per file in a delta-free bucket:
+
+        - **excluded** — stats (plus hash-bucket pruning for =/IN on the
+          bucket key) prove no row matches: contributes 0, never opened.
+        - **contained** — the file is tombstone-free AND its stats prove
+          every non-null row matches ALL conditions
+          (``_file_all_match``; strings never prove containment): count
+          from metadata. NULLs satisfy no condition, so a single-column
+          predicate counts ``rows − nulls[col]``; multi-column
+          predicates count ``rows`` only when every predicate column
+          has a recorded null count of zero (per-column null counts
+          cannot bound the union of null rows otherwise).
+        - **residual** — a field-id-resolved projection of just the
+          predicate columns (+ ``__deleted``), filtered live ∧ where.
+
+        Buckets holding delta files route through
+        ``read(where=...)``'s max-seq resolution. On a time- or
+        z-clustered table (``order_cols``/``zorder``), range counts land
+        almost entirely in the excluded/contained tiers — O(manifests)
+        instead of O(table)."""
+        if not where or not isinstance(where[0], tuple):
+            raise ValueError(
+                "count_where takes one AND group: [(col, op, value), ...]"
+            )
+        if sum(x is not None for x in (seq, as_of, tag)) > 1:
+            raise ValueError("pass at most one of seq / as_of / tag")
+        if as_of is not None:
+            seq = self.seq_as_of(as_of)
+        if tag is not None:
+            found = self.tags().get(tag)
+            if found is None:
+                raise FileNotFoundError(f"no tag {tag!r}")
+            seq = found
+        ptr = self.pointer(seq)
+        pinned = ptr["seq"]
+        schema = T.StructType.fromJson(ptr["schema"])
+        by_name = {f.name: f.dataType for f in schema.fields}
+        for c, _, _ in where:
+            if c not in by_name:
+                raise ValueError(f"no column {c!r} in the table schema")
+        has_del_col = "__deleted" in by_name
+        fids = ptr.get("field_ids")
+        legacy = ptr.get("legacy_cols")
+        files = self._files(ptr)
+        delta_buckets = {
+            f["bucket"] for f in files if f.get("kind", "base") == "delta"
+        }
+        # hash-bucket pruning for =/IN on the bucket key (exclusion only)
+        bk = ptr["bucket_key"]
+        eq_vals = [
+            v
+            for col, op, val in where
+            if col == bk and op in ("=", "in")
+            for v in ([val] if op == "=" else list(val))
+        ]
+        val2b = (
+            self._bucket_of_values(eq_vals, ptr, by_name) if eq_vals else {}
+        )
+        allowed = self._group_bucket_set(where, bk, val2b)
+
+        contained_rows, n_contained, n_excluded = 0, 0, 0
+        scan_files: list = []
+        cache: dict = {}
+        single_col = where[0][0] if len(where) == 1 else None
+        for f in files:
+            if f["bucket"] in delta_buckets:
+                continue
+            if allowed is not None and f["bucket"] not in allowed:
+                n_excluded += 1
+                continue
+            cmap = _file_cols(f, legacy)
+            key = tuple(sorted(cmap.items())) if (cmap and fids) else None
+            if key not in cache:
+                g_conds, g_names, absent = _group_conds(
+                    where, dict(key) if key else None, fids, by_name
+                )
+                gbk = bk
+                if key is not None:
+                    gbk = dict(key).get(str(fids.get(bk))) or bk
+                cache[key] = (g_conds, g_names, absent, gbk)
+            g_conds, g_names, absent, gbk = cache[key]
+            if absent:  # file predates a predicate column: all-NULL there
+                n_excluded += 1
+                continue
+            if not _file_may_match(f, g_conds, g_names, gbk):
+                n_excluded += 1
+                continue
+            dstat = (f.get("stats") or {}).get("__deleted")
+            tomb_free = not has_del_col or (
+                dstat is not None and dstat[1] is False
+            )
+            if tomb_free and _file_all_match(f, g_conds, g_names):
+                nulls = f.get("nulls") or {}
+                if single_col is not None:
+                    w = g_conds[0][0]
+                    nn = nulls.get(w)
+                    if nn is not None:
+                        contained_rows += int(f["rows"]) - int(nn)
+                        n_contained += 1
+                        continue
+                elif all(nulls.get(w) == 0 for w, _, _ in g_conds):
+                    contained_rows += int(f["rows"])
+                    n_contained += 1
+                    continue
+            scan_files.append(f)
+
+        pred = _where_filter(where)
+        scanned = 0
+        if scan_files:
+            if self.spark is None:
+                raise ValueError(
+                    "count_where needs a SparkSession when residual scans "
+                    "are required"
+                )
+            proj = [
+                T.StructField(c, by_name[c], True)
+                for c in dict.fromkeys(c for c, _, _ in where)
+            ]
+            if has_del_col:
+                proj.append(T.StructField("__deleted", T.BooleanType(), True))
+            df = self._read_file_groups(scan_files, T.StructType(proj), ptr)
+            if has_del_col:
+                df = df.filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
+            scanned = int(df.filter(pred).count())
+        dedup = 0
+        if delta_buckets:
+            if self.spark is None:
+                raise ValueError(
+                    "count_where needs a SparkSession when residual scans "
+                    "are required"
+                )
+            df = self.read(seq=pinned, buckets=delta_buckets, where=where)
+            if "__deleted" in df.columns:
+                df = df.filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
+            dedup = int(df.count())
+        total = contained_rows + scanned + dedup
+        if not detail:
+            return total
+        return {
+            "count": total,
+            "seq": pinned,
+            "excluded_files": n_excluded,
+            "contained_files": n_contained,
+            "contained_rows": contained_rows,
+            "residual_scan_files": len(scan_files),
+            "residual_scan_rows": scanned,
+            "dedup_scan_buckets": len(delta_buckets),
+            "dedup_scan_rows": dedup,
         }
 
     def min_max(

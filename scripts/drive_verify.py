@@ -129,7 +129,11 @@ assert mm == (r[0], r[1]), (mm, r)
 mt = table.min_max("ts")
 rt = live_now.agg(F.min("ts"), F.max("ts")).first()
 assert mt == (rt[0], rt[1]), (mt, rt)
-print("OK metadata-first count/min_max", cd["count"], mm)
+cw_conv = got["conv_id"].iloc[0]
+cw = table.count_where([("conv_id", "=", cw_conv)])
+cw_oracle = live_now.filter(F.col("conv_id") == cw_conv).count()
+assert cw == cw_oracle, (cw, cw_oracle)
+print("OK metadata-first count/min_max/count_where", cd["count"], mm, cw)
 
 # ---- round-5: rewrite_manifests through the deployed surface ----
 n_manifests_before = table.describe()["n_manifests"]

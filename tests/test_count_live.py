@@ -286,3 +286,67 @@ def test_count_col_pure_metadata_when_no_tombstones(spark, tmp_path):
     assert d["metadata_files"] > 0 and d["metadata_rows"] == 2
     dt2 = table.count_live("text", detail=True)
     assert dt2["count"] == 2 and dt2["tombstone_scan_files"] == 0
+
+
+def test_count_where_tiers_and_exactness(spark, tmp_path):
+    """count_where: excluded / contained / residual tiers, exact against
+    a full filter in every table state."""
+    from pyspark.sql import functions as F
+
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(table, _batch(spark, "c0", 0, n=6), batch_key="b0", mode="mor")
+    apply_changes(table, _batch(spark, "c1", 100, n=3), batch_key="b1", mode="mor")
+
+    def oracle(cond):
+        return read_transcripts(table).filter(cond).count()
+
+    # deltas pending: everything routes through the dedup tier
+    d = table.count_where([("conv_id", "=", "c0")], detail=True)
+    assert d["count"] == oracle(F.col("conv_id") == "c0") == 6
+    assert d["dedup_scan_buckets"] > 0
+
+    table.compact()
+
+    # equality on the bucket key: hash-bucket pruning + residual scan
+    d = table.count_where([("conv_id", "=", "c0")], detail=True)
+    assert d["count"] == 6 and d["dedup_scan_buckets"] == 0
+
+    # whole-range predicate on a stat column: pure containment, no scan
+    d = table.count_where([("turn_idx", ">=", 0)], detail=True)
+    assert d["count"] == 9
+    assert d["contained_files"] > 0 and d["residual_scan_files"] == 0
+
+    # provably-empty predicate: every file excluded, zero jobs
+    d = table.count_where([("turn_idx", "=", 999)], detail=True)
+    assert d["count"] == 0 and d["residual_scan_files"] == 0
+    assert d["excluded_files"] > 0 and d["contained_files"] == 0
+
+    # partial range: residual scan stays exact
+    assert table.count_where([("turn_idx", "between", (2, 4))]) == oracle(
+        F.col("turn_idx").between(2, 4)
+    )
+
+    # multi-column AND with zero nulls in both: contained from metadata
+    d = table.count_where(
+        [("turn_idx", ">=", 0), ("ts", ">=", dt.datetime(2020, 1, 1))],
+        detail=True,
+    )
+    assert d["count"] == 9 and d["residual_scan_files"] == 0
+
+    # deletes: tombstoned keys fall out of the count in every tier
+    apply_changes(
+        table, _batch(spark, "c0", 200, n=6, op="D"), batch_key="b2", mode="mor"
+    )
+    assert table.count_where([("conv_id", "=", "c0")]) == 0
+    assert table.count_where([("turn_idx", ">=", 0)]) == 3
+    table.compact()
+    d = table.count_where([("turn_idx", ">=", 0)], detail=True)
+    assert d["count"] == 3 and d["dedup_scan_buckets"] == 0
+
+    # validation
+    import pytest
+
+    with pytest.raises(ValueError, match="no column"):
+        table.count_where([("nope", "=", 1)])
+    with pytest.raises(ValueError, match="AND group"):
+        table.count_where([[("turn_idx", "=", 1)]])

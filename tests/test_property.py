@@ -918,6 +918,8 @@ def test_maintenance_interleavings_preserve_live_state(
             assert (lo, hi) == (None, None)
         else:
             assert (lo, hi) == (exp.turn_idx.min(), exp.turn_idx.max())
+        n_m1 = int((exp.conv_id == "m1").sum()) if len(exp) else 0
+        assert table.count_where([("conv_id", "=", "m1")]) == n_m1
 
     for kind, arg in script:
         step += 1

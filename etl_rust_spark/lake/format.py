@@ -711,6 +711,9 @@ class IceliteTable:
             "checks": ptr.get("checks") or {},
             # smallest since_seq a change-feed consumer can resume from
             "earliest_changes_seq": self.earliest_changes_seq(),
+            # exact live rows when metadata alone proves it (delta-free,
+            # tombstone-free-proven snapshot); None = needs count_live()
+            "live_rows_exact": self.count_live(allow_scan=False),
         }
 
     def count_live(
@@ -720,6 +723,7 @@ class IceliteTable:
         as_of=None,
         tag: str | None = None,
         detail: bool = False,
+        allow_scan: bool = True,
     ):
         """Exact LIVE-row count — the ``SELECT count(*)`` fast path;
         with ``col``, the ``SELECT count(col)`` (non-null) twin.
@@ -757,8 +761,9 @@ class IceliteTable:
 
         Time-travel via ``seq``/``as_of``/``tag`` exactly like ``read``.
         ``detail=True`` returns the tier breakdown instead of the bare
-        int. Predicate counts (``count where ...``) go through
-        ``read(where=...)`` — this is the whole-table shape."""
+        int. ``allow_scan=False`` returns None instead of paying any
+        scan tier (``describe()`` uses it to stay metadata-only).
+        Predicate counts go through ``count_where``."""
         if sum(x is not None for x in (seq, as_of, tag)) > 1:
             raise ValueError("pass at most one of seq / as_of / tag")
         if as_of is not None:
@@ -811,6 +816,8 @@ class IceliteTable:
                 n_meta += 1
             else:
                 tomb_files.append(f)
+        if not allow_scan and (tomb_files or delta_buckets):
+            return None  # metadata alone cannot prove this snapshot
         scanned_live = 0
         if tomb_files:
             if self.spark is None:

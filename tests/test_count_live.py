@@ -350,3 +350,14 @@ def test_count_where_tiers_and_exactness(spark, tmp_path):
         table.count_where([("nope", "=", 1)])
     with pytest.raises(ValueError, match="AND group"):
         table.count_where([[("turn_idx", "=", 1)]])
+
+
+def test_describe_live_rows_exact_stays_metadata_only(spark, tmp_path):
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_changes(table, _batch(spark, "c0", 0), batch_key="b0", mode="mor")
+    # overlapping second batch leaves delta files: metadata cannot
+    # prove the live count (read_transcripts must dedup winners)
+    apply_changes(table, _batch(spark, "c0", 100), batch_key="b1", mode="mor")
+    assert table.describe()["live_rows_exact"] is None
+    table.compact()
+    assert table.describe()["live_rows_exact"] == 4

@@ -465,7 +465,15 @@ def cmd_expire(args) -> int:
     from etl_rust_spark.lake.format import IceliteTable
 
     t = IceliteTable.load(_spark(args), args.table)
-    removed = t.expire_snapshots(keep_last=args.keep_last)
+    older = None
+    if args.older_than is not None:
+        try:
+            older = float(args.older_than)  # epoch seconds
+        except ValueError:
+            import datetime as _dt
+
+            older = _dt.datetime.fromisoformat(args.older_than)
+    removed = t.expire_snapshots(keep_last=args.keep_last, older_than=older)
     print(f"removed {len(removed)} files")
     return 0
 
@@ -625,6 +633,18 @@ def cmd_rename_column(args) -> int:
     t = IceliteTable.load(_spark(args), args.table)
     snap = t.rename_column(args.old, args.new)
     print(f"renamed {args.old} -> {args.new} at seq {snap['seq']} (metadata-only)")
+    return 0
+
+
+def cmd_add_column(args) -> int:
+    from etl_rust_spark.lake.format import IceliteTable
+
+    t = IceliteTable.load(_spark(args), args.table)
+    snap = t.add_column(args.column, args.type, agg=args.agg)
+    print(
+        f"added {args.column} {args.type} at seq {snap['seq']} "
+        "(metadata-only; existing rows read NULL)"
+    )
     return 0
 
 
@@ -1068,6 +1088,12 @@ def build_parser() -> argparse.ArgumentParser:
     k.set_defaults(fn=cmd_compact)
 
     e = sub.add_parser("expire", help="expire old snapshots")
+    e.add_argument(
+        "--older-than", default=None,
+        help="age cutoff (ISO datetime, UTC, or epoch seconds): only "
+        "snapshots committed before this expire; --keep-last still "
+        "retains that many most-recent regardless of age",
+    )
     e.add_argument("--table", required=True)
     e.add_argument("--keep-last", type=int, default=2)
     e.set_defaults(fn=cmd_expire)
@@ -1166,6 +1192,21 @@ def build_parser() -> argparse.ArgumentParser:
     rn.add_argument("--old", required=True)
     rn.add_argument("--new", required=True)
     rn.set_defaults(fn=cmd_rename_column)
+
+    ac = sub.add_parser(
+        "add-column",
+        help="metadata-only explicit ADD COLUMN (fresh field id; existing "
+             "rows read NULL)",
+    )
+    ac.add_argument("--table", required=True)
+    ac.add_argument("--column", required=True)
+    ac.add_argument("--type", required=True,
+                    help="Spark SQL type string, e.g. string, bigint, "
+                         "decimal(14,2), array<float>")
+    ac.add_argument("--agg", default=None, choices=["sum", "min", "max"],
+                    help="register the new column as an accumulator on an "
+                         "additive (agg_cols) table")
+    ac.set_defaults(fn=cmd_add_column)
 
     dc = sub.add_parser(
         "drop-column", help="metadata-only column drop (field-id evolution)"

@@ -4035,6 +4035,67 @@ class IceliteTable:
         )
         return self.snapshot()
 
+    def add_column(
+        self, name: str, dtype: str, agg: str | None = None
+    ) -> dict:
+        """METADATA-ONLY explicit ADD COLUMN (Iceberg ``ALTER TABLE ...
+        ADD COLUMN`` / field-id evolution). The column gets a FRESH field
+        id, so every existing file predates it and reads null-backfill —
+        including a re-add after ``drop_column`` of the same name (the
+        retired id keeps pre-drop bytes invisible). Writers may already
+        add columns implicitly via merge's schema-on-write; the explicit
+        DDL exists for declare-before-backfill workflows (add the column,
+        then ``update_where``/ingest populates it) and for additive
+        tables, where a NEW accumulator column must register its combine
+        fn (``agg=``) atomically with the schema change. NON-rebasing.
+
+        Reference analog: schema DDL runner at
+        `migration/20231201000001_create_users_table.sql` (the reference
+        alters schemas out-of-band; here DDL is a first-class commit)."""
+        t0 = time.monotonic()
+        ptr = self.pointer()
+        schema = T.StructType.fromJson(ptr["schema"])
+        if name in [f.name for f in schema.fields]:
+            raise ValueError(f"column already exists: {name!r}")
+        if name.startswith("__"):
+            raise ValueError(
+                f"cannot add {name!r}: the __ prefix is reserved for "
+                "engine columns"
+            )
+        try:
+            field = T.StructType.fromDDL(f"`{name}` {dtype}").fields[0]
+        except Exception as e:  # unparseable type string
+            raise ValueError(f"bad column type {dtype!r}: {e}") from e
+        agg_over = None
+        if agg is not None:
+            if agg not in _AGG_FNS:
+                raise ValueError(
+                    f"bad agg fn {agg!r}: one of {_AGG_FNS}"
+                )
+            if not ptr.get("agg_cols"):
+                raise ValueError(
+                    "agg= requires an additive (agg_cols) table — adding "
+                    "a first accumulator would change the read-resolution "
+                    "rule of every existing row"
+                )
+            agg_over = {**ptr["agg_cols"], name: agg}
+        fids, next_id, legacy = self._synthesized_evo(ptr, schema)
+        fids[name] = next_id
+        new_schema = T.StructType(list(schema.fields) + [field])
+        overrides: dict = {
+            "field_ids": fids,
+            "next_field_id": next_id + 1,
+            "legacy_cols": legacy,
+        }
+        if agg_over is not None:
+            overrides["agg_cols"] = agg_over
+        self._commit_rebasing(
+            ptr, new_schema, list(ptr["manifests"]), [], None,
+            self._meta_lineage(ptr, "add_column", t0), None,
+            max_retries=0, ptr_overrides=overrides,
+        )
+        return self.snapshot()
+
     def _meta_lineage(self, ptr: dict, source: str, t0: float) -> dict:
         """Lineage record for a metadata-only commit (rename/drop)."""
         return {
@@ -4320,14 +4381,42 @@ class IceliteTable:
             source=source,
         )
 
-    def expire_snapshots(self, keep_last: int = 2) -> list[str]:
+    def expire_snapshots(
+        self, keep_last: int = 2, older_than=None
+    ) -> list[str]:
         """Delete data files, manifests, and ledger chunks referenced only
         by expired snapshots — a pure manifest diff (no directory glob of
-        the data tree, which would be O(all files ever written))."""
+        the data tree, which would be O(all files ever written)).
+
+        ``older_than`` (datetime treated as UTC, or epoch seconds) is the
+        Iceberg ``expireSnapshots().expireOlderThan(ts)`` analog: only
+        snapshots committed strictly BEFORE the cutoff are candidates, and
+        ``keep_last`` still retains that many most-recent snapshots
+        regardless of age — the two compose as (age-expired) MINUS
+        (retain-last ∪ tags), never widening what keep_last alone would
+        expire. Reference analog: the reference has no snapshot layer; the
+        retention policy mirrors Iceberg's documented maintenance API."""
         self._require_main("expire_snapshots")
         cur = self.current_seq()
         keep_seqs = set(range(max(0, cur - keep_last + 1), cur + 1))
         keep_seqs |= set(self.tags().values())  # tagged snapshots never expire
+        if older_than is not None:
+            if isinstance(older_than, _dt.datetime):
+                older_than = (
+                    calendar.timegm(older_than.utctimetuple())
+                    + older_than.microsecond / 1e6
+                )
+            for p in glob.glob(
+                os.path.join(self._manifest_dir, "snap-*.json")
+            ):
+                s = int(os.path.basename(p)[5:13])
+                try:
+                    ptr = self.pointer(s)
+                except FileNotFoundError:
+                    continue
+                at = ptr.get("committed_at_epoch") or os.path.getmtime(p)
+                if at >= older_than:
+                    keep_seqs.add(s)
         live_files: set[str] = set()
         live_meta: set[str] = set()
         dead_files: set[str] = set()

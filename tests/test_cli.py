@@ -40,6 +40,16 @@ def test_parser_new_subcommands():
     a = p.parse_args(["ingest", "--wal-dir", "/w", "--table", "/t",
                       "--checkpoint", "/c", "--audit-reject-regex", "POISON"])
     assert a.audit_reject_regex == "POISON"
+    a = p.parse_args(["add-column", "--table", "/t", "--column", "lang",
+                      "--type", "string"])
+    assert (a.cmd, a.column, a.type, a.agg) == ("add-column", "lang",
+                                                "string", None)
+    a = p.parse_args(["add-column", "--table", "/t", "--column", "n",
+                      "--type", "bigint", "--agg", "sum"])
+    assert a.agg == "sum"
+    a = p.parse_args(["expire", "--table", "/t", "--keep-last", "3",
+                      "--older-than", "2026-01-01T00:00:00"])
+    assert (a.keep_last, a.older_than) == (3, "2026-01-01T00:00:00")
 
 
 def test_cli_audited_ingest_end_to_end(spark, tmp_path, capsys):
@@ -1114,3 +1124,31 @@ def test_cli_check_end_to_end(spark, tmp_path, capsys):
                   spark.createDataFrame(bad, ddl), batch_key="b1", mode="mor")
     live = IceliteTable.load(spark, t).read()
     assert live.filter("conv_id = 'c1'").count() == 1
+
+
+def test_cli_add_column_and_age_expire_end_to_end(spark, tmp_path, capsys):
+    import datetime as dt
+
+    from etl_rust_spark.__main__ import main
+    from etl_rust_spark.lake.format import IceliteTable
+    from etl_rust_spark.operators.apply import apply_changes, create_transcript_table
+
+    tpath = str(tmp_path / "t")
+    t = create_transcript_table(spark, tpath, n_buckets=4)
+    rows = [(1, "I", "c0", 0, "user", "hello", "", dt.datetime(2025, 1, 1))]
+    sch = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+           "text string, tool string, ts timestamp")
+    apply_changes(t, spark.createDataFrame(rows, sch), batch_key="b0", mode="mor")
+
+    assert main(["add-column", "--table", tpath, "--column", "lang",
+                 "--type", "string"]) == 0
+    out = capsys.readouterr().out
+    assert "added lang string" in out and "metadata-only" in out
+    t2 = IceliteTable.load(spark, tpath)
+    assert [r["lang"] for r in t2.read().collect()] == [None]
+
+    # age-based expiry with a cutoff in the past removes nothing
+    assert main(["expire", "--table", tpath, "--keep-last", "1",
+                 "--older-than", "2020-01-01T00:00:00"]) == 0
+    assert "removed 0 files" in capsys.readouterr().out
+    assert t2.read().count() == 1

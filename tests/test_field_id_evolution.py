@@ -183,3 +183,104 @@ def test_rename_refuses_concurrent_commit(spark, tmp_path):
     stale.pointer = pinned  # simulate reading the pointer before the race
     with pytest.raises(ConcurrentCommitError):
         stale.rename_column("text", "body")
+
+
+def test_add_column_is_metadata_only_and_null_backfills(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.merge(_batch(spark, [("c1", 0, 1, "a", 0.5), ("c2", 0, 2, "b", 0.7)]),
+            batch_key="b0", seq_col="lsn", mode="mor")
+    files_before = {f["path"] for f in t.snapshot()["files"]}
+
+    snap = t.add_column("lang", "string")
+
+    # metadata-only: identical data file set, one new commit
+    assert {f["path"] for f in t.snapshot()["files"]} == files_before
+    assert snap["seq"] == 2
+    cols = [f.name for f in t.schema.fields]
+    assert cols[-1] == "lang"
+    got = {r["conv_id"]: r["lang"] for r in t.read().collect()}
+    assert got == {"c1": None, "c2": None}
+
+    # writes after the add carry values; old+new files union cleanly
+    up = spark.createDataFrame(
+        pd.DataFrame(
+            [("c3", 0, 3, "c", 0.9, "en")],
+            columns=["conv_id", "turn_idx", "lsn", "text", "score", "lang"],
+        ),
+        schema=T.StructType(
+            list(SCHEMA.fields) + [T.StructField("lang", T.StringType())]
+        ),
+    ).withColumn("op", F.lit("U"))
+    t.merge(up, batch_key="b1", seq_col="lsn", mode="mor")
+    got = {r["conv_id"]: r["lang"] for r in t.read().collect()}
+    assert got == {"c1": None, "c2": None, "c3": "en"}
+
+    # the change feed treats the DDL commit as a non-change (no rows)
+    assert t.read_changes(2, 3).count() == 1  # only the c3 upsert
+
+
+def test_add_column_after_drop_gets_fresh_field_id(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.merge(_batch(spark, [("c1", 0, 1, "secret", 0.5)]),
+            batch_key="b0", seq_col="lsn")
+    old_id = None
+    t.drop_column("text")
+    t.add_column("text", "string")
+    assert t.pointer()["field_ids"]["text"] != old_id
+    # pre-drop bytes stay invisible under the re-added name
+    got = [r["text"] for r in t.read().collect()]
+    assert got == [None]
+
+
+def test_add_column_guards(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.merge(_batch(spark, [("c1", 0, 1, "a", 0.5)]), batch_key="b0", seq_col="lsn")
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("text", "string")
+    with pytest.raises(ValueError, match="reserved"):
+        t.add_column("__hidden", "string")
+    with pytest.raises(ValueError, match="bad column type"):
+        t.add_column("x", "no_such_type<oops>")
+    with pytest.raises(ValueError, match="additive"):
+        t.add_column("cnt", "bigint", agg="sum")
+    with pytest.raises(ValueError, match="bad agg fn"):
+        t.add_column("cnt", "bigint", agg="avg")
+
+
+def test_add_column_agg_registers_accumulator_on_additive_table(spark, tmp_path):
+    add_schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("__lsn", T.LongType()),
+        ]
+    )
+    t = IceliteTable.create(
+        spark, str(tmp_path / "t"), add_schema,
+        key_cols=["k"], bucket_key="k", n_buckets=2,
+        order_cols=["k"], seq_col="__lsn", agg_cols={"n": "sum"},
+    )
+
+    def partials(rows, cols):
+        return spark.createDataFrame(
+            [(*r, "U") for r in rows],
+            T.StructType(
+                [T.StructField(c, tp) for c, tp in cols]
+                + [T.StructField("op", T.StringType())]
+            ),
+        )
+
+    t.merge(partials([("a", 1, 1), ("a", 2, 2)],
+                     [("k", T.StringType()), ("n", T.LongType()),
+                      ("__lsn", T.LongType())]),
+            batch_key="b0", seq_col="__lsn", mode="mor")
+    t.add_column("hi", "bigint", agg="max")
+    assert t.pointer()["agg_cols"] == {"n": "sum", "hi": "max"}
+    t.merge(partials([("a", 4, 3, 7), ("a", 8, 4, 3)],
+                     [("k", T.StringType()), ("n", T.LongType()),
+                      ("__lsn", T.LongType()), ("hi", T.LongType())]),
+            batch_key="b1", seq_col="__lsn", mode="mor")
+    row = t.read().collect()[0]
+    # sum folds across the add; max folds the new accumulator (NULL-safe
+    # over the pre-add partials)
+    assert row["n"] == 15 and row["hi"] == 7

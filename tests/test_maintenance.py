@@ -862,3 +862,43 @@ def test_remove_orphans_dry_run_touches_nothing(spark, tmp_path):
     assert os.path.exists(orphan)  # preview deleted nothing
     assert sorted(table.remove_orphans(grace_sec=3600)) == sorted(would)
     assert not os.path.exists(orphan)
+
+
+def test_expire_snapshots_older_than_composes_with_keep_last(spark, tmp_path):
+    """Time-based retention (Iceberg expireOlderThan analog): only
+    snapshots committed BEFORE the cutoff expire, keep_last still
+    retains that many most-recent regardless of age, and a future
+    cutoff never widens what keep_last alone would expire."""
+    import glob as _glob
+
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(table, _batch(spark, "c0", 0), batch_key="b0", mode="mor")
+    apply_changes(table, _batch(spark, "c1", 100), batch_key="b1", mode="mor")
+    cut = time.time() + 0.25
+    time.sleep(0.5)
+    apply_changes(table, _batch(spark, "c2", 200), batch_key="b2", mode="mor")
+    apply_changes(table, _batch(spark, "c3", 300), batch_key="b3", mode="mor")
+
+    def seqs():
+        return sorted(
+            int(os.path.basename(p)[5:13])
+            for p in _glob.glob(str(tmp_path / "t" / "_manifests" / "snap-*.json"))
+        )
+
+    # age gate: seqs 3,4 postdate the cutoff and stay even with keep_last=1
+    table.expire_snapshots(keep_last=1, older_than=cut)
+    assert seqs() == [0, 3, 4] or seqs() == [3, 4]  # snap-0 may be the empty root
+    assert table.read().count() == 16
+
+    # a cutoff in the future does NOT override keep_last's retention
+    apply_changes(table, _batch(spark, "c4", 400), batch_key="b4", mode="mor")
+    table.expire_snapshots(keep_last=2, older_than=time.time() + 60)
+    kept = seqs()
+    assert 4 in kept and 5 in kept and 3 not in kept
+    assert table.read().count() == 20
+
+    # datetime cutoff is accepted (treated as UTC)
+    table.expire_snapshots(
+        keep_last=1, older_than=dt.datetime.utcnow() - dt.timedelta(days=1)
+    )
+    assert 4 in seqs() and 5 in seqs()  # nothing is old enough to expire

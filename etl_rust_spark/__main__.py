@@ -571,8 +571,22 @@ def cmd_maintain(args) -> int:
         # a data rewrite (compaction above may already have folded them)
         snap = t.rewrite_manifests()
         did["manifests_rewritten_to_seq"] = snap["seq"]
-    if args.keep_last is not None:
-        did["expired"] = len(t.expire_snapshots(keep_last=args.keep_last))
+    if args.keep_last is not None or args.expire_older_than_days is not None:
+        import time as _time
+
+        older = (
+            _time.time() - args.expire_older_than_days * 86400.0
+            if args.expire_older_than_days is not None
+            else None
+        )
+        did["expired"] = len(
+            t.expire_snapshots(
+                keep_last=args.keep_last
+                if args.keep_last is not None
+                else 2,
+                older_than=older,
+            )
+        )
     if args.orphan_grace_sec is not None:
         did["orphans_removed"] = len(
             t.remove_orphans(grace_sec=args.orphan_grace_sec)
@@ -1136,6 +1150,13 @@ def build_parser() -> argparse.ArgumentParser:
     mt.add_argument(
         "--keep-last", type=int, default=None,
         help="expire snapshots beyond the last N (skip expiry if unset)",
+    )
+    mt.add_argument(
+        "--expire-older-than-days", type=float, default=None,
+        help="age-based snapshot expiry: only snapshots older than this "
+        "many days are candidates (composes with --keep-last, which "
+        "still retains that many most-recent regardless of age; "
+        "defaults to keeping the last 2 when only age is given)",
     )
     mt.add_argument(
         "--orphan-grace-sec", type=float, default=None,

@@ -1152,3 +1152,51 @@ def test_cli_add_column_and_age_expire_end_to_end(spark, tmp_path, capsys):
                  "--older-than", "2020-01-01T00:00:00"]) == 0
     assert "removed 0 files" in capsys.readouterr().out
     assert t2.read().count() == 1
+
+
+def test_cli_maintain_age_based_expiry(spark, tmp_path, capsys):
+    """`maintain --expire-older-than-days` composes age with keep_last:
+    a cutoff older than every snapshot expires nothing (even with
+    keep-last 1 and many snapshots past it), while age 0 falls back to
+    pure keep_last retention."""
+    import datetime as dt
+    import json
+
+    from etl_rust_spark.__main__ import build_parser
+    from etl_rust_spark.lake.format import IceliteTable
+    from etl_rust_spark.operators.apply import apply_changes, create_transcript_table
+
+    p = build_parser()
+    a = p.parse_args(["maintain", "--table", "/t",
+                      "--expire-older-than-days", "30"])
+    assert a.expire_older_than_days == 30.0 and a.keep_last is None
+
+    tpath = str(tmp_path / "t")
+    t = create_transcript_table(spark, tpath, n_buckets=2)
+    sch = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+           "text string, tool string, ts timestamp")
+    for i in range(4):
+        rows = [(10 * i, "I", f"c{i}", 0, "user", f"t{i}", "",
+                 dt.datetime(2025, 1, 1))]
+        apply_changes(t, spark.createDataFrame(rows, sch),
+                      batch_key=f"b{i}", mode="mor")
+    # compact so superseded pre-compaction files are reclaimable
+    t.compact()
+
+    args = p.parse_args([
+        "maintain", "--table", tpath, "--compact-threshold", "999",
+        "--keep-last", "1", "--expire-older-than-days", "365",
+    ])
+    assert args.fn(args) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["expired"] == 0  # nothing is a year old yet
+
+    args = p.parse_args([
+        "maintain", "--table", tpath, "--compact-threshold", "999",
+        "--keep-last", "1", "--expire-older-than-days", "0",
+    ])
+    assert args.fn(args) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["expired"] > 0  # age gate open -> keep_last drives expiry
+    t2 = IceliteTable.load(spark, tpath)
+    assert t2.read().count() == 4  # live state untouched either way

@@ -128,8 +128,8 @@ def evolution_ops(draw):
     n = draw(st.integers(min_value=2, max_value=7))
     for _ in range(n):
         kind = draw(st.sampled_from(["merge", "merge", "merge", "rename", "drop",
-                                     "add", "compact", "compact_deltas",
-                                     "rewrite_manifests"]))
+                                     "add", "add_ddl", "compact",
+                                     "compact_deltas", "rewrite_manifests"]))
         if kind == "merge":
             ops.append(("merge",
                         draw(st.lists(st.sampled_from(_EVO_KEYS), min_size=1,
@@ -214,6 +214,15 @@ def test_field_id_evolution_matches_model(spark, ops):
             elif op[0] == "add":
                 name_ctr[0] += 1
                 do_merge([op[1]], 1023, extra_col=f"p{name_ctr[0]}")
+            elif op[0] == "add_ddl":
+                # explicit metadata-only ADD COLUMN: fresh field id, no
+                # data commit — every existing row reads NULL; later
+                # merges may populate it (it joins payload_names())
+                name_ctr[0] += 1
+                new = f"d{name_ctr[0]}"
+                t.add_column(new, "string")
+                fields.append((new, next_fid[0]))
+                next_fid[0] += 1
             elif op[0] == "rename":
                 if not fields:
                     continue

@@ -225,6 +225,16 @@ assert sorted(e["path"] for e in table._files(table.pointer())) == files_pre
 assert table.read().filter(F.col("body").isNotNull()).count() > 0
 print("OK rename metadata-only")
 
+# explicit ADD COLUMN DDL: metadata-only, null-backfill, feed-invisible
+seq_pre = table.current_seq()
+table.add_column("lang", "string")
+assert sorted(e["path"] for e in table._files(table.pointer())) == files_pre
+assert table.read().filter(F.col("lang").isNotNull()).count() == 0
+assert table.read_changes(seq_pre, table.current_seq()).count() == 0
+# age-based expiry with an ancient cutoff is a no-op (nothing that old)
+assert table.expire_snapshots(keep_last=1, older_than=0.0) == []
+print("OK add_column metadata-only + age-expire no-op")
+
 # WAP: stage, audit, publish
 extra = log.head(50).copy()
 extra["lsn"] = extra["lsn"] + 10_000_000

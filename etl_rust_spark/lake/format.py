@@ -1291,6 +1291,70 @@ class IceliteTable:
                         f"current: bucket {e['bucket']} out of range "
                         f"for n_buckets={cur['n_buckets']} ({e['path']})"
                     )
+            # declared-layout ↔ schema consistency: corruption the file
+            # checks can't see (a hand-edited/restored pointer whose
+            # layout or constraints reference columns the schema no
+            # longer carries would fail at the NEXT write — surface it
+            # at fsck time instead)
+            names = [f["name"] for f in cur["schema"]["fields"]]
+            nameset = set(names)
+            for role, cols in (
+                ("key_cols", cur["key_cols"]),
+                ("order_cols", cur.get("order_cols") or []),
+                ("zorder", cur.get("zorder") or []),
+                ("bucket_key", [cur["bucket_key"]]),
+                ("seq_col", [cur["seq_col"]] if cur.get("seq_col") else []),
+                ("agg_cols", list(cur.get("agg_cols") or {})),
+            ):
+                for c in cols:
+                    if c not in nameset:
+                        errors.append(
+                            f"current: {role} references missing "
+                            f"column {c!r}"
+                        )
+            if cur["bucket_key"] not in cur["key_cols"]:
+                errors.append(
+                    f"current: bucket_key {cur['bucket_key']!r} is not "
+                    "a key column"
+                )
+            for c, fn in (cur.get("agg_cols") or {}).items():
+                if fn not in _AGG_FNS:
+                    errors.append(
+                        f"current: agg_cols[{c!r}] has unknown fold "
+                        f"fn {fn!r}"
+                    )
+                if c in cur["key_cols"]:
+                    errors.append(
+                        f"current: agg_cols column {c!r} is a key column"
+                    )
+            fids = cur.get("field_ids")
+            if fids is not None:
+                if sorted(fids) != sorted(names):
+                    errors.append(
+                        "current: field_ids keys != schema columns "
+                        f"(only in field_ids: {sorted(set(fids) - nameset)}, "
+                        f"only in schema: {sorted(nameset - set(fids))})"
+                    )
+                if len(set(fids.values())) != len(fids):
+                    errors.append("current: duplicate field ids")
+                nxt = cur.get("next_field_id")
+                if fids and (nxt is None or nxt <= max(fids.values())):
+                    errors.append(
+                        f"current: next_field_id {nxt} not past the "
+                        f"max assigned id {max(fids.values())} — the "
+                        "next added column would collide"
+                    )
+            if self.spark is not None:
+                schema_t = T.StructType.fromJson(cur["schema"])
+                empty = self.spark.createDataFrame([], schema_t)
+                for cname, cexpr in (cur.get("checks") or {}).items():
+                    try:
+                        empty.filter(F.expr(cexpr)).count()
+                    except Exception:
+                        errors.append(
+                            f"current: CHECK {cname!r} ({cexpr!r}) does "
+                            "not resolve against the schema"
+                        )
             for s in range(1, cur["seq"] + 1):
                 if not os.path.exists(self._pointer_path(s)):
                     continue  # expired snapshot: no lineage expected

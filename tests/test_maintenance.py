@@ -902,3 +902,57 @@ def test_expire_snapshots_older_than_composes_with_keep_last(spark, tmp_path):
         keep_last=1, older_than=dt.datetime.utcnow() - dt.timedelta(days=1)
     )
     assert 4 in seqs() and 5 in seqs()  # nothing is old enough to expire
+
+
+def test_fsck_reports_metadata_inconsistencies(spark, tmp_path):
+    """fsck's schema-consistency pass: a restored/hand-edited pointer
+    whose layout, field ids, agg registry, or CHECK constraints
+    reference columns the schema no longer carries is reported at fsck
+    time (read-only) instead of failing at the next write."""
+    import json
+
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_changes(table, _batch(spark, "a", 0, n=2), batch_key="b0", mode="mor")
+    table.add_check("text_nonempty", "length(text) > 0")
+    assert table.fsck()["ok"]
+
+    sp = table._pointer_path(table.current_seq())
+    with open(sp) as f:
+        good = json.load(f)
+
+    def corrupt(mutate):
+        bad = json.loads(json.dumps(good))
+        mutate(bad)
+        os.remove(sp)
+        with open(sp, "w") as f:
+            json.dump(bad, f)
+        # drop the cached pointer so fsck re-reads the corrupted file
+        return table.fsck()["errors"]
+
+    errs = corrupt(lambda p: p["key_cols"].append("ghost"))
+    assert any("key_cols references missing column 'ghost'" in e
+               for e in errs), errs
+    errs = corrupt(lambda p: p.update(bucket_key="role"))
+    assert any("not a key column" in e for e in errs), errs
+    errs = corrupt(lambda p: p["field_ids"].pop("text"))
+    assert any("field_ids keys != schema columns" in e for e in errs), errs
+    errs = corrupt(lambda p: p["field_ids"].update(text=0))
+    assert any("duplicate field ids" in e for e in errs), errs
+    errs = corrupt(lambda p: p.update(next_field_id=1))
+    assert any("next_field_id" in e for e in errs), errs
+    errs = corrupt(lambda p: p.update(agg_cols={"nope": "sum"}))
+    assert any("agg_cols references missing column 'nope'" in e
+               for e in errs), errs
+    errs = corrupt(lambda p: p.update(agg_cols={"turn_idx": "avg"}))
+    assert any("unknown fold fn 'avg'" in e for e in errs), errs
+    errs = corrupt(
+        lambda p: p.update(checks={"c": "length(dropped_col) > 0"})
+    )
+    assert any("does not resolve" in e for e in errs), errs
+
+    # restore the good pointer: clean again (pure reporting, no damage)
+    os.remove(sp)
+    with open(sp, "w") as f:
+        json.dump(good, f)
+    rep = table.fsck(deep=True)
+    assert rep["ok"], rep["errors"]

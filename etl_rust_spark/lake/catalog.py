@@ -142,6 +142,29 @@ class IceliteCatalog:
             out[n] = seq
         return out
 
+    def fsck(
+        self, deep: bool = False, names: list[str] | None = None
+    ) -> dict:
+        """Catalog-wide integrity check — the verify step of the DR loop
+        (``export`` → restore → ``fsck``): runs ``IceliteTable.fsck``
+        on every table (or the ``names`` subset) and aggregates.
+        Read-only, reports instead of raising (an unloadable table
+        becomes its own error finding rather than aborting the sweep).
+        Returns ``{"ok": bool, "tables": {name: per-table report}}``;
+        ``ok`` is the AND over all tables."""
+        tables: dict[str, dict] = {}
+        for n in names if names is not None else self.list_tables():
+            try:
+                tables[n] = self.load(n).fsck(deep=deep)
+            except Exception as e:  # unloadable table: a finding, not a crash
+                tables[n] = {
+                    "ok": False,
+                    "errors": [f"table unloadable: {e}"],
+                    "warnings": [],
+                    "checked": {},
+                }
+        return {"ok": all(r["ok"] for r in tables.values()), "tables": tables}
+
     def sql(self, query: str, **register_kwargs) -> DataFrame:
         """Convenience: register all views (current, ``as_of=`` instant,
         or ``tag=`` pin), then run ``spark.sql(query)``."""

@@ -186,3 +186,42 @@ def test_catalog_export_consistent_cut(spark, tmp_path):
     # subset export
     sub = cat.export(str(tmp_path / "backup3"), names=["labels"])
     assert list(sub) == ["labels"]
+
+
+def test_catalog_fsck_aggregates_per_table_reports(spark, tmp_path):
+    """Catalog-wide fsck: the DR-verify composition (export -> restore
+    -> fsck) in one call — every table checked, one bad table flips the
+    aggregate without hiding the healthy ones, an unloadable directory
+    is a finding rather than a crash, and deep mode counts footers."""
+    import os
+
+    cat = IceliteCatalog(spark, str(tmp_path / "lake"))
+    a, b = _mk(cat, "convs"), _mk(cat, "labels")
+    _apply(spark, a, [(1, "I", "c1", 0, "user", "hello", "", TS)], "b0")
+    _apply(spark, b, [(1, "I", "c1", 0, "sys", "GOOD", "", TS)], "b0")
+
+    rep = cat.fsck(deep=True)
+    assert rep["ok"] and set(rep["tables"]) == {"convs", "labels"}
+    assert all(r["checked"]["footers"] > 0 for r in rep["tables"].values())
+
+    # export -> fsck the restored catalog: the DR loop end-to-end
+    cat.export(str(tmp_path / "backup"))
+    restored = IceliteCatalog(spark, str(tmp_path / "backup"))
+    assert restored.fsck(deep=True)["ok"]
+
+    # corrupt ONE table: only it reports, aggregate flips
+    f = [e["path"] for e in a._files(a.pointer())][0]
+    os.remove(f)
+    rep = cat.fsck()
+    assert not rep["ok"]
+    assert not rep["tables"]["convs"]["ok"]
+    assert rep["tables"]["labels"]["ok"]
+    assert cat.fsck(names=["labels"])["ok"]  # subset scoping
+
+    # a table-shaped dir whose metadata is gutted (has _manifests, no
+    # pointer) is a finding, not a sweep abort
+    os.makedirs(str(tmp_path / "lake" / "junk" / "_manifests"))
+    rep = cat.fsck()
+    assert "junk" in rep["tables"] and not rep["tables"]["junk"]["ok"]
+    assert rep["tables"]["junk"]["errors"]  # reported, not raised
+    assert rep["tables"]["labels"]["ok"]

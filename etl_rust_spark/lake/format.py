@@ -2901,10 +2901,20 @@ class IceliteTable:
             earliest = s - 1
         return earliest
 
-    def read_changes(self, since_seq: int, until_seq: int | None = None) -> DataFrame:
+    def read_changes(
+        self,
+        since_seq: int,
+        until_seq: int | None = None,
+        shard: tuple[int, int] | None = None,
+    ) -> DataFrame:
         """Incremental change feed: the rows COMMITTED by snapshots
         (since_seq, until_seq] — the downstream-consumer API (a feature
         engine or index builder tails the table without rescanning it).
+
+        ``shard=(i, k)`` keeps only files whose bucket ≡ i (mod k) —
+        manifest-metadata pruning mirroring the icelite source's
+        ``option("shard", "i/k")``, so a sharded feed consumer's JVM
+        fast path reads exactly its slice.
 
         Reads ONLY the data files those commits added (pure manifest
         arithmetic, no diffing of row sets), annotated with
@@ -2956,7 +2966,13 @@ class IceliteTable:
                     )
                 continue  # commit added no files (all-duplicate batch)
             for name in names:
-                entries.extend(self._read_manifest(name))
+                ents = self._read_manifest(name)
+                if shard is not None:
+                    ents = [
+                        e for e in ents
+                        if e["bucket"] % shard[1] == shard[0]
+                    ]
+                entries.extend(ents)
             seqs.append(s)
         until_ptr = self.pointer(until)
         schema = T.StructType.fromJson(until_ptr["schema"])

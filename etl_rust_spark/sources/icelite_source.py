@@ -178,17 +178,12 @@ class _TableMeta:
             if pat.fullmatch(os.path.basename(p))
         )
 
-    def change_files(
-        self, since_seq: int, until_seq: int, shard: tuple[int, int] | None = None
-    ):
-        """[(path, cols_map_or_None, commit_seq)] for commits in
-        (since, until] — the same selection and failure rules as
-        ``IceliteTable.read_changes``.
-
-        ``shard=(i, k)`` keeps only files whose bucket ≡ i (mod k) — pure
-        manifest-metadata pruning, no data file is opened to be skipped.
-        Every file belongs to exactly one shard, so k consumers with
-        shards 0..k-1 partition the feed disjointly and completely."""
+    def change_commits(self, since_seq: int, until_seq: int) -> list[int]:
+        """The CHANGE commits in (since, until] — lineage-record
+        metadata only (no manifest reads): non-change sources are
+        skipped, rollback/copy-on-write commits fail fast with the same
+        messages as ``IceliteTable.read_changes``. This is the planning
+        surface of the offsets-only feed (``option("offsetsOnly")``)."""
         out = []
         for s in range(since_seq + 1, until_seq + 1):
             rec = self.lineage_record(s)
@@ -208,6 +203,23 @@ class _TableMeta:
                     f"commit {s} is copy-on-write (rewrote files) — "
                     "streaming change reads require merge-on-read commits"
                 )
+            out.append(s)
+        return out
+
+    def change_files(
+        self, since_seq: int, until_seq: int, shard: tuple[int, int] | None = None
+    ):
+        """[(path, cols_map_or_None, commit_seq)] for commits in
+        (since, until] — the same selection and failure rules as
+        ``IceliteTable.read_changes``.
+
+        ``shard=(i, k)`` keeps only files whose bucket ≡ i (mod k) — pure
+        manifest-metadata pruning, no data file is opened to be skipped.
+        Every file belongs to exactly one shard, so k consumers with
+        shards 0..k-1 partition the feed disjointly and completely."""
+        out = []
+        for s in self.change_commits(since_seq, until_seq):
+            rec = self.lineage_record(s)
             names = self.added_manifests(s)
             if not names and rec["files_added"] > 0:
                 raise ValueError(
@@ -232,6 +244,18 @@ class _FilePartition(InputPartition):
     schema_json: str = ""
     field_ids: dict = field(default_factory=dict)
     legacy_cols: dict | None = None
+
+
+@dataclass
+class _OffsetsPartition(InputPartition):
+    """Offsets-only data plane: one partition carries the whole batch's
+    change-commit seqs — no data file is listed, opened, or decoded.
+    Feed pipelines (`streaming/`) tail this to learn each micro-batch's
+    commit range, then read the rows JVM-side via
+    ``IceliteTable.read_changes`` (the 10-30x-faster bulk path); the
+    full Python data plane remains for ad-hoc consumers."""
+
+    seqs: list = field(default_factory=list)
 
 
 def _read_partition_arrow(p: _FilePartition):
@@ -398,6 +422,11 @@ def _opt(options, *keys):
     return None
 
 
+def _is_offsets_only(options) -> bool:
+    v = _opt(options, "offsetsonly", "offsetsOnly")
+    return v is not None and str(v).lower() == "true"
+
+
 def _since_seq(options, meta: "_TableMeta") -> int:
     """Resolve the consumer's start: ``sinceSeq`` (a commit sequence) or
     ``sinceTimestamp`` (epoch seconds / ISO-UTC — the Kafka
@@ -444,6 +473,7 @@ class _IceliteStreamReader(DataSourceStreamReader):
         mcb = options.get("maxcommitsperbatch", options.get("maxCommitsPerBatch"))
         self.max_commits = int(mcb) if mcb is not None else None
         self.shard = _parse_shard(options)
+        self.offsets_only = _is_offsets_only(options)
         if self.max_commits is not None and self.max_commits < 1:
             raise ValueError("maxCommitsPerBatch must be >= 1")
         self._base: int | None = self.start_seq  # highest seq planned/committed
@@ -463,13 +493,18 @@ class _IceliteStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         self._learn_base(int(end["seq"]))
+        if self.offsets_only:
+            seqs = self.meta.change_commits(int(start["seq"]), int(end["seq"]))
+            return [_OffsetsPartition(seqs=seqs)]
         parts = _partitions_for(
             self.meta, int(start["seq"]), int(end["seq"]), self.decl, self.shard
         )
         # Spark requires at least the ability to plan an empty batch
         return parts or [_FilePartition(path="", commit_seq=-1)]
 
-    def read(self, partition: _FilePartition):
+    def read(self, partition):
+        if isinstance(partition, _OffsetsPartition):
+            return iter([(s,) for s in partition.seqs])
         if partition.commit_seq < 0 or not partition.path:
             return iter(())  # planned-empty batch
         return _read_partition_arrow(partition)
@@ -503,14 +538,20 @@ class _IceliteBatchReader(DataSourceReader):
                 int(until) if until is not None else self.meta.current_seq()
             )
         self.shard = _parse_shard(options)
+        self.offsets_only = _is_offsets_only(options)
 
     def partitions(self):
+        if self.offsets_only:
+            seqs = self.meta.change_commits(self.since, self.until)
+            return [_OffsetsPartition(seqs=seqs)]
         parts = _partitions_for(
             self.meta, self.since, self.until, self.decl, self.shard
         )
         return parts or [_FilePartition(path="", commit_seq=-1)]
 
-    def read(self, partition: _FilePartition):
+    def read(self, partition):
+        if isinstance(partition, _OffsetsPartition):
+            return iter([(s,) for s in partition.seqs])
         if partition.commit_seq < 0 or not partition.path:
             return iter(())
         return _read_partition_arrow(partition)
@@ -526,6 +567,14 @@ class IceliteDataSource(DataSource):
         return "icelite"
 
     def schema(self):
+        if _is_offsets_only(self.options):
+            # offsets-only feed: one LONG column, one row per change
+            # commit in each batch's range — the control plane the JVM
+            # fast-path feed pipelines tail (rows via read_changes)
+            _TableMeta(self.options.get("path", ""))  # same fail-fast
+            return T.StructType(
+                [T.StructField("_commit_seq", T.LongType(), True)]
+            )
         full = _stream_schema(_TableMeta(self.options.get("path", "")))
         cols = self.options.get("columns")
         if not cols:

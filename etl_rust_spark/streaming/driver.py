@@ -70,6 +70,117 @@ def _checkpoint_run_id(checkpoint_dir: str) -> str:
         return f.read().strip()
 
 
+def _feed_offsets_reader(
+    spark: SparkSession,
+    path: str,
+    max_commits: int | None = None,
+) -> DataFrame:
+    """The JVM fast-path control plane every feed pipeline tails
+    (VERDICT r05 #4): an offsets-only icelite stream — one LONG row per
+    change commit, no data decoded in Python workers. Each micro-batch's
+    ``foreachBatch`` derives its commit range from these rows and reads
+    the actual change rows JVM-side via ``IceliteTable.read_changes``
+    (the same files, the same winners, 10-30x the Python data plane's
+    scan rate). Checkpoint offsets still define the range, so
+    exactly-once replay semantics are unchanged."""
+    r = (
+        spark.readStream.format("icelite")
+        .option("path", path)
+        .option("offsetsOnly", "true")
+    )
+    if max_commits is not None:
+        r = r.option("maxCommitsPerBatch", str(max_commits))
+    return r.load()
+
+
+def _offsets_range(off_df: DataFrame) -> tuple[int, int] | None:
+    """(lowest, highest) change-commit seq in an offsets-only batch, or
+    None for an empty batch (nothing new to consume)."""
+    row = off_df.agg(
+        F.min("_commit_seq").alias("lo"), F.max("_commit_seq").alias("hi")
+    ).first()
+    if row is None or row["lo"] is None:
+        return None
+    return (int(row["lo"]), int(row["hi"]))
+
+
+def _feed_shard_tuple(shard: str | None) -> tuple[int, int] | None:
+    """Validate and parse a feed's ``shard='i/k'`` for the JVM
+    ``read_changes(shard=...)`` path — same rules as the source option."""
+    from etl_rust_spark.sources.icelite_source import _parse_shard
+
+    return _parse_shard({"shard": shard} if shard is not None else {})
+
+
+def _checkpoint_committed_seqs(checkpoint_dir: str) -> list[int] | None:
+    """The per-source icelite seqs of the last COMMITTED micro-batch in a
+    Structured Streaming checkpoint (offsets file of the highest batch id
+    present in ``commits/``), or None when nothing committed / the file
+    shape is unrecognized (callers fall back to a confirmation drain)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    ids = [
+        int(_os.path.basename(p))
+        for p in _glob.glob(_os.path.join(checkpoint_dir, "commits", "*"))
+        if _os.path.basename(p).isdigit()
+    ]
+    if not ids:
+        return None
+    off = _os.path.join(checkpoint_dir, "offsets", str(max(ids)))
+    try:
+        with open(off) as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        seqs = []
+        for ln in lines[2:]:  # v1 header + metadata JSON, then one per source
+            seqs.append(int(_json.loads(ln)["seq"]))
+        return seqs or None
+    except Exception:
+        return None
+
+
+def _feed_drained(checkpoint_dir: str, current_seqs: list[int]) -> bool:
+    """True iff the checkpoint's committed offsets already cover every
+    source's current seq — the direct quiescence test that replaces the
+    old 'run one more streaming query and see whether the target
+    advanced' confirmation drain (a full query start/stop plus a Python
+    data-source spin-up, ~1-2 s of pure fixed cost per run_available).
+
+    Multiset comparison is exact here: committed ≤ current per source,
+    so sorted equality forces per-source equality even for the unioned
+    two-source join feed."""
+    got = _checkpoint_committed_seqs(checkpoint_dir)
+    if got is None or len(got) != len(current_seqs):
+        return False
+    return sorted(got) == sorted(int(s) for s in current_seqs)
+
+
+def _feed_run_available(
+    name: str,
+    checkpoint_dir: str,
+    start_fn,
+    current_seqs_fn,
+    max_drains: int = 64,
+) -> None:
+    """Shared drain-to-quiescence loop for the feed pipelines: skip the
+    streaming query entirely when the checkpoint already covers the
+    source head, otherwise drain (processAllAvailable consumes the whole
+    clamped backlog batch by batch) and re-check."""
+    for _ in range(max_drains):
+        if _feed_drained(checkpoint_dir, current_seqs_fn()):
+            return
+        q = start_fn()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+    raise RuntimeError(
+        f"{name!r} still catching up after {max_drains} drains"
+    )
+
+
 @dataclass
 class ChangelogIngest:
     """One CDC ingest pipeline: tail WAL segments, upsert into a table."""
@@ -692,9 +803,19 @@ class ChangeFeedRollup:
         run_id = _checkpoint_run_id(self.checkpoint_dir)
         self._guard_fresh_checkpoint(target, run_id)
         keys = list(self.key_cols)
+        src_table = IceliteTable.load(self.spark, self.source_path)
+        shard_t = _feed_shard_tuple(self.shard)
 
-        def _apply(batch_df: DataFrame, epoch_id: int) -> None:
-            b = batch_df
+        def _apply(off_df: DataFrame, epoch_id: int) -> None:
+            # JVM fast path: offsets-only batch → commit range →
+            # read_changes (VERDICT r05 #4). Spark's column pruning
+            # reaches the parquet scan here, so a count/turn rollup over
+            # transcripts never decodes the text bytes — the projection
+            # the Python data plane needed an explicit option for.
+            rng = _offsets_range(off_df)
+            if rng is None:
+                return
+            b = src_table.read_changes(rng[0] - 1, rng[1], shard=shard_t)
             if not self.include_deletes and "__deleted" in b.columns:
                 b = b.filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
             parts = b.groupBy(*keys).agg(*exprs)
@@ -705,29 +826,10 @@ class ChangeFeedRollup:
                 source=f"rollup:{self.name}",
             )
 
-        # project the feed to exactly what the rollup consumes: keys, agg
-        # sources, the seq column, and __deleted only when it gates — a
-        # count/turn rollup over transcripts never ships the text bytes
-        needed = list(self.key_cols)
-        for spec in self.aggs.values():
-            _, _, scol = spec.partition(":")
-            if scol:
-                needed.append(scol)
-        needed.append(src_seq)
-        if not self.include_deletes and "__deleted" in src_types:
-            needed.append("__deleted")
-        needed = list(dict.fromkeys(needed))
-        r = (
-            self.spark.readStream.format("icelite")
-            .option("path", self.source_path)
-            .option("columns", ",".join(needed))
-        )
-        if self.max_commits_per_batch is not None:
-            r = r.option("maxCommitsPerBatch", str(self.max_commits_per_batch))
-        if self.shard is not None:
-            r = r.option("shard", self.shard)
         return (
-            r.load()
+            _feed_offsets_reader(
+                self.spark, self.source_path, self.max_commits_per_batch
+            )
             .writeStream.queryName(self.name)
             .foreachBatch(_apply)
             .option("checkpointLocation", self.checkpoint_dir)
@@ -736,26 +838,14 @@ class ChangeFeedRollup:
         )
 
     def run_available(self, max_drains: int = 64) -> None:
-        """Drain the outstanding feed to quiescence. One drain per
-        outstanding batch span: Python streaming sources fall back to
-        single-batch execution under availableNow, so a bounded catch-up
-        (``max_commits_per_batch``) needs repeated drains — loop until a
-        drain commits nothing new to the target."""
-        target = IceliteTable.load(self.spark, self.table_path)
+        """Drain the outstanding feed to quiescence (checkpoint-offset
+        quiescence test — committed offsets vs the source head — so the
+        caught-up confirmation costs no streaming query; r6)."""
+        source = IceliteTable.load(self.spark, self.source_path)
         try:
-            for _ in range(max_drains):
-                before = target.current_seq()
-                q = self.start()
-                try:
-                    q.processAllAvailable()
-                finally:
-                    q.stop()
-                    q.awaitTermination()
-                if target.current_seq() == before:
-                    return
-            raise RuntimeError(
-                f"rollup {self.name!r} still catching up after "
-                f"{max_drains} drains"
+            _feed_run_available(
+                f"rollup {self.name}", self.checkpoint_dir, self.start,
+                lambda: [source.current_seq()], max_drains,
             )
         except PipelineError:
             raise

@@ -120,8 +120,15 @@ class ChangeFeedEnrich:
 
     def start(self):
         from etl_rust_spark.sources import register_icelite_source
+        from etl_rust_spark.streaming.driver import (
+            _feed_offsets_reader,
+            _feed_shard_tuple,
+            _offsets_range,
+        )
 
         register_icelite_source(self.spark)
+        fact = IceliteTable.load(self.spark, self.fact_path)
+        shard_t = _feed_shard_tuple(self.shard)
         target = IceliteTable.load(self.spark, self.table_path)
         tptr = target.pointer()
         dim = IceliteTable.load(self.spark, self.dim_path)
@@ -139,9 +146,15 @@ class ChangeFeedEnrich:
         fact_keys = tuple(tptr["key_cols"])
         fact_seq = tptr["seq_col"]
 
-        def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        def _apply(off_df: DataFrame, epoch_id: int) -> None:
             from etl_rust_spark.operators.apply import dedup_max_lsn
 
+            # JVM fast path: offsets-only batch → commit range →
+            # read_changes (no Python-worker decode — VERDICT r05 #4)
+            rng = _offsets_range(off_df)
+            if rng is None:
+                return
+            batch_df = fact.read_changes(rng[0] - 1, rng[1], shard=shard_t)
             # a bounded catch-up batch spans several fact commits, so a
             # key can arrive with multiple versions; merge requires ONE
             # row per key — collapse to the max-LSN winner first (the
@@ -188,16 +201,10 @@ class ChangeFeedEnrich:
                 source=f"enrich:{self.name}",
             )
 
-        r = (
-            self.spark.readStream.format("icelite")
-            .option("path", self.fact_path)
-        )
-        if self.max_commits_per_batch is not None:
-            r = r.option("maxCommitsPerBatch", str(self.max_commits_per_batch))
-        if self.shard is not None:
-            r = r.option("shard", self.shard)
         return (
-            r.load()
+            _feed_offsets_reader(
+                self.spark, self.fact_path, self.max_commits_per_batch
+            )
             .writeStream.queryName(self.name)
             .foreachBatch(_apply)
             .option("checkpointLocation", self.checkpoint_dir)
@@ -206,23 +213,15 @@ class ChangeFeedEnrich:
         )
 
     def run_available(self, max_drains: int = 64) -> None:
-        """Drain to quiescence (same bounded-catch-up loop as the other
-        change-feed pipelines)."""
-        target = IceliteTable.load(self.spark, self.table_path)
+        """Drain to quiescence (checkpoint-offset quiescence test — see
+        ChangeFeedScd2.run_available)."""
+        from etl_rust_spark.streaming.driver import _feed_run_available
+
+        fact = IceliteTable.load(self.spark, self.fact_path)
         try:
-            for _ in range(max_drains):
-                before = target.current_seq()
-                q = self.start()
-                try:
-                    q.processAllAvailable()
-                finally:
-                    q.stop()
-                    q.awaitTermination()
-                if target.current_seq() == before:
-                    return
-            raise RuntimeError(
-                f"enrich {self.name!r} still catching up after "
-                f"{max_drains} drains"
+            _feed_run_available(
+                f"enrich {self.name}", self.checkpoint_dir, self.start,
+                lambda: [fact.current_seq()], max_drains,
             )
         except PipelineError:
             raise

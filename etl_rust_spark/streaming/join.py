@@ -256,6 +256,10 @@ class ChangeFeedJoin:
 
     def start(self):
         from etl_rust_spark.sources import register_icelite_source
+        from etl_rust_spark.streaming.driver import (
+            _feed_offsets_reader,
+            _feed_shard_tuple,
+        )
 
         register_icelite_source(self.spark)
         a = IceliteTable.load(self.spark, self.a_path)
@@ -277,8 +281,35 @@ class ChangeFeedJoin:
         run_id = _checkpoint_run_id(self.checkpoint_dir)
         os.makedirs(self.checkpoint_dir, exist_ok=True)
 
-        def _apply(batch_df: DataFrame, epoch_id: int) -> None:
-            keys_df = batch_df.select(*jc).distinct().localCheckpoint()
+        shard_t = _feed_shard_tuple(self.shard)
+
+        def _apply(off_df: DataFrame, epoch_id: int) -> None:
+            # JVM fast path: the unioned stream carries only (commit seq,
+            # leg) rows; each leg's affected KEYS come from a JVM
+            # read_changes over its own range (VERDICT r05 #4). A leg
+            # with no commits in the batch contributes no keys.
+            spans = {
+                int(r["__leg"]): (int(r["lo"]), int(r["hi"]))
+                for r in off_df.groupBy("__leg").agg(
+                    F.min("_commit_seq").alias("lo"),
+                    F.max("_commit_seq").alias("hi"),
+                ).collect()
+                if r["lo"] is not None
+            }
+            if not spans:
+                return
+            legs = []
+            for tag, tbl in ((0, a), (1, b)):
+                if tag in spans:
+                    lo, hi = spans[tag]
+                    legs.append(
+                        tbl.read_changes(lo - 1, hi, shard=shard_t)
+                        .select(*jc)
+                    )
+            keys_df = legs[0]
+            for leg in legs[1:]:
+                keys_df = keys_df.unionByName(leg)
+            keys_df = keys_df.distinct().localCheckpoint()
             n = keys_df.count()
             if n == 0:
                 return
@@ -316,28 +347,37 @@ class ChangeFeedJoin:
                 .withColumn(tseq, F.lit(seq_val).cast("long"))
                 .select(*tkeys, tseq, *payload)
             )
-            stored = (
-                target.read(where=where)
-                .join(keys_df, on=jc, how="left_semi")
-            )
-            gone = (
-                _live(stored)
-                .select(*tkeys)
-                .join(derived.select(*tkeys), on=tkeys, how="left_anti")
-                .select(
-                    *tkeys,
-                    F.lit(seq_val).cast("long").alias(tseq),
-                    *[
-                        F.lit(None).cast(tfields[c]).alias(c)
-                        for c in payload
-                    ],
-                    F.lit(True).alias("__deleted"),
+            if target.current_seq() == 0:
+                # BOOTSTRAP fast path (initial load / rebuild): with no
+                # target commits there are no stored join groups to
+                # replace — the stored read and the gone anti-join are
+                # provably empty. (Concurrent sharded bootstraps stay
+                # correct: shards own disjoint join keys, so their group
+                # replacements never interact.)
+                out = derived.withColumn("__deleted", F.lit(False))
+            else:
+                stored = (
+                    target.read(where=where)
+                    .join(keys_df, on=jc, how="left_semi")
                 )
-            )
-            out = (
-                derived.withColumn("__deleted", F.lit(False))
-                .unionByName(gone)
-            )
+                gone = (
+                    _live(stored)
+                    .select(*tkeys)
+                    .join(derived.select(*tkeys), on=tkeys, how="left_anti")
+                    .select(
+                        *tkeys,
+                        F.lit(seq_val).cast("long").alias(tseq),
+                        *[
+                            F.lit(None).cast(tfields[c]).alias(c)
+                            for c in payload
+                        ],
+                        F.lit(True).alias("__deleted"),
+                    )
+                )
+                out = (
+                    derived.withColumn("__deleted", F.lit(False))
+                    .unionByName(gone)
+                )
             target.merge(
                 out.withColumn("op", F.lit("U")),
                 batch_key=f"{self.name}:{run_id}:{epoch_id}",
@@ -346,19 +386,14 @@ class ChangeFeedJoin:
                 source=f"join:{self.name}",
             )
 
-        def _leg(path: str) -> DataFrame:
-            r = self.spark.readStream.format("icelite").option("path", path)
-            if self.max_commits_per_batch is not None:
-                r = r.option(
-                    "maxCommitsPerBatch", str(self.max_commits_per_batch)
-                )
-            if self.shard is not None:
-                r = r.option("shard", self.shard)
-            return r.load().select(*jc)
+        def _leg(path: str, tag: int) -> DataFrame:
+            return _feed_offsets_reader(
+                self.spark, path, self.max_commits_per_batch
+            ).select("_commit_seq", F.lit(tag).alias("__leg"))
 
         return (
-            _leg(self.a_path)
-            .unionByName(_leg(self.b_path))
+            _leg(self.a_path, 0)
+            .unionByName(_leg(self.b_path, 1))
             .writeStream.queryName(self.name)
             .foreachBatch(_apply)
             .option("checkpointLocation", self.checkpoint_dir)
@@ -367,23 +402,17 @@ class ChangeFeedJoin:
         )
 
     def run_available(self, max_drains: int = 64) -> None:
-        """Drain to quiescence (bounded catch-up loops until the target
-        stops advancing — same pattern as the sibling pipelines)."""
-        target = IceliteTable.load(self.spark, self.table_path)
+        """Drain to quiescence (checkpoint-offset quiescence test — see
+        ChangeFeedScd2.run_available; both legs' committed offsets must
+        cover their sources' heads)."""
+        from etl_rust_spark.streaming.driver import _feed_run_available
+
+        a = IceliteTable.load(self.spark, self.a_path)
+        b = IceliteTable.load(self.spark, self.b_path)
         try:
-            for _ in range(max_drains):
-                before = target.current_seq()
-                q = self.start()
-                try:
-                    q.processAllAvailable()
-                finally:
-                    q.stop()
-                    q.awaitTermination()
-                if target.current_seq() == before:
-                    return
-            raise RuntimeError(
-                f"join {self.name!r} still catching up after "
-                f"{max_drains} drains"
+            _feed_run_available(
+                f"join {self.name}", self.checkpoint_dir, self.start,
+                lambda: [a.current_seq(), b.current_seq()], max_drains,
             )
         except PipelineError:
             raise

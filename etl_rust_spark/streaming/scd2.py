@@ -135,6 +135,11 @@ class ChangeFeedScd2:
 
     def start(self):
         from etl_rust_spark.sources import register_icelite_source
+        from etl_rust_spark.streaming.driver import (
+            _feed_offsets_reader,
+            _feed_shard_tuple,
+            _offsets_range,
+        )
 
         register_icelite_source(self.spark)
         target = IceliteTable.load(self.spark, self.table_path)
@@ -145,11 +150,18 @@ class ChangeFeedScd2:
                 "it with ChangeFeedScd2.create_target"
             )
         run_id = _checkpoint_run_id(self.checkpoint_dir)
-        src_seq = IceliteTable.load(self.spark, self.source_path).pointer()[
-            "seq_col"
-        ]
+        source = IceliteTable.load(self.spark, self.source_path)
+        src_seq = source.pointer()["seq_col"]
+        shard_t = _feed_shard_tuple(self.shard)
 
-        def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        def _apply(off_df: DataFrame, epoch_id: int) -> None:
+            # JVM fast path: the stream delivers only commit seqs; the
+            # batch's change rows are read via read_changes (same files,
+            # same winners, no Python-worker decode — VERDICT r05 #4).
+            rng = _offsets_range(off_df)
+            if rng is None:
+                return
+            batch_df = source.read_changes(rng[0] - 1, rng[1], shard=shard_t)
             # one BATCH winner per key per commit rides in; each becomes
             # one immutable version row. The feed's __deleted flag
             # becomes the version's _scd_op so the TARGET merge never
@@ -179,16 +191,10 @@ class ChangeFeedScd2:
                 source=f"scd2:{self.name}",
             )
 
-        r = (
-            self.spark.readStream.format("icelite")
-            .option("path", self.source_path)
-        )
-        if self.max_commits_per_batch is not None:
-            r = r.option("maxCommitsPerBatch", str(self.max_commits_per_batch))
-        if self.shard is not None:
-            r = r.option("shard", self.shard)
         return (
-            r.load()
+            _feed_offsets_reader(
+                self.spark, self.source_path, self.max_commits_per_batch
+            )
             .writeStream.queryName(self.name)
             .foreachBatch(_apply)
             .option("checkpointLocation", self.checkpoint_dir)
@@ -197,25 +203,19 @@ class ChangeFeedScd2:
         )
 
     def run_available(self, max_drains: int = 64) -> None:
-        """Drain the outstanding feed to quiescence (same bounded-catch-up
-        loop as ChangeFeedRollup: Python streaming sources execute a
-        single batch under availableNow, so a bounded span needs repeated
-        drains until a drain commits nothing new)."""
-        target = IceliteTable.load(self.spark, self.table_path)
+        """Drain the outstanding feed to quiescence. Quiescence is read
+        straight off the checkpoint (committed offsets == source head),
+        so an already-caught-up call — and the confirmation pass after a
+        drain — costs zero streaming queries (r6: the old
+        'drain-until-the-target-stops-advancing' loop paid a full query
+        start/stop just to learn it was done)."""
+        from etl_rust_spark.streaming.driver import _feed_run_available
+
+        source = IceliteTable.load(self.spark, self.source_path)
         try:
-            for _ in range(max_drains):
-                before = target.current_seq()
-                q = self.start()
-                try:
-                    q.processAllAvailable()
-                finally:
-                    q.stop()
-                    q.awaitTermination()
-                if target.current_seq() == before:
-                    return
-            raise RuntimeError(
-                f"scd2 {self.name!r} still catching up after "
-                f"{max_drains} drains"
+            _feed_run_available(
+                f"scd2 {self.name}", self.checkpoint_dir, self.start,
+                lambda: [source.current_seq()], max_drains,
             )
         except PipelineError:
             raise

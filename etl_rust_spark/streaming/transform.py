@@ -100,6 +100,11 @@ class ChangeFeedTransform:
     def start(self):
         from etl_rust_spark.operators.apply import dedup_max_lsn
         from etl_rust_spark.sources import register_icelite_source
+        from etl_rust_spark.streaming.driver import (
+            _feed_offsets_reader,
+            _feed_shard_tuple,
+            _offsets_range,
+        )
 
         register_icelite_source(self.spark)
         source = IceliteTable.load(self.spark, self.source_path)
@@ -109,6 +114,7 @@ class ChangeFeedTransform:
         skeys = tuple(sptr["key_cols"])
         tkeys = tuple(tptr["key_cols"])
         seq = sptr["seq_col"]
+        shard_t = _feed_shard_tuple(self.shard)
         run_id = _checkpoint_run_id(self.checkpoint_dir)
 
         tfields = {
@@ -118,7 +124,13 @@ class ChangeFeedTransform:
         }
         payload = [c for c in tfields if c not in (*tkeys, seq)]
 
-        def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        def _apply(off_df: DataFrame, epoch_id: int) -> None:
+            # JVM fast path: offsets-only batch → commit range →
+            # read_changes (no Python-worker decode — VERDICT r05 #4)
+            rng = _offsets_range(off_df)
+            if rng is None:
+                return
+            batch_df = source.read_changes(rng[0] - 1, rng[1], shard=shard_t)
             winners = dedup_max_lsn(
                 batch_df.drop("_commit_seq"), skeys, lsn_col=seq
             )
@@ -143,6 +155,41 @@ class ChangeFeedTransform:
                     "must produce every target column and carry the source "
                     "seq column through"
                 )
+            if target.current_seq() == 0:
+                # BOOTSTRAP fast path (initial load / rebuild): the target
+                # has no commits, so the stored-state read, the
+                # late-winner gate, and the group-replacement anti-join
+                # are all provably no-ops — every winner is fresh, nothing
+                # can be replaced. Skipping them removes three shuffles of
+                # the derived set from the first batch (measured 2.2 s of
+                # a 7.5 s epoch at 1.65M derived rows). Delete winners
+                # still write their group markers: they must anchor the
+                # group's max seq for later batches' gates.
+                markers0 = (
+                    winners.filter(F.col("__is_del"))
+                    .select(
+                        *skeys,
+                        *[F.lit(None).cast(tfields[c]).alias(c)
+                          for c in tkeys if c not in skeys],
+                        F.col(seq),
+                        *[F.lit(None).cast(tfields[c]).alias(c)
+                          for c in payload],
+                        F.lit(True).alias("__deleted"),
+                    )
+                    .select(*tkeys, seq, *payload, "__deleted")
+                )
+                out = (
+                    derived.select(*tkeys, seq, *payload)
+                    .withColumn("__deleted", F.lit(False))
+                    .unionByName(markers0)
+                )
+                target.merge(
+                    out.withColumn("op", F.lit("U")),
+                    batch_key=f"{self.name}:{run_id}:{epoch_id}",
+                    seq_col=seq, mode="mor",
+                    source=f"transform:{self.name}",
+                )
+                return
             derived = derived.localCheckpoint()
             # group replacement: existing live derived rows of the batch's
             # source keys that the new derivation no longer produces get
@@ -228,16 +275,10 @@ class ChangeFeedTransform:
                 source=f"transform:{self.name}",
             )
 
-        r = (
-            self.spark.readStream.format("icelite")
-            .option("path", self.source_path)
-        )
-        if self.max_commits_per_batch is not None:
-            r = r.option("maxCommitsPerBatch", str(self.max_commits_per_batch))
-        if self.shard is not None:
-            r = r.option("shard", self.shard)
         return (
-            r.load()
+            _feed_offsets_reader(
+                self.spark, self.source_path, self.max_commits_per_batch
+            )
             .writeStream.queryName(self.name)
             .foreachBatch(_apply)
             .option("checkpointLocation", self.checkpoint_dir)
@@ -246,17 +287,12 @@ class ChangeFeedTransform:
         )
 
     def run_available(self, max_drains: int = 64) -> None:
-        """Drain to quiescence (bounded catch-up loops until the target
-        stops advancing — same pattern as the sibling pipelines)."""
-        target = IceliteTable.load(self.spark, self.table_path)
-        for _ in range(max_drains):
-            before = target.current_seq()
-            q = self.start()
-            try:
-                q.processAllAvailable()
-            finally:
-                q.stop()
-                q.awaitTermination()
-            if target.current_seq() == before:
-                return
-        raise RuntimeError(f"{self.name}: did not quiesce in {max_drains} drains")
+        """Drain to quiescence (checkpoint-offset quiescence test — see
+        ChangeFeedScd2.run_available)."""
+        from etl_rust_spark.streaming.driver import _feed_run_available
+
+        source = IceliteTable.load(self.spark, self.source_path)
+        _feed_run_available(
+            self.name, self.checkpoint_dir, self.start,
+            lambda: [source.current_seq()], max_drains,
+        )

@@ -2036,13 +2036,21 @@ class IceliteTable:
 
         old_manifests = ptr["manifests"]
         observation = None
-        if mode == "mor":
+        ch_persisted = False
+        if mode == "mor" or not old_manifests:
             # FAST PATH: no pre-read, no stats job — batch counts ride the
             # write job via observe(); touched buckets come from the
             # distributed post-write stats scan. One data pass per batch.
-            if seq_col is None or not ptr.get("seq_col"):
+            # Besides every MoR commit, this also covers the BOOTSTRAP
+            # CoW commit (empty table): with no old manifests there is
+            # nothing to rewrite, so the touched-bucket pre-pass (a
+            # persist + full stats aggregation of the batch) buys
+            # nothing — an initial load is write-only either way (r6:
+            # saves one full pass per table on e.g. the 15-table
+            # migration workload).
+            if mode == "mor" and (seq_col is None or not ptr.get("seq_col")):
                 raise ValueError("merge-on-read requires a table seq_col")
-            if not has_tombstones:
+            if seq_col is not None and not has_tombstones:
                 # seq-agg dedup would silently drop raw 'D' rows; cheap
                 # existence probe ONLY on this cold path — apply_changes
                 # always supplies tombstones, so ingest never pays it
@@ -2061,21 +2069,23 @@ class IceliteTable:
             from pyspark.sql import Observation
 
             observation = Observation()
-            ch = ch.observe(
-                observation,
+            obs_aggs = [
                 F.count(F.lit(1)).alias("rows"),
                 F.sum(F.when(is_delete, 1).otherwise(0)).alias("dels"),
+            ]
+            if seq_col is not None:
                 # source-offset range (the changelog's own coordinates) —
                 # rides the write job, costs nothing extra
-                F.min(seq_col).alias("lsn_min"),
-                F.max(seq_col).alias("lsn_max"),
-            )
+                obs_aggs.append(F.min(seq_col).alias("lsn_min"))
+                obs_aggs.append(F.max(seq_col).alias("lsn_max"))
+            ch = ch.observe(observation, *obs_aggs)
             touched = None
             keep_manifests, rewrite_files = list(old_manifests), []
         else:
             # CoW needs the touched-bucket set BEFORE reading old files →
             # one stats pass over the (cached) batch
             ch = ch.persist()
+            ch_persisted = True
             lsn_aggs = (
                 [F.min(seq_col).alias("lmin"), F.max(seq_col).alias("lmax")]
                 if seq_col is not None
@@ -2174,18 +2184,20 @@ class IceliteTable:
                 .parquet(commit_dir)
             )
             new_files, rows_written, per_bucket = self._scan_commit_dir(commit_dir)
-            if mode == "mor":
+            if observation is not None:
                 # additive tables mark even the FIRST commit delta: a batch
                 # may legitimately carry several partials of one key, and
-                # only delta files trigger the read-side fold
-                if old_manifests or ptr.get("agg_cols"):
+                # only delta files trigger the read-side fold; a bootstrap
+                # CoW commit's files stay kind=base
+                if mode == "mor" and (old_manifests or ptr.get("agg_cols")):
                     for f in new_files:
                         f["kind"] = "delta"
                 touched = sorted(per_bucket)
                 try:
                     m = observation.get
                     n_changes, n_deletes = int(m["rows"]), int(m["dels"] or 0)
-                    lsn_min, lsn_max = m["lsn_min"], m["lsn_max"]
+                    lsn_min = m["lsn_min"] if seq_col is not None else None
+                    lsn_max = m["lsn_max"] if seq_col is not None else None
                 except Exception:
                     # a statically-empty batch folds the observe node out
                     # of the plan entirely (no tasks ran, nothing written)
@@ -2193,7 +2205,7 @@ class IceliteTable:
                     lsn_min = lsn_max = None
             n_upserts = n_changes - n_deletes
         finally:
-            if mode != "mor":
+            if ch_persisted:
                 ch.unpersist()
 
         lineage_rec = {

@@ -80,4 +80,15 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # One-time session warm: the FIRST local-relation conversion
+    # (createDataFrame over driver tuples) pays ~1.6 s of lazy
+    # initialization (measured local[32]: py4j/conversion setup +
+    # LocalTableScan codegen). Several metadata-sized probes ride that
+    # path mid-query (e.g. read(where=)'s bucket-of-values typing job),
+    # so pay it once at session build instead of inside the first
+    # pruned read a user issues.
+    tag = "spark.etl_rust_spark.sessionWarmed"
+    if spark.conf.get(tag, "") != "1":
+        spark.conf.set(tag, "1")
+        spark.createDataFrame([(0, "warm")], "i long, s string").collect()
     return spark

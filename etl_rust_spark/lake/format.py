@@ -164,6 +164,63 @@ def _bucket_expr(bucket_key: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(bucket_key)), F.lit(n_buckets)).cast("int")
 
 
+def _local_bucket_of_values(uniq: list, dt, n_buckets: int) -> dict | None:
+    """Driver-side ``pmod(xxhash64(v), n_buckets)`` for literal values of
+    the bucket-key column — the same bit-exact XXH64 port the native sink
+    buckets rows with (functions/xxh64.py; differential-tested against
+    ``F.xxhash64`` in tests). Returns None when the column type or a
+    value's Python type is outside the proven domain, so the caller runs
+    the typed Spark job instead — never guesses."""
+    try:
+        import numpy as np
+
+        from etl_rust_spark.functions.xxh64 import (
+            xxh64_bytes,
+            xxh64_ints,
+            xxh64_longs,
+        )
+
+        if not uniq:
+            return {}
+        if isinstance(dt, T.StringType):
+            if not all(isinstance(v, str) for v in uniq):
+                return None
+            h = np.fromiter(
+                (xxh64_bytes(v.encode("utf-8")) for v in uniq),
+                dtype=np.uint64,
+                count=len(uniq),
+            )
+        elif isinstance(dt, T.LongType):
+            if not all(
+                isinstance(v, int)
+                and not isinstance(v, bool)
+                and -(2**63) <= v < 2**63
+                for v in uniq
+            ):
+                return None
+            h = xxh64_longs(np.array(uniq, dtype=np.int64))
+        elif isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+            lim = {"integer": 31, "short": 15, "byte": 7}[dt.typeName()]
+            if not all(
+                isinstance(v, int)
+                and not isinstance(v, bool)
+                and -(2**lim) <= v < 2**lim
+                for v in uniq
+            ):
+                return None
+            h = xxh64_ints(np.array(uniq, dtype=np.int64))
+        elif isinstance(dt, T.BooleanType):
+            if not all(isinstance(v, bool) for v in uniq):
+                return None
+            h = xxh64_ints(np.array([int(v) for v in uniq], dtype=np.int64))
+        else:
+            return None
+        b = (h.view(np.int64) % np.int64(n_buckets)).astype(np.int64)
+        return {v: int(x) for v, x in zip(uniq, b)}
+    except Exception:  # stay conservative: let the typed job decide
+        return None
+
+
 def _local_path(p: str) -> str:
     """input_file_name() URIs → plain filesystem paths."""
     if p.startswith("file:"):
@@ -1488,10 +1545,21 @@ class IceliteTable:
 
     def _bucket_of_values(self, values: list, ptr: dict, by_name: dict) -> dict:
         """value → hash bucket for literals of the bucket key, computed
-        with the key's REAL type exactly like the writer laid files out
-        (one tiny local job). Returns {} when the values can't be typed
-        (caller falls back to stats-only pruning)."""
+        with the key's REAL type exactly like the writer laid files out.
+        Common key types (string/long/int/short/byte/boolean) hash
+        DRIVER-SIDE through the bit-exact XXH64 port the native sink
+        already uses (functions/xxh64.py, differential-tested against
+        ``F.xxhash64``) — zero Spark jobs on the point-read path
+        (measured r6: the 1-row typed job cost 0.34 s warm and 2.5 s in
+        a long-lived session). Other types fall back to one tiny local
+        job. Returns {} when the values can't be typed (caller falls
+        back to stats-only pruning)."""
         uniq = list(dict.fromkeys(values))
+        local = _local_bucket_of_values(
+            uniq, by_name.get(ptr["bucket_key"]), ptr["n_buckets"]
+        )
+        if local is not None:
+            return local
         try:
             fld = T.StructType([
                 T.StructField("__i", T.LongType()),
@@ -1765,14 +1833,20 @@ class IceliteTable:
         by_name = {f.name: f.dataType for f in schema.fields}
         # bucket ids computed the same way the writer laid files out —
         # with the key's REAL type (xxhash64 of a stringified value would
-        # hash into the wrong buckets for non-string keys)
-        key_field = T.StructType(
-            [T.StructField(ptr["bucket_key"], by_name[ptr["bucket_key"]])]
-        )
-        one = self.spark.createDataFrame(
-            [(v,) for v in vals], key_field
-        ).select(_bucket_expr(ptr["bucket_key"], n_buckets).alias("b"))
-        buckets = {int(r["b"]) for r in one.collect()}
+        # hash into the wrong buckets for non-string keys); common types
+        # hash driver-side (_local_bucket_of_values), others via one tiny
+        # typed job
+        val2b = self._bucket_of_values(vals, ptr, by_name)
+        if val2b and all(v in val2b for v in vals):
+            buckets = set(val2b.values())
+        else:
+            key_field = T.StructType(
+                [T.StructField(ptr["bucket_key"], by_name[ptr["bucket_key"]])]
+            )
+            one = self.spark.createDataFrame(
+                [(v,) for v in vals], key_field
+            ).select(_bucket_expr(ptr["bucket_key"], n_buckets).alias("b"))
+            buckets = {int(r["b"]) for r in one.collect()}
         files = [f for f in self._files(ptr) if f["bucket"] in buckets]
         # a file survives when ANY requested value may fall in its key
         # range (OR over values, so ANDed _file_may_match can't express

@@ -507,3 +507,47 @@ def test_bucket_pruning_on_where_equality(spark, tmp_path):
     ])
     assert dnf.count() == 2
     assert len(dnf.inputFiles()) <= 4
+
+
+def test_local_bucket_of_values_matches_spark_job(spark):
+    """r6: _bucket_of_values computes common-type literals DRIVER-SIDE
+    (zero Spark jobs) through the xxh64 port — must be bit-identical to
+    the typed-job path the writer's layout derives from."""
+    import pyspark.sql.types as T
+
+    from etl_rust_spark.lake.format import _local_bucket_of_values
+
+    def spark_buckets(vals, dt, n):
+        fld = T.StructType([T.StructField("k", dt)])
+        rows = (
+            spark.createDataFrame([(v,) for v in vals], fld)
+            .select(_bucket_expr("k", n))
+            .collect()
+        )
+        return [int(r[0]) for r in rows]
+
+    cases = [
+        (T.StringType(), ["", "a", "conv-0001", "☃ unicode", "x" * 100]),
+        (T.LongType(), [0, 1, -1, 2**62, -(2**62), 41, 1234567890123]),
+        (T.IntegerType(), [0, 1, -1, 2**31 - 1, -(2**31), 99]),
+        (T.ShortType(), [0, 5, -5, 2**15 - 1, -(2**15)]),
+        (T.ByteType(), [0, 3, -3, 127, -128]),
+        (T.BooleanType(), [True, False]),
+    ]
+    for dt, vals in cases:
+        for n in (8, 32, 4096):
+            local = _local_bucket_of_values(vals, dt, n)
+            assert local is not None, (dt, n)
+            assert [local[v] for v in vals] == spark_buckets(vals, dt, n), (
+                dt, n,
+            )
+
+    # outside the proven domain → None (caller falls back to the job)
+    assert _local_bucket_of_values([1.5], T.DoubleType(), 8) is None
+    assert _local_bucket_of_values(["s"], T.TimestampType(), 8) is None
+    # mistyped literal for the column type → None, never a guess
+    assert _local_bucket_of_values([1], T.StringType(), 8) is None
+    assert _local_bucket_of_values(["1"], T.LongType(), 8) is None
+    assert _local_bucket_of_values([True], T.LongType(), 8) is None
+    assert _local_bucket_of_values([2**63], T.LongType(), 8) is None
+    assert _local_bucket_of_values([2**31], T.IntegerType(), 8) is None

@@ -2155,41 +2155,61 @@ class IceliteTable:
             ch = ch.observe(observation, *obs_aggs)
             touched = None
             keep_manifests, rewrite_files = list(old_manifests), []
+        elif seq_col is not None:
+            # Populated CoW, seq-agg strategy: the batch feeds the write
+            # job exactly ONCE (old ∪ upserts → max-seq agg), so the
+            # full-batch persist that used to feed the stats pre-pass
+            # bought nothing but a cache build (r6; guide §5 — measured
+            # 1.0-2.6 s vs 0.8-0.9 s per 1M-row batch, and at scale it
+            # spills the whole batch to disk). The touched-bucket set —
+            # needed BEFORE old files are selected — comes from a NARROW
+            # distinct pass (column-pruned through the upstream plan);
+            # the row/delete/lsn counts ride the write job via observe()
+            # exactly like the MoR/bootstrap fast path.
+            if not has_tombstones:
+                # seq-agg dedup would silently drop raw 'D' rows; cheap
+                # existence probe, same rule as the fast path above
+                # (apply_changes always supplies tombstones, so the
+                # ingest path never pays it)
+                if not ch.filter(is_delete).isEmpty():
+                    raise ValueError(
+                        "seq-agg merge got op='D' rows without a __deleted "
+                        "tombstone column — they would be silently dropped. "
+                        "Convert deletes to tombstones (apply_changes does "
+                        "this) or use the anti-join path (seq_col=None)."
+                    )
+            touched = sorted(
+                int(r[0])
+                for r in ch.select("__bucket").distinct().collect()
+            )
+            from pyspark.sql import Observation
+
+            observation = Observation()
+            ch = ch.observe(
+                observation,
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.when(is_delete, 1).otherwise(0)).alias("dels"),
+                F.min(seq_col).alias("lsn_min"),
+                F.max(seq_col).alias("lsn_max"),
+            )
+            keep_manifests, rewrite_files = self._filter_manifests(
+                ptr, set(touched), ptr["seq"] + 1
+            )
         else:
-            # CoW needs the touched-bucket set BEFORE reading old files →
-            # one stats pass over the (cached) batch
+            # anti-join CoW (no seq_col): the batch is consumed TWICE in
+            # the write job (upserts ∪ the anti-join's key probe), so
+            # caching it is load-bearing — one stats pass over the
+            # cached batch gives touched buckets + counts
             ch = ch.persist()
             ch_persisted = True
-            lsn_aggs = (
-                [F.min(seq_col).alias("lmin"), F.max(seq_col).alias("lmax")]
-                if seq_col is not None
-                else []
-            )
             stats = ch.groupBy("__bucket").agg(
                 F.count("*").alias("rows"),
                 F.sum(F.when(is_delete, 1).otherwise(0)).alias("dels"),
-                *lsn_aggs,
             ).collect()
             touched = sorted(int(r["__bucket"]) for r in stats)
             n_changes = sum(r["rows"] for r in stats)
             n_deletes = sum(r["dels"] for r in stats)
-            if seq_col is not None and stats:
-                # a bucket whose rows all carry null seq contributes None —
-                # unorderable against ints, so fold over non-null only
-                los = [r["lmin"] for r in stats if r["lmin"] is not None]
-                his = [r["lmax"] for r in stats if r["lmax"] is not None]
-                lsn_min = min(los) if los else None
-                lsn_max = max(his) if his else None
-            else:
-                lsn_min = lsn_max = None
-            if seq_col is not None and n_deletes > 0 and not has_tombstones:
-                ch.unpersist()
-                raise ValueError(
-                    "seq-agg merge got op='D' rows without a __deleted "
-                    "tombstone column — they would be silently dropped. "
-                    "Convert deletes to tombstones (apply_changes does "
-                    "this) or use the anti-join path (seq_col=None)."
-                )
+            lsn_min = lsn_max = None
             keep_manifests, rewrite_files = self._filter_manifests(
                 ptr, set(touched), ptr["seq"] + 1
             )
@@ -2266,7 +2286,12 @@ class IceliteTable:
                 if mode == "mor" and (old_manifests or ptr.get("agg_cols")):
                     for f in new_files:
                         f["kind"] = "delta"
-                touched = sorted(per_bucket)
+                if touched is None:
+                    # fast paths learn the touched set from the write
+                    # itself; populated CoW (observe + narrow pre-pass)
+                    # keeps its PRE-write set — that is what the batch
+                    # touched, even if an old winner kept a bucket's file
+                    touched = sorted(per_bucket)
                 try:
                     m = observation.get
                     n_changes, n_deletes = int(m["rows"]), int(m["dels"] or 0)

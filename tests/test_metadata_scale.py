@@ -303,3 +303,69 @@ def test_metadata_tables_files_and_snapshots(spark, tmp_path):
     assert left == [3, 4]
     # time-travel files view at a retained past snapshot
     assert table.files_df(seq=3).count() > 0
+
+
+def test_populated_cow_seq_agg_lineage_and_state(spark, tmp_path):
+    """r6: populated-CoW seq-agg merges take the no-persist path (narrow
+    touched pre-pass + observe-carried counts) — lineage must record the
+    same facts the stats pre-pass produced: touched = the BATCH's bucket
+    set (even when old winners survive), n_changes/n_deletes = batch
+    rows/tombstones, lsn bounds from the batch, and the merged state
+    must equal the max-lsn replay."""
+    table = create_transcript_table(spark, str(tmp_path / "t"), n_buckets=4)
+    table.merge(
+        _batch(spark, 0, n=20).withColumnRenamed("lsn", "__lsn"),
+        batch_key="b0", seq_col="__lsn", mode="cow",
+    )
+    # second batch: 6 upserts + 2 tombstones, a strict key-subset of b0
+    up = _batch(spark, 1, n=6).withColumnRenamed("lsn", "__lsn")
+    tomb = (
+        _batch(spark, 1, n=20).withColumnRenamed("lsn", "__lsn")
+        .filter("turn_idx IN (18, 19)")
+    )
+    b1 = (
+        up.withColumn("__deleted", F.lit(False))
+        .unionByName(tomb.withColumn("__deleted", F.lit(True)))
+    )
+    rec = table.merge(b1, batch_key="b1", seq_col="__lsn", mode="cow")
+    assert rec["n_changes"] == 8
+    assert rec["n_deletes"] == 2
+    assert rec["n_upserts"] == 6
+    assert rec["lsn_min"] == 1000 and rec["lsn_max"] == 1019
+    # touched = the batch's buckets (pre-write set), derived exactly like
+    # the writer's layout
+    from etl_rust_spark.lake.format import _bucket_expr
+
+    want_buckets = sorted(
+        r[0]
+        for r in b1.select(_bucket_expr("conv_id", 4)).distinct().collect()
+    )
+    assert rec["touched_buckets"] == want_buckets
+    # state equals the max-__lsn replay of both batches: live rows match
+    # on full payload; tombstone winners surface flagged (read() contract)
+    all_rows = (
+        _batch(spark, 0, n=20).withColumnRenamed("lsn", "__lsn")
+        .withColumn("__deleted", F.lit(False))
+        .unionByName(b1)
+    )
+    w = all_rows.groupBy("conv_id", "turn_idx").agg(
+        F.max(F.struct("__lsn", "__deleted", "text")).alias("w")
+    )
+    want_live = w.filter(~F.col("w.__deleted")).select(
+        "conv_id", "turn_idx", F.col("w.__lsn").alias("__lsn"),
+        F.col("w.text").alias("text"),
+    )
+    got = table.read()
+    got_live = got.filter(
+        ~F.coalesce(F.col("__deleted"), F.lit(False))
+    ).select("conv_id", "turn_idx", "__lsn", "text")
+    assert got_live.exceptAll(want_live).count() == 0
+    assert want_live.exceptAll(got_live).count() == 0
+    want_dead = {("conv-3", 18), ("conv-4", 19)}
+    got_dead = {
+        (r["conv_id"], r["turn_idx"])
+        for r in got.filter(
+            F.coalesce(F.col("__deleted"), F.lit(False))
+        ).collect()
+    }
+    assert got_dead == want_dead

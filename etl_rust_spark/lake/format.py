@@ -2240,9 +2240,17 @@ class IceliteTable:
                 new_data = upserts
             elif seq_col is not None:
                 # single-shuffle last-writer-wins over old ∪ new; the seq
-                # column leads the struct so max() picks the newest row
+                # column leads the struct so max() picks the newest row.
+                # upserts LEADS the union so the plan (and the write
+                # action) binds to the BATCH's SparkSession: inside
+                # foreachBatch that is the micro-batch's wrapped session,
+                # where the observe() metrics listener is registered —
+                # rooting the write on `old`'s (outer) session leaves the
+                # observation's promise never completed and
+                # observation.get blocking forever (union order does not
+                # affect a groupBy+max result)
                 new_data = _dedup_by_seq(
-                    old.unionByName(upserts), key_cols, seq_col, merged_schema
+                    upserts.unionByName(old), key_cols, seq_col, merged_schema
                 )
             else:
                 # keys are co-bucketed: this anti-join shuffles only the
